@@ -1,23 +1,39 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line {"metric","value","unit","queries","sf"}.
+  *
+  * Each query is fully materialized via a noop-format write (count() can
+  * let Catalyst prune work; noop forces every row through the whole plan).
+  * One warm-up of the smallest query amortizes JVM/codegen startup out of
+  * the first measured number.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
+    val spark = Engine.configure(
+        SparkSession.builder().master(s"local[$cpus]"),
+        shufflePartitions = cpus.toInt)
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def runOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+
+    // Warm up codegen/classloading on the smallest table once, unmeasured.
+    try spark.read.parquet(s"$sfDir/nation.parquet").write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+
+    val results = SparkEntry.registry.map(q => q.name -> runOne(q.run))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

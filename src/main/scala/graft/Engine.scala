@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory for the graft engine.
+  *
+  * Mirrors the reference's environment setup (flink playground
+  * `DataStreamJob.java:49-53`: execution environment + table environment)
+  * collapsed into Spark's single-session model.
+  *
+  * Scale notes (100 TB target):
+  *  - AQE on: runtime coalescing of shuffle partitions, skew-join splitting
+  *    and dynamic join-strategy switching replace hand-tuned parallelism
+  *    (the reference's `setParallelism` / `setMaxParallelism`,
+  *    `WithStateTtlJob.java:40-41`).
+  *  - `spark.sql.shuffle.partitions` is a *starting* value; on a real
+  *    cluster it should be ~2-3x total cores, and AQE coalesces down.
+  *  - UTC session timezone so timestamp semantics are reproducible across
+  *    drivers/executors and match the DuckDB oracle.
+  *  - `parquet.nanosAsLong`: the harness's `events` table carries
+  *    TIMESTAMP(NANOS) which Spark does not read natively; we read the
+  *    raw int64 and convert to microsecond timestamps at the ingest edge
+  *    (see [[Tables.events]]), matching DuckDB's ns->us truncation.
+  */
+object Engine {
+
+  /** Apply graft's common configuration to a builder. */
+  def configure(b: SparkSession.Builder, shufflePartitions: Int = 32): SparkSession.Builder =
+    b.config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session, used by tests and ad-hoc runs. */
+  def session(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
+    val s = configure(SparkSession.builder().master(master), shufflePartitions).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
