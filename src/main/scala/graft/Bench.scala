@@ -3,12 +3,19 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line {"metric","value","unit","queries","sf"}.
+  * prints ONE JSON line {"metric","value","unit","queries","sf"[,"errors"]}.
   *
-  * Each query is fully materialized via a noop-format write (count() can
-  * let Catalyst prune work; noop forces every row through the whole plan).
-  * One warm-up of the smallest query amortizes JVM/codegen startup out of
-  * the first measured number.
+  * Methodology:
+  *  - Each query is fully materialized via a noop-format write (count()
+  *    can let Catalyst prune work; noop forces every row through the
+  *    whole plan).
+  *  - One FULL unmeasured pass over the registry first, so codegen/JIT/
+  *    classloading cost is not attributed to whichever queries happen to
+  *    run first (round-1 lesson: ~70% of the reported total was
+  *    cold-start noise on the first few queries).
+  *  - A failed query is reported in "errors" and exits non-zero; it is
+  *    NEVER silently dropped from the total (a broken query must not make
+  *    the bench look faster).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -20,21 +27,35 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def runOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+    def materialize(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+
+    // Unmeasured warm-up: full pass over the registry (ignore failures
+    // here; they surface in the measured pass).
+    SparkEntry.registry.foreach { q =>
+      try materialize(q.run) catch { case _: Throwable => () }
     }
 
-    // Warm up codegen/classloading on the smallest table once, unmeasured.
-    try spark.read.parquet(s"$sfDir/nation.parquet").write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
-
-    val results = SparkEntry.registry.map(q => q.name -> runOne(q.run))
+    var errors = List.empty[String]
+    val results = SparkEntry.registry.map { q =>
+      val t0 = System.nanoTime()
+      try {
+        materialize(q.run)
+        q.name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors ::= q.name
+          System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+          q.name -> (System.nanoTime() - t0) / 1e9 // time-to-failure still counts
+      }
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.reverse.map("\"" + _ + "\"").mkString(",\"errors\":[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

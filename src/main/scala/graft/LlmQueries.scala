@@ -1,0 +1,300 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** LLM-training-data pipeline queries over the harness's `documents` and
+  * `embeddings` tables: deduplication (exact, minhash-LSH, simhash),
+  * similarity search (brute-force + LSH ANN), text analysis (stats,
+  * language-ID, quality, token counts, fingerprints) and multimodal
+  * column plumbing.
+  *
+  * Oracle-exactness: all hashes are the explicit mod-1e9+7 polynomial
+  * hashes of [[graft.operators.TextOps]] (reproducible in ANSI SQL);
+  * Jaccard thresholds compare integers (inter*den >= num*union); cosine
+  * similarities fold element products in array order so DuckDB's
+  * list_sum reproduces the exact IEEE double.
+  */
+object LlmQueries {
+
+  private def T = Tables
+
+  private val docTokens = TextOps.tokens(col("text"))
+
+  /** Language marker words (fixed subsets of the synthetic corpus
+    * vocabulary; precedence order = this order).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "row", "table"),
+    "es" -> Seq("data", "value", "column"),
+    "de" -> Seq("window", "group", "order"),
+    "fr" -> Seq("line", "part", "filter"),
+    "zh" -> Seq("spark", "query", "stream"))
+
+  val all: Seq[Q] = Seq(
+
+    // ------------------------------------------------------- exact dedup
+    Q("q22_exact_dedup",
+      (s, d) => {
+        T.documents(s, d)
+          .groupBy(col("text"))
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+          .select(col("doc_id"), col("n_copies"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM documents GROUP BY text ORDER BY doc_id"""),
+      "exact dedup: deterministic survivor (min id) + multiplicity per distinct text; " +
+        "hash-groupBy with map-side partial agg — the 100 TB shape (one shuffle by text hash)"),
+
+    // ------------------------------------------------ minhash LSH dedup
+    Q("q23_neardup_pairs",
+      (s, d) => {
+        MinHash.nearDupPairs(T.documents(s, d), "doc_id", "text")
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+            col("inter_size"), col("union_size"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM toks)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_size,
+               CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS union_size
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh)) * 10 >=
+              8 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        ORDER BY doc_a, doc_b"""),
+      "minhash near-dup: shingle->minhash->banded LSH buckets->exact-verify candidates " +
+        "(Jaccard >= 0.8, integer-exact). Oracle is all-pairs (oracle-only; the Spark side " +
+        "never does all-pairs). k=128, b=32, r=4: miss probability < 1e-14 at J=0.9"),
+
+    // --------------------------------------------------- brute-force ANN
+    Q("q24_ann_topk",
+      (s, d) => {
+        val e = T.embeddings(s, d).select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        Similarity.bruteTopK(e, e.where(col("vec_id") < 10), "vec_id", "v", 5)
+          .select(col("probe_id"), col("rank"), col("neighbor_id"), col("cosine"))
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
+        p AS (SELECT vec_id, v, nrm FROM n WHERE vec_id < 10),
+        s AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                     list_sum(list_transform(list_zip(p.v, c.v), z -> z[1]*z[2])) / (p.nrm * c.nrm) AS cosine
+              FROM n c, p WHERE p.vec_id != c.vec_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM s)
+        SELECT probe_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5
+        ORDER BY probe_id, rank"""),
+      "similarity search baseline: exact cosine top-5 per probe; probes broadcast, corpus " +
+        "scanned once, per-probe top-k. In-order double folds make the cosine bit-identical " +
+        "to the oracle. Scale path is q33's LSH buckets"),
+
+    // --------------------------------------------------- text statistics
+    Q("q25_text_stats",
+      (s, d) => {
+        val docs = T.documents(s, d).select(col("lang"), docTokens.as("w"), length(col("text")).cast("long").as("nc"))
+        val base = docs.groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(col("w")).cast("long")).as("total_tokens"),
+          sum(col("nc")).as("total_chars"))
+        val dw = docs.select(col("lang"), explode(col("w")).as("word"))
+          .groupBy(col("lang")).agg(countDistinct(col("word")).as("n_distinct_words"))
+        base.join(dw, Seq("lang"))
+          .withColumn("avg_tokens", col("total_tokens").cast("double") / col("n_docs").cast("double"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH t AS (SELECT lang, string_split(lower(text), ' ') AS w, length(text) AS nc FROM documents),
+        base AS (SELECT lang, count(*) AS n_docs, CAST(sum(len(w)) AS BIGINT) AS total_tokens,
+                        CAST(sum(nc) AS BIGINT) AS total_chars
+                 FROM t GROUP BY lang),
+        dw AS (SELECT lang, count(DISTINCT uw) AS n_distinct_words
+               FROM (SELECT lang, unnest(w) AS uw FROM t) GROUP BY lang)
+        SELECT base.lang, n_docs, total_tokens, total_chars, n_distinct_words,
+               CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avg_tokens
+        FROM base JOIN dw ON base.lang = dw.lang ORDER BY base.lang"""),
+      "per-language corpus stats: doc/token/char counts + distinct vocabulary " +
+        "(explode + two-level agg: partial distinct by (lang,word) then merge — scalable)"),
+
+    // ------------------------------------------------------- language-ID
+    Q("q26_language_id",
+      (s, d) => {
+        val (scores, pred) = TextOps.languageId(docTokens, LangMarkers)
+        T.documents(s, d)
+          .select((col("doc_id") +: col("lang") +: scores) :+ pred.as("pred_lang"): _*)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val scoreExprs = LangMarkers.map { case (lang, words) =>
+          val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"CAST(len(list_filter(string_split(lower(text), ' '), x -> list_contains($lst, x))) AS BIGINT) AS score_$lang"
+        }.mkString(",\n               ")
+        val langs = LangMarkers.map(_._1)
+        val cases = langs.init.zipWithIndex.map { case (l, i) =>
+          val conds = langs.drop(i + 1).map(o => s"score_$l >= score_$o").mkString(" AND ")
+          s"WHEN $conds THEN '$l'"
+        }.mkString("\n                    ")
+        s"""
+        WITH s AS (SELECT doc_id, lang,
+               $scoreExprs
+        FROM documents)
+        SELECT doc_id, lang, ${langs.map(l => s"score_$l").mkString(", ")},
+               CASE $cases
+                    ELSE '${langs.last}' END AS pred_lang
+        FROM s ORDER BY doc_id"""
+      },
+      "marker-word language-ID: per-doc scoring of fixed word lists, argmax with fixed " +
+        "precedence — map-only, no shuffle, oracle-identical CASE cascade"),
+
+    // ----------------------------------------------------- quality score
+    Q("q27_quality_score",
+      (s, d) => {
+        val qp = TextOps.qualityScore(col("text"))
+        T.documents(s, d).select(
+            col("doc_id"),
+            qp.nTokens.as("n_tokens"),
+            qp.nChars.as("n_chars"),
+            qp.stopRatio.as("stop_ratio"),
+            qp.avgWordLen.as("avg_word_len"),
+            qp.quality.as("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val stop = TextOps.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""
+        WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w, length(text) AS nc FROM documents),
+        m AS (SELECT doc_id,
+                     CAST(len(w) AS BIGINT) AS n_tokens,
+                     CAST(nc AS BIGINT) AS n_chars,
+                     CAST(len(list_filter(w, x -> list_contains($stop, x))) AS BIGINT) AS n_stop,
+                     CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_wlen
+              FROM t)
+        SELECT doc_id, n_tokens, n_chars,
+               CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+               CAST(sum_wlen AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_word_len,
+               least(CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+                 + (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * CAST(0.2 AS DOUBLE)
+                 + (CAST(sum_wlen AS DOUBLE) / CAST(n_tokens AS DOUBLE)) / CAST(10.0 AS DOUBLE) * CAST(0.3 AS DOUBLE)
+                 AS quality
+        FROM m ORDER BY doc_id"""
+      },
+      "document quality scoring: length/stopword/word-length components + fixed-order " +
+        "linear composite (bit-deterministic double arithmetic); map-only"),
+
+    // ------------------------------------------------------ token counts
+    Q("q28_token_count",
+      (s, d) => {
+        T.documents(s, d).select(
+            col("doc_id"),
+            TextOps.tokenCount(docTokens).as("n_tokens"),
+            TextOps.subtokenCount(docTokens).as("n_subtokens"),
+            size(array_distinct(docTokens)).cast("long").as("n_distinct_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               CAST(list_sum(list_transform(w, x -> (length(x) + 3) // 4)) AS BIGINT) AS n_subtokens,
+               CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_tokens
+        FROM t ORDER BY doc_id"""),
+      "token counting: whitespace tokens + BPE-ish budget (ceil(len/4) subtokens per word) " +
+        "+ distinct tokens; pure integer arithmetic, map-only"),
+
+    // ------------------------------------------------------ fingerprints
+    Q("q29_fingerprint",
+      (s, d) => {
+        T.documents(s, d).select(
+            col("doc_id"),
+            TextOps.docFingerprint(docTokens).as("fp"),
+            array_min(TextOps.polyHashAll(docTokens)).as("min_word_hash"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        h AS (SELECT doc_id,
+                     list_transform(w, x ->
+                       list_reduce(list_prepend(CAST(7 AS BIGINT),
+                         list_transform(range(1, length(x)+1), i -> CAST(ascii(substr(x, i, 1)) AS BIGINT))),
+                         (a, c) -> (a*31 + c) % 1000000007)) AS wh
+              FROM t)
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(7 AS BIGINT), wh),
+                           (acc, x) -> (acc*1000003 + x) % 1000000007) AS fp,
+               CAST(list_min(wh) AS BIGINT) AS min_word_hash
+        FROM h ORDER BY doc_id"""),
+      "document fingerprinting: order-sensitive polynomial rolling hash over word hashes " +
+        "(mod 1e9+7, reproduced exactly by the oracle) + min word hash; map-only"),
+
+    // ----------------------------------------------- embedding near-dups
+    Q("q30_embedding_neardup",
+      (s, d) => {
+        val e = T.embeddings(s, d).select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        Similarity.cosinePairs(e, "vec_id", "v", 0.4)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_sum(list_transform(list_zip(a.v, b.v), z -> z[1]*z[2])) / (a.nrm * b.nrm) AS cosine
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(list_zip(a.v, b.v), z -> z[1]*z[2])) / (a.nrm * b.nrm) >= 0.4
+        ORDER BY id_a, id_b"""),
+      "embedding-cosine near-dup pairs (threshold 0.4), exact at test scale; the 100 TB " +
+        "path replaces the cross join with q33's LSH buckets as candidate generator"),
+
+    // --------------------------------------------------- simhash near-dup
+    Q("q31_simhash_pairs",
+      (s, d) => {
+        // spread the single-split scan: the 64-slot vote fold is per-row
+        // expensive and must use every core
+        val fp = T.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(
+            col("doc_id"),
+            SimHash.simhash(TextOps.polyHashAll(docTokens)).as("fp"))
+        SimHash.nearPairs(fp, "doc_id", "fp", maxHamming = 3)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      None, // 64 nested bit-votes are not reasonably ANSI-SQL-expressible; covered by SimHashSpec
+      "simhash near-dup: 64-bit majority-vote fingerprint, pigeonhole 16-bit-chunk join " +
+        "(hamming<=3 => one exact chunk match), exact hamming filter on candidates only"),
+
+    // ------------------------------------------------ multimodal columns
+    Q("q32_multimodal_meta",
+      (s, d) => {
+        Multimodal.headerFeatures(Multimodal.pack(T.documents(s, d), "doc_id", "text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+               CAST(length(text) % 1024 AS INTEGER) AS width,
+               CAST(length(text) % 768 AS INTEGER) AS height,
+               CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte
+        FROM documents ORDER BY doc_id"""),
+      "multimodal plumbing: opaque binary payload + typed metadata struct, scan-side header " +
+        "features. Batched decode stub lives in Multimodal.decodeFeatures (MultimodalSpec)"),
+
+    // ----------------------------------------------------------- LSH ANN
+    Q("q33_ann_lsh",
+      (s, d) => {
+        val e = T.embeddings(s, d).select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        Similarity.lshBucketTopK(e, e.where(col("vec_id") < 10), "vec_id", "v", k = 5)
+          .select(col("probe_id"), col("rank"), col("neighbor_id"), col("cosine"))
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      None, // approximate by design: deterministic (seeded) but not equal to the exact top-k;
+      //       recall vs q24 is asserted in SimilaritySpec
+      "ANN scale path: random-hyperplane LSH buckets -> bucket join -> exact re-rank. " +
+        "Shuffle O(n*tables) instead of O(n^2); candidates bounded per bucket")
+  )
+}

@@ -13,10 +13,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes:
   *  - `enrichLatest` dedups the dimension first (top-1-per-key, map-side
-  *    group-limited), then joins. When the deduped dimension is small
-  *    (the usual case — one row per key), we `broadcast` it so the probe
-  *    side never shuffles. At 100 TB of probe rows that is the difference
-  *    between a map-only stage and a full shuffle.
+  *    group-limited), then joins. The deduped dimension is one row per
+  *    key — its size grows with key cardinality, so a forced broadcast is
+  *    an executor OOM at high-cardinality scale. Default: let AQE decide
+  *    the join strategy from the *runtime* size of the deduped side (it
+  *    switches to broadcast when the side is genuinely small). Pass
+  *    `broadcastDim = true` only when the key domain is known-bounded
+  *    (e.g. an ISO-country dimension like the reference's).
   *  - `asOfJoin` uses the union-and-carry-forward formulation: one shuffle
   *    of (probe ∪ build) by key, one in-partition sort, zero row
   *    amplification — versus a naive `probe JOIN build ON ts <= pts`
@@ -25,9 +28,9 @@ import org.apache.spark.sql.functions._
 object EnrichJoin {
 
   /** Left-join `probe` against the latest version (by `dimOrder` desc) of
-    * each `dimKey` in `dim`. Broadcasts the deduped dimension when
-    * `broadcastDim` (default: true — a deduped dimension is one row per
-    * key and usually tiny relative to the probe).
+    * each `dimKey` in `dim`. Join strategy is AQE-decided by default;
+    * `broadcastDim = true` forces a broadcast and is only safe when the
+    * dimension's key cardinality is known-bounded.
     */
   def enrichLatest(
       probe: DataFrame,
@@ -35,7 +38,7 @@ object EnrichJoin {
       probeKey: String,
       dimKey: String,
       dimOrder: Seq[Column],
-      broadcastDim: Boolean = true): DataFrame = {
+      broadcastDim: Boolean = false): DataFrame = {
     val latest = Dedup.keepLatest(dim, Seq(dimKey), dimOrder)
     val build = if (broadcastDim) broadcast(latest) else latest
     probe.join(build, probe(probeKey) === build(dimKey), "left_outer")

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + banded-LSH near-duplicate detection over text documents.
+  *
+  * Pipeline (the standard web-scale dedup shape — shingle, minhash,
+  * band, bucket-join, verify):
+  *
+  *   1. shingle: distinct word n-grams per doc (map-only, scan-side);
+  *   2. minhash: k permutation-min signatures over shingle hashes
+  *      (map-only — one `transform` over a literal coefficient array);
+  *   3. band: split the signature into b bands of r rows, one bucket key
+  *      per band (map-only explode, b rows per doc);
+  *   4. bucket-join: self-join on (band, bucket) — the ONLY shuffle, and
+  *      it shuffles b small rows per doc, never all-pairs;
+  *   5. verify: exact Jaccard on the candidate pairs only.
+  *
+  * 100 TB design: all-pairs comparison is O(n²) and impossible; this is
+  * O(n·b) shuffle + O(candidates) verify. Candidates per bucket are
+  * bounded because a bucket key has r×64 bits of hash; pathological
+  * buckets (boilerplate docs) are the classic skew case — AQE skew-join
+  * splitting handles the join, and a `max bucket size` guard can drop
+  * degenerate buckets (not needed at test scale).
+  *
+  * Probability a true pair at Jaccard J reaches verify:
+  * 1-(1-J^r)^b; defaults r=4, b=32 give >0.999998 at J=0.8.
+  *
+  * Determinism: the permutation coefficients derive from `seed` via a
+  * fixed LCG, so results are reproducible run-to-run and cluster-to-
+  * cluster (required by the correctness gate; also what you want in a
+  * production dedup job).
+  */
+object MinHash {
+
+  val Prime: Long = graft.functions.HashCoeffs.Prime
+
+  /** Deterministic (a, b) coefficient pairs for k permutations (fixed
+    * MMIX LCG, fully specified in [[graft.functions.HashCoeffs]]).
+    */
+  def coefficients(k: Int, seed: Long): (Seq[Long], Seq[Long]) = {
+    val (as, bs) = graft.functions.HashCoeffs.coefficients(k, seed)
+    (as.toSeq, bs.toSeq)
+  }
+
+  /** k-element minhash signature column over an array of shingle hashes.
+    * sig[j] = min over shingles h of (a_j*h + b_j) mod Prime.
+    * Empty shingle sets get Prime (= "infinity") in every slot so they
+    * never collide into real buckets. Native expression — the k×|shingles|
+    * inner loop is the pipeline's hot spot (see HashExprs).
+    */
+  def signature(shingleHashes: Column, k: Int, seed: Long): Column =
+    graft.functions.HashExprs.minHashSignature(shingleHashes, k, seed)
+
+  /** Explode a signature into (band, bucket) keys: b bands of r rows.
+    * Bucket key is Spark's 64-bit xxhash of the band slice — engine-
+    * private is fine here because buckets never leave Spark (the final
+    * answer is exact-verified).
+    */
+  def bands(df: DataFrame, sigCol: String, b: Int, r: Int): DataFrame =
+    df.select(
+        col("*"),
+        explode(transform(sequence(lit(0), lit(b - 1)),
+          j => struct(j.as("band"), xxhash64(j, slice(col(sigCol), j * r + 1, lit(r))).as("bucket"))))
+          .as("__band"))
+      .select(col("*"), col("__band.band").as("band"), col("__band.bucket").as("bucket"))
+      .drop("__band")
+
+  /** Candidate pairs (idA < idB) sharing at least one LSH bucket.
+    * Input: df with `id` and `sig` columns. Output: (id_a, id_b).
+    */
+  def candidatePairs(df: DataFrame, idCol: String, sigCol: String, b: Int, r: Int): DataFrame = {
+    val banded = bands(df.select(col(idCol).as("__id"), col(sigCol).as("__sig")), "__sig", b, r)
+      .select(col("__id"), col("band"), col("bucket"))
+    val l = banded.select(col("__id").as("id_a"), col("band"), col("bucket"))
+    val rt = banded.select(col("__id").as("id_b"), col("band"), col("bucket"))
+    l.join(rt, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Full near-dup pipeline over (id, text): returns exact-verified pairs
+    * with integer intersection/union sizes of their n-gram shingle sets,
+    * filtered to Jaccard >= num/den (integer-exact threshold compare:
+    * inter*den >= num*union).
+    */
+  def nearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      ngram: Int = 3,
+      k: Int = 128,
+      b: Int = 32,
+      r: Int = 4,
+      seed: Long = 42L,
+      num: Int = 8,
+      den: Int = 10): DataFrame = {
+    // spread: a single-file doc scan arrives as one split; the shingle +
+    // 128-hash signature stage is per-row expensive, so hash-repartition
+    // first (deterministic, one tiny shuffle) to use the whole cluster
+    val sh = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(
+        col(idCol).as("__id"),
+        TextOps.shingles(TextOps.tokens(col(textCol)), ngram).as("__sh"))
+    val sig = sh.withColumn("__sig", signature(TextOps.polyHashAll(col("__sh")), k, seed))
+    val cands = candidatePairs(sig, "__id", "__sig", b, r)
+    val sets = sh.select(col("__id"), col("__sh"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    cands
+      .join(sets.select(col("__id").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("__id").as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
+      .select(
+        col("id_a"), col("id_b"),
+        inter.as("inter_size"),
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long").minus(inter).as("union_size"))
+      .where(col("inter_size") * den >= col("union_size") * num)
+  }
+}

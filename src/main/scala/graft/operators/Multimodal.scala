@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: opaque binary payloads with typed
+  * metadata, plus a batched decode/feature-extract stage.
+  *
+  * Design (what a 100 TB media pipeline needs from the engine):
+  *  - media is an opaque `BINARY` column + a `STRUCT` of metadata
+  *    (format, width, height, n_bytes) — schema'd, prunable, never
+  *    interpreted by Catalyst;
+  *  - cheap features (sizes, header bytes, checksums) are pure
+  *    expressions, computed scan-side;
+  *  - real decode (image/audio codecs) runs partition-batched via
+  *    `mapPartitions` over a typed Dataset — rows stream through the
+  *    decoder in executor-local batches, nothing collects to the driver,
+  *    and partitioning (`repartition(n)`) controls decoder parallelism
+  *    independently of upstream shuffles.
+  *
+  * The decoder body here is a STUB: the container has no codec libraries,
+  * so [[decodeStub]] derives a deterministic fake feature vector from the
+  * payload bytes. The Spark-side plumbing — schema, typed batching,
+  * partitioning — is the real, tested surface; swap `decodeStub` for a
+  * JNI/codec call in production.
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, payload: Array[Byte], format: String, width: Int, height: Int)
+  final case class MediaFeatures(doc_id: Long, n_bytes: Int, mean_byte: Double, features: Array[Float])
+
+  /** Pack a text table into a multimodal shape: payload = UTF-8 bytes of
+    * `textCol`, metadata struct derived from it. Pure expressions.
+    */
+  def pack(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      struct(
+        lit("text/plain").as("format"),
+        (length(col(textCol)) % 1024).cast("int").as("width"),
+        (length(col(textCol)) % 768).cast("int").as("height"),
+        length(encode(col(textCol), "UTF-8")).cast("int").as("n_bytes")).as("meta"))
+
+  /** Scan-side cheap features: byte length and first payload byte. */
+  def headerFeatures(packed: DataFrame): DataFrame =
+    packed.select(
+      col("doc_id"),
+      col("meta.n_bytes").as("n_bytes"),
+      col("meta.width").as("width"),
+      col("meta.height").as("height"),
+      // first byte of the payload, as an int (null-safe for empty payloads)
+      coalesce(ascii(decode(col("payload"), "UTF-8").substr(1, 1)), lit(0)).as("first_byte"))
+
+  /** STUB decoder: a real implementation would hand `payload` to an image
+    * /audio codec. This deterministic fake emits an 8-dim feature vector
+    * of byte-histogram moments so downstream stages (similarity, dedup)
+    * are exercised with realistic shapes.
+    */
+  def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val n = math.max(payload.length, 1)
+    val feats = new Array[Float](8)
+    var i = 0
+    while (i < payload.length) {
+      feats(i % 8) += (payload(i) & 0xff).toFloat / n
+      i += 1
+    }
+    feats
+  }
+
+  /** Partition-batched decode: MediaRow -> MediaFeatures. `parallelism`
+    * controls decoder task count (decoders are usually CPU-bound and want
+    * more, smaller partitions than the upstream scan).
+    */
+  def decodeFeatures(spark: SparkSession, media: Dataset[MediaRow], parallelism: Int): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.repartition(parallelism).mapPartitions { rows =>
+      // per-partition setup would open the codec once here
+      rows.map { r =>
+        val f = decodeStub(r.payload)
+        val mean = if (r.payload.isEmpty) 0.0 else r.payload.map(_ & 0xff).sum.toDouble / r.payload.length
+        MediaFeatures(r.doc_id, r.payload.length, mean, f)
+      }
+    }
+  }
+}

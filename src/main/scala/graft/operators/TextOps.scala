@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for LLM-data pipelines: tokenization,
+  * shingling, deterministic string hashing, fingerprinting, token
+  * counting, quality scoring and language-ID.
+  *
+  * Everything here is a pure Catalyst expression (no UDFs) so it stays
+  * inside whole-stage codegen and runs scan-side — at 100 TB these are
+  * map-only columns computed while the parquet scan streams, with no
+  * shuffle and no driver involvement.
+  *
+  * Cross-engine determinism: the hashes are explicit polynomial rolling
+  * hashes over code points with all arithmetic in BIGINT mod 1e9+7, so an
+  * oracle engine (DuckDB) can reproduce them bit-for-bit — unlike
+  * Spark's builtin `hash`/`xxhash64`, which are engine-private.
+  */
+object TextOps {
+
+  val Mod: Long = 1000000007L
+  val WordSeed: Long = 7L
+  val WordMul: Long = 31L
+  val DocMul: Long = 1000003L
+
+  /** Whitespace tokens of lowercased text. */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Distinct n-gram (word) shingles joined by single spaces.
+    * `sequence` is empty when the doc has fewer than n tokens (handled:
+    * sequence(0, size-n) with size-n < 0 yields a descending sequence, so
+    * guard with a when()).
+    */
+  def shingles(toks: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+    array_distinct(when(size(toks) >= n, grams).otherwise(array()))
+  }
+
+  /** Polynomial rolling hash of a string: fold over 1-indexed character
+    * positions, acc = (acc*31 + codepoint) mod 1e9+7, acc0 = 7.
+    * (Position-indexed substr, not split-on-empty — Java's split("")
+    * semantics differ from other engines' and would break the oracle.)
+    */
+  def polyHash(s: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1))).cast("long")),
+      lit(WordSeed),
+      (acc, c) => (acc * WordMul + c) % Mod)
+
+  /** Per-element polynomial hashes of an array of strings. Native
+    * expression (identical math to [[polyHash]]) — tokenized docs hash
+    * hundreds of elements per row, too hot for interpreted lambdas.
+    */
+  def polyHashAll(arr: Column): Column = graft.functions.HashExprs.polyHashArray(arr)
+
+  /** Order-sensitive document fingerprint: fold of word hashes,
+    * acc = (acc*1000003 + wordHash) mod 1e9+7. Two documents with the
+    * same word sequence get the same fingerprint; any reorder/edit
+    * changes it (mod collisions aside).
+    */
+  def docFingerprint(toks: Column): Column =
+    aggregate(polyHashAll(toks), lit(WordSeed), (acc, h) => (acc * DocMul + h) % Mod)
+
+  /** Whitespace token count. */
+  def tokenCount(toks: Column): Column = size(toks).cast("long")
+
+  /** BPE-ish subtoken count: each word contributes ceil(len/4) subtokens
+    * (the ~4-chars-per-token heuristic used to size LLM training budgets).
+    * Pure integer arithmetic: (len + 3) div 4.
+    */
+  def subtokenCount(toks: Column): Column =
+    aggregate(
+      transform(toks, w => ((length(w) + 3) / 4).cast("long")),
+      lit(0L),
+      (acc, c) => acc + c)
+
+  /** Count of tokens that appear in `words`. */
+  def wordCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(w => w: Any): _*))).cast("long")
+
+  /** English-ish stopwords present in the synthetic corpus vocabulary. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Quality-score components + composite. Ratios are single double
+    * divisions of exactly-derived integer operands; the composite is a
+    * fixed-order linear combination — deterministic IEEE arithmetic, so
+    * an oracle reproduces it bit-for-bit.
+    *
+    * Returns (n_tokens, n_chars, stop_ratio, avg_word_len, quality).
+    */
+  def qualityScore(text: Column): QualityParts = {
+    val toks = tokens(text)
+    val nTok = tokenCount(toks)
+    val nChars = length(text).cast("long")
+    val nStop = wordCount(toks, Stopwords)
+    val sumWordLen = aggregate(transform(toks, w => length(w).cast("long")), lit(0L), _ + _)
+    val stopRatio = nStop.cast("double") / nTok.cast("double")
+    val avgWordLen = sumWordLen.cast("double") / nTok.cast("double")
+    val lenScore = least(nTok.cast("double") / lit(100.0), lit(1.0))
+    val quality = lenScore * lit(0.5) + stopRatio * lit(0.2) + avgWordLen / lit(10.0) * lit(0.3)
+    QualityParts(nTok, nChars, stopRatio, avgWordLen, quality)
+  }
+
+  final case class QualityParts(
+      nTokens: Column, nChars: Column, stopRatio: Column, avgWordLen: Column, quality: Column)
+
+  /** Marker-word language-ID: score each candidate language by marker-word
+    * hits; predict the highest score with fixed precedence order on ties
+    * (the order of `markers`). A real system would use char-n-gram
+    * profiles; the *shape* — per-doc map-side scoring, no shuffle — is
+    * identical, and this stays oracle-expressible.
+    */
+  def languageId(toks: Column, markers: Seq[(String, Seq[String])]): (Seq[Column], Column) = {
+    val scores = markers.map { case (lang, words) => wordCount(toks, words).as(s"score_$lang") }
+    val scoreCols = markers.map { case (_, words) => wordCount(toks, words) }
+    // argmax as a CASE cascade: lang_i wins when its score >= every later
+    // score; CASE order gives earlier languages precedence on ties. The
+    // same cascade is written verbatim in the oracle SQL.
+    val pred = markers.indices.init.foldRight(lit(markers.last._1)) { (i, elseCol) =>
+      val beatsRest = (i + 1 until markers.size).map(j => scoreCols(i) >= scoreCols(j)).reduce(_ && _)
+      when(beatsRest, lit(markers(i)._1)).otherwise(elseCol)
+    }
+    (scores, pred)
+  }
+}

@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Sources: in-memory fixtures, datagen (bounded + rate-throttled), and
+  * the PROCTIME ingest column.
+  *
+  * Reference capabilities:
+  *  - S1 in-memory collection source: `Types.ROW_NAMED` literal rows
+  *    (flink playground `DataStreamJob.java:63-73` and five siblings);
+  *  - S2 bounded datagen: `'connector'='datagen','number-of-rows'='4'`
+  *    (`DataStreamJob.java:75-86`);
+  *  - S3 unbounded throttled datagen with length-bounded fields:
+  *    `'rows-per-second'='4', 'fields.iso.length'='1'`
+  *    (`WithDeduplicateJoinJob.java:56-68`) — length-1 hex fields give a
+  *    16-symbol alphabet, guaranteeing join/group key collisions;
+  *  - §2.8 PROCTIME(): computed ingest-time column
+  *    (`DataStreamJob.java:95`).
+  */
+object Sources {
+
+  /** S1: bounded table from literal rows with an explicit schema. */
+  def fromRows(spark: SparkSession, schema: StructType, rows: Seq[Row]): DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, math.max(1, rows.size min 4)), schema)
+
+  /** S1 (tuple convenience): bounded table from products via Encoders. */
+  def fromSeq[T <: Product: org.apache.spark.sql.Encoder](spark: SparkSession, data: Seq[T], names: String*): DataFrame = {
+    val df = spark.createDataset(data).toDF()
+    if (names.nonEmpty) df.toDF(names: _*) else df
+  }
+
+  /** Deterministic pseudo-random string field of `len` hex chars derived
+    * from a long column — datagen's `fields.<f>.length` semantics
+    * (len=1 ⇒ 16-symbol alphabet ⇒ guaranteed collisions).
+    */
+  def strField(seedCol: Column, len: Int): Column =
+    substring(md5(seedCol.cast("string")), 1, len)
+
+  /** Deterministic pseudo-random int field in [0, bound). */
+  def intField(seedCol: Column, bound: Int, salt: Int = 0): Column =
+    pmod(xxhash64(seedCol, lit(salt)), lit(bound)).cast("int")
+
+  /** S2: bounded datagen — `n` rows, fields derived per `fields`
+    * (name -> expression over the `id` column). Batch: spark.range keeps
+    * everything map-side and splittable (`numPartitions` tasks).
+    */
+  def dataGenBounded(
+      spark: SparkSession,
+      n: Long,
+      fields: Map[String, Column => Column],
+      numPartitions: Int = 4): DataFrame = {
+    val base = spark.range(0, n, 1, numPartitions)
+    base.select(fields.toSeq.map { case (name, f) => f(col("id")).as(name) }: _*)
+  }
+
+  /** S3: unbounded throttled datagen — `rowsPerSecond` via the rate
+    * source; fields derived from the monotonically increasing `value`.
+    * Emits the rate source's `timestamp` as `ts` plus the derived fields.
+    */
+  def dataGenRate(
+      spark: SparkSession,
+      rowsPerSecond: Int,
+      fields: Map[String, Column => Column]): DataFrame = {
+    val base = spark.readStream
+      .format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .load() // schema: timestamp TIMESTAMP, value LONG
+    base.select(col("timestamp").as("ts") +: fields.toSeq.map { case (name, f) => f(col("value")).as(name) }: _*)
+  }
+
+  /** §2.8: PROCTIME() ingest column — micro-batch processing time.
+    * `current_timestamp()` is evaluated per batch (constant-folded at
+    * batch planning), matching Flink's proctime-at-ingest semantics at
+    * micro-batch granularity.
+    */
+  def withProcTime(df: DataFrame, name: String = "proctime"): DataFrame =
+    df.withColumn(name, current_timestamp())
+}

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.WindowAgg
+
+/** Streaming forms of the reference's query shapes.
+  *
+  * The reference is processing-time everywhere (no event time, no
+  * watermarks — SURVEY §2.9 T1); Spark's micro-batch model needs
+  * watermarks wherever state must be bounded. The mapping, per operator:
+  *
+  *  - window agg (W3/A1): watermark on the ingest timestamp, update-mode
+  *    emission ≈ the reference's changelog prints
+  *    (`WindowsProctimeAggJob.java:84` toChangelogStream);
+  *  - stream-stream left outer join (J3): Spark requires a watermark +
+  *    time-range condition for state cleanup; the bound plays the role of
+  *    the reference's state TTL (`WithStateTtlJob.java:80` — STATE_TTL
+  *    hint on both sides);
+  *  - keep-latest dedup (W2/T4): [[KeepLatest]];
+  *  - changelog sinks (K3): update-mode console/memory — Spark emits
+  *    upserts, not -U/+U retraction pairs; final table state matches
+  *    (SURVEY §7.4 hard part #2, documented divergence).
+  */
+object StreamOps {
+
+  /** Streaming tumbling-window aggregation (update mode downstream).
+    * `delay` is the watermark (≈0 for pure processing time — the
+    * reference never handles late data).
+    */
+  def tumble(
+      stream: DataFrame,
+      tsCol: String,
+      duration: String,
+      delay: String,
+      keys: Seq[String],
+      aggs: Seq[Column]): DataFrame =
+    WindowAgg.tumble(stream.withWatermark(tsCol, delay), tsCol, duration, keys, aggs)
+
+  /** Stream-stream LEFT OUTER equi-join bounded by time: right rows match
+    * left rows within [leftTs - bound, leftTs + bound]. The bound is the
+    * state-TTL analog: both sides' state is evicted once the watermark
+    * passes the bound (the reference bounds the same state with
+    * STATE_TTL, `WithDeduplicateJoinJob.java:98`).
+    */
+  def leftOuterWithin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      delay: String,
+      bound: String): DataFrame = {
+    val l = left.withWatermark(leftTs, delay)
+    val r = right.withWatermark(rightTs, delay)
+    l.join(
+      r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $bound") &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $bound"),
+      "left_outer")
+  }
+}

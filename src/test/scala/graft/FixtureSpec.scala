@@ -1,0 +1,170 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators._
+import graft.sources.Sources
+
+/** Per-operator tests on the reference's exact fixture data (FIXTURES.md:
+  * people/countries/items), covering SURVEY §2 batch semantics.
+  */
+class FixtureSpec extends SparkSpec {
+  import testImplicits._
+
+  // F1: people (ISO variant) — two probe rows share key ES; CA/IT unmatched
+  // (reference DataStreamJob.java:63-73)
+  def people = Seq(
+    ("Alice", 12, "ES"), ("Bob", 5, "ES"), ("Peter", 13, "CA"), ("Paul", 13, "IT"))
+    .toDF("name", "age", "country")
+
+  // F2: countries_updates — versioned dimension with duplicate keys;
+  // latest capital per iso must win (WithStateTtlJob.java:62-71 pattern:
+  // 4 rows, duplicated keys)
+  def countriesUpdates = Seq(
+    ("ES", "Sevilla", ts(1)), ("ES", "Madrid", ts(3)),
+    ("FR", "Paris", ts(2)), ("ES", "Barcelona", ts(2)))
+    .toDF("iso", "capital", "ts")
+
+  def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+  // ------------------------------------------------------------- S1
+  test("S1 fromRows builds a typed bounded table from literal rows") {
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("age", IntegerType),
+      StructField("country", StringType)))
+    val df = Sources.fromRows(spark, schema,
+      Seq(Row("Alice", 12, "ES"), Row("Bob", 5, "ES"), Row("Peter", 13, "CA"), Row("Paul", 13, "IT")))
+    assert(df.count() === 4)
+    assert(df.schema === schema)
+  }
+
+  // ------------------------------------------------------------- S2
+  test("S2 bounded datagen: n rows, length-bounded key fields collide") {
+    val df = Sources.dataGenBounded(spark, 64,
+      Map("iso" -> (id => Sources.strField(id, 1)), "n" -> (id => Sources.intField(id, 10))))
+    assert(df.count() === 64)
+    // length-1 hex alphabet = at most 16 distinct keys => guaranteed collisions
+    val distinct = df.select("iso").distinct().count()
+    assert(distinct <= 16 && distinct > 1)
+    // deterministic: same seed column -> same values
+    assert(df.collect().toSeq === Sources.dataGenBounded(spark, 64,
+      Map("iso" -> (id => Sources.strField(id, 1)), "n" -> (id => Sources.intField(id, 10)))).collect().toSeq)
+  }
+
+  // ----------------------------------------------------------- §2.8
+  test("PROCTIME ingest column is a non-null timestamp") {
+    val df = Sources.withProcTime(people)
+    assert(df.schema("proctime").dataType === TimestampType)
+    assert(df.where(col("proctime").isNull).count() === 0)
+  }
+
+  // ---------------------------------------------------------- W1/W2/T4
+  test("W2/T4 keep-latest dedup: latest capital per iso wins") {
+    val latest = Dedup.keepLatest(countriesUpdates, Seq("iso"), Seq(col("ts")))
+      .select("iso", "capital").as[(String, String)].collect().toMap
+    assert(latest === Map("ES" -> "Madrid", "FR" -> "Paris"))
+  }
+
+  test("W2 keep-first dedup keeps earliest") {
+    val first = Dedup.keepFirst(countriesUpdates, Seq("iso"), Seq(col("ts")))
+      .select("iso", "capital").as[(String, String)].collect().toMap
+    assert(first === Map("ES" -> "Sevilla", "FR" -> "Paris"))
+  }
+
+  // ------------------------------------------------------------- J-D/J1
+  test("J-D dedup-then-join enriches with latest version; unmatched keys null-pad") {
+    val out = EnrichJoin.enrichLatest(people, countriesUpdates, "country", "iso", Seq(col("ts")))
+      .select("name", "country", "capital")
+      .as[(String, String, String)].collect().toSet
+    assert(out === Set(
+      ("Alice", "ES", "Madrid"), ("Bob", "ES", "Madrid"),
+      ("Peter", "CA", null), ("Paul", "IT", null)))
+  }
+
+  // ------------------------------------------------------------- J3/J4
+  test("J3/J4 left outer join preserves unmatched probe rows (fluent form)") {
+    val countries = Seq(("ES", "Madrid"), ("FR", "Paris")).toDF("iso", "capital")
+    val out = people.join(countries, col("country") === col("iso"), "left_outer")
+      .select("name", "capital").as[(String, String)].collect().toSet
+    assert(out === Set(("Alice", "Madrid"), ("Bob", "Madrid"), ("Peter", null), ("Paul", null)))
+  }
+
+  // ------------------------------------------------------------- J2/J5
+  test("J2 LEFT JOIN LATERAL ... ON TRUE (SQL) — outer correlated expansion") {
+    people.createOrReplaceTempView("people_fx")
+    countriesUpdates.createOrReplaceTempView("countries_fx")
+    val out = spark.sql("""
+      SELECT p.name, t.latest_capital
+      FROM people_fx p LEFT JOIN LATERAL (
+        SELECT max_by(capital, ts) AS latest_capital
+        FROM countries_fx WHERE iso = p.country) t ON TRUE
+      ORDER BY p.name""").as[(String, String)].collect().toSet
+    assert(out === Set(
+      ("Alice", "Madrid"), ("Bob", "Madrid"), ("Peter", null), ("Paul", null)))
+  }
+
+  // ------------------------------------------------------------- J6
+  test("J6 outer UNNEST keeps the empty-array parent (CrossJoinJob fixture)") {
+    // F3: ("a", [{item_id:"b"}]), ("b", []) — expected ("a","b"), ("b",NULL)
+    val input = Seq(("a", Seq("b")), ("b", Seq.empty[String])).toDF("id", "items")
+    val out = Unnest.outer(input, col("items"), "item_id")
+      .select("id", "item_id").as[(String, String)].collect().toSet
+    assert(out === Set(("a", "b"), ("b", null)))
+  }
+
+  test("J6 inner unnest drops the empty-array parent") {
+    val input = Seq(("a", Seq("b")), ("b", Seq.empty[String])).toDF("id", "items")
+    val out = Unnest.inner(input, col("items"), "item_id")
+      .select("id", "item_id").as[(String, String)].collect().toSet
+    assert(out === Set(("a", "b")))
+  }
+
+  // ------------------------------------------------------------- W3/A1
+  test("W3/A1 tumbling window agg: counts per key per window + window_time") {
+    val rows = Seq(
+      ("a", ts(0)), ("a", ts(0)), ("b", ts(0)), ("a", ts(2)))
+      .toDF("iso", "ts")
+    val out = WindowAgg.tumble(rows, "ts", "1 minute", Seq("iso"), Seq(count(lit(1)).as("n")))
+    val got = out.select("iso", "window_start", "window_time", "n")
+      .as[(String, Timestamp, Timestamp, Long)].collect().toSet
+    assert(got === Set(
+      ("a", ts(0), Timestamp.valueOf("2024-01-01 00:00:59.999"), 2L),
+      ("b", ts(0), Timestamp.valueOf("2024-01-01 00:00:59.999"), 1L),
+      ("a", ts(2), Timestamp.valueOf("2024-01-01 00:02:59.999"), 1L)))
+  }
+
+  // ------------------------------------------------------------- J1 as-of
+  test("J1 as-of join attaches latest build row at-or-before probe ts") {
+    val probe = Seq((1L, "ES", ts(2)), (2L, "ES", ts(4)), (3L, "FR", ts(1))).toDF("id", "key", "pts")
+    val build = Seq(("ES", ts(1), "v1"), ("ES", ts(3), "v2"), ("FR", ts(2), "x1")).toDF("key", "bts", "v")
+    val out = EnrichJoin.asOfJoin(probe, build, "key", "pts", "bts", Seq("v"))
+      .select("id", "v").as[(Long, String)].collect().toSet
+    // id=1: latest ES at <= 00:02 is v1; id=2: v2; id=3: FR at <= 00:01 — none
+    assert(out === Set((1L, "v1"), (2L, "v2"), (3L, null)))
+  }
+
+  // ------------------------------------------------------------- P3/P4
+  test("P3/P4 filter on window result and fluent predicate") {
+    val ranked = countriesUpdates.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("iso")).orderBy(col("ts").desc)))
+    assert(ranked.where(col("rn") === 1).count() === 2)
+    assert(people.where(col("age") === 13).count() === 2)
+  }
+
+  // ------------------------------------------------------------- K1/K4
+  test("K1 named sink table + INSERT INTO (batch)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    graft.sinks.Sinks.createSinkTable(spark, "graft_out_fx", dir,
+      "name STRING, country STRING, capital STRING")
+    val enriched = EnrichJoin.enrichLatest(people, countriesUpdates, "country", "iso", Seq(col("ts")))
+      .select("name", "country", "capital")
+    graft.sinks.Sinks.insertInto(enriched, "graft_out_fx")
+    assert(spark.table("graft_out_fx").count() === 4)
+    spark.sql("DROP TABLE graft_out_fx")
+  }
+}

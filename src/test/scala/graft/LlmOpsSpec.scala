@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** LLM-data operator tests: deterministic hashes, dedup recall on planted
+  * near-dups, ANN ranking, multimodal plumbing.
+  */
+class LlmOpsSpec extends SparkSpec {
+  import testImplicits._
+
+  test("polyHash: pinned value for 'hello' (cross-engine contract)") {
+    // fold: acc0=7, acc = (acc*31 + codepoint) mod 1e9+7 — hand-computable
+    var acc = 7L
+    "hello".foreach(c => acc = (acc * 31 + c.toLong) % 1000000007L)
+    val got = Seq("hello").toDF("w").select(TextOps.polyHash(col("w"))).as[Long].head()
+    assert(got === acc)
+    assert(got === 299566379L)
+  }
+
+  test("shingles: 3-grams, distinct, short docs yield empty") {
+    val df = Seq("a b c d", "a b").toDF("t")
+      .select(TextOps.shingles(TextOps.tokens(col("t")), 3).as("sh"))
+    val got = df.as[Seq[String]].collect()
+    assert(got(0) === Seq("a b c", "b c d"))
+    assert(got(1) === Seq.empty)
+  }
+
+  test("minhash: identical shingle sets give identical signatures; disjoint differ") {
+    val df = Seq("x y z w v", "x y z w v", "p q r s t").toDF("t")
+      .select(MinHash.signature(TextOps.polyHashAll(
+        TextOps.shingles(TextOps.tokens(col("t")), 3)), k = 16, seed = 42L).as("sig"))
+    val sigs = df.as[Seq[Long]].collect()
+    assert(sigs(0) === sigs(1))
+    assert(sigs(0) !== sigs(2))
+    assert(sigs(0).length === 16)
+  }
+
+  test("nearDupPairs finds a planted near-dup and skips unrelated docs") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 39).map(i => s"w$i").mkString(" ") + " w99" // ~0.9 shingle overlap
+    val other = (100 to 140).map(i => s"u$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = MinHash.nearDupPairs(docs, "doc_id", "text", num = 8, den = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("simhash: identical docs distance 0; nearPairs finds planted near-dup") {
+    // 300-token docs: a 1-word edit lands at hamming ~5, unrelated ~31
+    // (simhash margins scale with sqrt(doc length) — short docs are noisy)
+    val base = (1 to 300).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 299).map(i => s"w$i").mkString(" ") + " x1"
+    val other = (500 to 800).map(i => s"u$i").mkString(" ")
+    val fp = Seq((1L, base), (2L, base), (3L, nearDup), (4L, other)).toDF("doc_id", "text")
+      .select(col("doc_id"), SimHash.simhash(TextOps.polyHashAll(TextOps.tokens(col("text")))).as("fp"))
+    val fps = fp.as[(Long, Long)].collect().toMap
+    assert(fps(1L) === fps(2L))
+    val pairs = SimHash.nearPairs(fp, "doc_id", "fp", maxHamming = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("bruteTopK: hand-computed ranking on tiny vectors") {
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0)), // probe
+      (1L, Seq(1.0, 0.1)), // nearest
+      (2L, Seq(0.5, 0.5)),
+      (3L, Seq(-1.0, 0.0)) // opposite
+    ).toDF("id", "v")
+    val out = Similarity.bruteTopK(vecs, vecs.where(col("id") === 0), "id", "v", k = 3)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().toSet
+    assert(out === Set((1, 1L), (2, 2L), (3, 3L)))
+  }
+
+  test("lshBucketTopK recall vs brute force on real embeddings (seeded, deterministic)") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val probes = e.where(col("vec_id") < 5)
+    val exact = Similarity.bruteTopK(e, probes, "vec_id", "v", 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshBucketTopK(e, probes, "vec_id", "v", 5, tables = 16, planes = 4)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall $recall too low (got ${approx.size} pairs)")
+  }
+
+  test("multimodal: pack schema + batched decode stub shape") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello world"), (2L, "abc")).toDF("doc_id", "text")
+    val packed = Multimodal.pack(docs, "doc_id", "text")
+    assert(packed.schema("payload").dataType === org.apache.spark.sql.types.BinaryType)
+    assert(packed.schema("meta").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+
+    val media = packed.select(
+        col("doc_id"), col("payload"), col("meta.format").as("format"),
+        col("meta.width").as("width"), col("meta.height").as("height"))
+      .as[Multimodal.MediaRow]
+    val feats = Multimodal.decodeFeatures(spark, media, parallelism = 2).collect()
+    assert(feats.length === 2)
+    val f1 = feats.find(_.doc_id == 1L).get
+    assert(f1.n_bytes === "hello world".getBytes("UTF-8").length)
+    assert(f1.features.length === 8)
+    // deterministic stub
+    assert(f1.features.toSeq === Multimodal.decodeStub("hello world".getBytes("UTF-8")).toSeq)
+  }
+
+  test("tokenCount/subtokenCount/fingerprint integer contracts") {
+    val df = Seq("alpha be c").toDF("t").select(
+      TextOps.tokenCount(TextOps.tokens(col("t"))).as("n"),
+      TextOps.subtokenCount(TextOps.tokens(col("t"))).as("s"),
+      TextOps.docFingerprint(TextOps.tokens(col("t"))).as("fp"))
+    val (n, s2, fp) = df.as[(Long, Long, Long)].head()
+    assert(n === 3)
+    assert(s2 === 2 + 1 + 1) // ceil(5/4)+ceil(2/4)+ceil(1/4)
+    // mirror the fold in Scala
+    def wh(w: String) = w.foldLeft(7L)((a, c) => (a * 31 + c) % 1000000007L)
+    val expected = Seq("alpha", "be", "c").map(wh).foldLeft(7L)((a, h) => (a * 1000003L + h) % 1000000007L)
+    assert(fp === expected)
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.plans.Pipeline._
+
+/** Plan-shape tests: the scale properties the engine promises (pushdown,
+  * group-limit dedup, no forced broadcast on unbounded dims, T6 plan
+  * introspection).
+  */
+class PlanSpec extends SparkSpec {
+  import testImplicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("parquet scan gets pushed filters and pruned columns") {
+    val df = Tables.lineitem(spark, sf)
+      .where(col("l_shipdate") <= Q.tsLit("1998-09-02"))
+      .select("l_returnflag", "l_quantity")
+    val plan = df.explainFormatted()
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), plan)
+    // pruned read schema: only the 3 referenced columns reach the scan
+    assert(plan.contains("l_returnflag") && !plan.contains("l_comment"), plan)
+  }
+
+  test("keep-latest dedup compiles to WindowGroupLimit (map-side top-1)") {
+    val plan = Dedup.keepLatest(Tables.events(spark, sf), Seq("user_id"), Seq(col("ts")))
+      .explainFormatted()
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("enrichLatest does NOT force a broadcast on an unbounded dedup dim") {
+    // large-ish dim: full events table keyed by user — cardinality grows
+    // with data; a forced broadcast here would OOM at scale
+    val out = EnrichJoin.enrichLatest(
+      Tables.customer(spark, sf), Tables.events(spark, sf),
+      "c_custkey", "user_id", Seq(col("ts")))
+    val optimized = out.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("ResolvedHint (strategy=broadcast)"), optimized)
+    // opt-in still works for known-bounded dims
+    val forced = EnrichJoin.enrichLatest(
+      Tables.customer(spark, sf), Tables.events(spark, sf),
+      "c_custkey", "user_id", Seq(col("ts")), broadcastDim = true)
+    assert(forced.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
+  test("T6 explainJson emits machine-readable plan nodes") {
+    val json = Tables.nation(spark, sf).where(col("n_nationkey") > 0).explainJson()
+    assert(json.startsWith("["))
+    assert(json.contains("\"class\""))
+    assert(json.contains("Filter") || json.contains("Relation"), json.take(500))
+  }
+
+  test("q19-style join keeps selective filters below the join (pushdown through join)") {
+    val q = SparkEntry.queries("q19_shipping_priority")(spark, sf)
+    val plan = q.explainFormatted()
+    // customer filter applied at scan, not post-join
+    assert(plan.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"), plan)
+  }
+
+  test("minhash candidate generation plans a bucket equi-join, not a cross join") {
+    val docs = Tables.documents(spark, sf)
+    val sh = docs.select(col("doc_id"),
+      MinHash.signature(TextOps.polyHashAll(
+        TextOps.shingles(TextOps.tokens(col("text")), 3)), 16, 42L).as("sig"))
+    val plan = MinHash.candidatePairs(sh, "doc_id", "sig", b = 4, r = 4)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("cartesian"), plan)
+  }
+}

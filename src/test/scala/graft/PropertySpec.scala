@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators._
+
+/** Property-based laws (SURVEY §5.3): dedup ≡ last-per-key, outer-join
+  * row preservation, explode_outer row-count law. Inputs come from
+  * scalacheck generators sampled at pinned seeds (the scalatest bridge
+  * artifact is not in the offline cache, so sampling is driven directly —
+  * deterministic by construction).
+  */
+class PropertySpec extends SparkSpec {
+  import testImplicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val rowsGen: Gen[List[(String, Int, String)]] =
+    Gen.listOfN(30, for {
+      k <- Gen.oneOf("a", "b", "c", "d")
+      v <- Gen.choose(0, 100)
+      p <- Gen.listOfN(4, Gen.alphaLowerChar).map(_.mkString)
+    } yield (k, v, p))
+
+  test("law: keepLatest == max-by-(order,tiebreak) per key") {
+    samples(rowsGen, 8).filter(_.nonEmpty).foreach { rows =>
+      // tiebreak on payload so the order is total even with duplicate v
+      val df = rows.toDF("k", "v", "p")
+      val got = Dedup.keepLatest(df, Seq("k"), Seq(col("v"), col("p")))
+        .select("k", "v", "p").as[(String, Int, String)].collect().toSet
+      val want = rows.groupBy(_._1).map { case (_, vs) => vs.maxBy(r => (r._2, r._3)) }.toSet
+      assert(got === want, s"input: $rows")
+    }
+  }
+
+  test("law: left outer join preserves every left row at least once") {
+    val pairs = samples(rowsGen, 4).zip(samples(rowsGen, 4).reverse)
+    pairs.filter(_._1.nonEmpty).foreach { case (l, r) =>
+      val lf = l.toDF("k", "v", "p")
+      val rf = r.toDF("k2", "v2", "p2")
+      val joined = lf.join(rf, col("k") === col("k2"), "left_outer")
+      assert(joined.select("k", "v", "p").distinct().count() === lf.distinct().count())
+    }
+  }
+
+  test("law: explode_outer row count == sum(max(1, |items|))") {
+    val arrGen = Gen.listOfN(15, Gen.listOf(Gen.choose(0, 9)).map(_.take(5)))
+    samples(arrGen, 8).filter(_.nonEmpty).foreach { arrs =>
+      val df = arrs.zipWithIndex.map { case (a, i) => (i, a) }.toDF("id", "items")
+      val n = Unnest.outer(df, col("items"), "x").count()
+      assert(n === arrs.map(a => math.max(1, a.size)).sum.toLong, s"input: $arrs")
+    }
+  }
+
+  test("law: exact dedup is idempotent and keeps one row per key") {
+    samples(rowsGen, 6).filter(_.nonEmpty).foreach { rows =>
+      val df = rows.toDF("k", "v", "p")
+      val once = Dedup.exact(df, Seq("k"), col("v"))
+      val twice = Dedup.exact(once, Seq("k"), col("v"))
+      assert(once.count() === rows.map(_._1).distinct.size.toLong)
+      assert(once.collect().toSet === twice.collect().toSet)
+    }
+  }
+}

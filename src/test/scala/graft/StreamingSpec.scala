@@ -1,0 +1,144 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.api.java.Optional
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState, Trigger}
+
+import graft.streaming.{KeepLatest, StreamOps}
+
+/** Streaming-semantics tests: the behaviors the reference only eyeballed
+  * via print sinks (SURVEY §5.2).
+  */
+case class Upd(iso: String, capital: String, v: Long)
+
+class StreamingSpec extends SparkSpec {
+  import testImplicits._
+
+  // --------------------------------------------- streaming keep-latest
+  test("streaming KeepLatest final state == batch Dedup.keepLatest (same data)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Upd]
+    val deduped = KeepLatest[String, Upd](input.toDS(), _.iso, (a, b) => a.v > b.v)
+    val q = deduped.writeStream.format("memory").queryName("kl_out")
+      .outputMode("update").trigger(Trigger.ProcessingTime(0L)).start()
+    try {
+      // same 4-rows-one-key shape as WithStateTtlJob.java:62-71
+      input.addData(Upd("a", "a", 1), Upd("a", "b", 2))
+      q.processAllAvailable()
+      input.addData(Upd("a", "c", 3), Upd("b", "x", 1))
+      q.processAllAvailable()
+      input.addData(Upd("a", "d", 4))
+      q.processAllAvailable()
+
+      // final upsert state: latest row per key
+      val updates = spark.table("kl_out").as[Upd].collect()
+      val finalState = updates.groupBy(_.iso).map { case (k, vs) => k -> vs.maxBy(_.v).capital }
+      val batch = operators.Dedup.keepLatest(
+          Seq(Upd("a", "a", 1), Upd("a", "b", 2), Upd("a", "c", 3), Upd("b", "x", 1), Upd("a", "d", 4))
+            .toDF(), Seq("iso"), Seq(col("v")))
+        .select("iso", "capital").as[(String, String)].collect().toMap
+      assert(finalState === batch)
+      assert(batch === Map("a" -> "d", "b" -> "x"))
+      // update-mode emits only champion changes: key a emitted at most once per batch
+      assert(updates.count(_.iso == "a") <= 3)
+    } finally q.stop()
+  }
+
+  test("KeepLatest transition: champion updates, stale rows ignored, TTL set") {
+    val f = KeepLatest.transition[String, Upd]((a, b) => a.v > b.v, ttlMs = Some(60000L)) _
+    val s0 = TestGroupState.create[Upd](
+      optionalState = Optional.empty[Upd](), timeoutConf = GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L, eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = false)
+    val out0 = f("a", Iterator(Upd("a", "x", 2), Upd("a", "y", 1)), s0).toList
+    assert(out0 === List(Upd("a", "x", 2))) // champion of the batch
+    assert(s0.get === Upd("a", "x", 2))
+
+    // stale row: no emission, state unchanged
+    val s1 = TestGroupState.create[Upd](
+      optionalState = Optional.of(Upd("a", "x", 2)), timeoutConf = GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 2000L, eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = false)
+    assert(f("a", Iterator(Upd("a", "old", 1)), s1).toList === Nil)
+    assert(s1.get === Upd("a", "x", 2))
+
+    // TTL expiry: state removed, nothing emitted (T2/T3 state eviction)
+    val s2 = TestGroupState.create[Upd](
+      optionalState = Optional.of(Upd("a", "x", 2)), timeoutConf = GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 99999L, eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = true)
+    assert(f("a", Iterator.empty, s2).toList === Nil)
+    assert(s2.isRemoved)
+  }
+
+  // ------------------------------------------- streaming window agg (A1)
+  test("streaming tumble window agg in update mode matches batch counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    val agged = StreamOps.tumble(
+      input.toDS().toDF("iso", "ts"), "ts", "1 minute", "0 seconds",
+      Seq("iso"), Seq(count(lit(1)).as("n")))
+    val q = graft.sinks.Sinks.memorySink(agged, "wagg_out", update = true)
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+      input.addData(("a", t(0)), ("a", t(0)), ("b", t(0)))
+      q.processAllAvailable()
+      input.addData(("a", t(2)))
+      q.processAllAvailable()
+      val rows = spark.table("wagg_out")
+        .select("iso", "window_start", "n")
+        .as[(String, Timestamp, Long)].collect()
+      // latest update per (iso, window) is the final count
+      val finalCounts = rows.groupBy(r => (r._1, r._2)).map { case (k, vs) => k -> vs.map(_._3).max }
+      assert(finalCounts === Map(
+        ("a", t(0)) -> 2L, ("b", t(0)) -> 1L, ("a", t(2)) -> 1L))
+    } finally q.stop()
+  }
+
+  // ------------------------------- stream-stream left outer join (J3)
+  test("J3 streaming left outer join: matches join, unmatched null-pad after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val probe = MemoryStream[(String, Timestamp)]
+    val build = MemoryStream[(String, Timestamp, String)]
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+    val joined = StreamOps.leftOuterWithin(
+      probe.toDS().toDF("country", "pts"),
+      build.toDS().toDF("iso", "bts", "capital"),
+      "country", "iso", "pts", "bts", delay = "0 seconds", bound = "1 MINUTE")
+      .select("country", "pts", "capital")
+    val q = graft.sinks.Sinks.memorySink(joined, "ssj_out")
+    try {
+      probe.addData(("ES", t(1)), ("CA", t(1)))
+      build.addData(("ES", t(1), "Madrid"))
+      q.processAllAvailable()
+      // advance both watermarks far past the bound so CA's null-pad emits
+      probe.addData(("ZZ", t(30)))
+      build.addData(("ZZ2", t(30), "zz"))
+      q.processAllAvailable()
+      probe.addData(("ZZ", t(60)))
+      build.addData(("ZZ2", t(60), "zz"))
+      q.processAllAvailable()
+      val out = spark.table("ssj_out").select("country", "capital")
+        .as[(String, String)].collect().toSet
+      assert(out.contains(("ES", "Madrid")))
+      assert(out.contains(("CA", null)))
+    } finally q.stop()
+  }
+
+  // ----------------------------------------------- S3 rate datagen smoke
+  test("S3 rate datagen streams derived length-bounded fields end-to-end") {
+    val stream = graft.sources.Sources.dataGenRate(spark, rowsPerSecond = 100,
+      Map("iso" -> (v => graft.sources.Sources.strField(v, 1))))
+    assert(stream.isStreaming)
+    val q = graft.sinks.Sinks.memorySink(stream, "rate_out")
+    try {
+      q.processAllAvailable()
+      Thread.sleep(1200)
+      q.processAllAvailable()
+      val n = spark.table("rate_out").count()
+      assert(n > 0, "rate source produced no rows")
+      assert(spark.table("rate_out").select("iso").distinct().count() <= 16)
+    } finally q.stop()
+  }
+}

@@ -27,6 +27,15 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].dtype == object:
             df[c] = df[c].map(lambda v: str(v) if v is not None else None)
     df = df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
+    # floats compared by bit pattern (the driver hash-compares values, so a
+    # one-ulp divergence must FAIL here too, not slip through a tolerance)
+    import struct
+
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            df[c] = df[c].map(
+                lambda v: None if pd.isna(v) else struct.pack("<d", float(v)).hex()
+            )
     return df
 
 
