@@ -284,6 +284,27 @@ object LlmQueries {
       "multimodal plumbing: opaque binary payload + typed metadata struct, scan-side header " +
         "features. Batched decode stub lives in Multimodal.decodeFeatures (MultimodalSpec)"),
 
+    // ----------------------------------------------- corpus-level dedup
+    Q("q34_neardup_dedup",
+      (s, d) => {
+        MinHash.dedupCorpus(T.documents(s, d), "doc_id", "text")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM toks),
+        drop AS (SELECT DISTINCT b.doc_id
+                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                 WHERE len(list_intersect(a.sh, b.sh)) * 10 >=
+                       8 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))))
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM drop)
+        ORDER BY doc_id"""),
+      "corpus near-dup removal: keep-lowest-id survivor per verified pair; " +
+        "survivors via anti join on dropped ids (doc payloads never enter the pair pipeline)"),
+
     // ----------------------------------------------------------- LSH ANN
     Q("q33_ann_lsh",
       (s, d) => {

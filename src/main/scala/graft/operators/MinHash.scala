@@ -118,4 +118,28 @@ object MinHash {
         (size(col("sh_a")) + size(col("sh_b"))).cast("long").minus(inter).as("union_size"))
       .where(col("inter_size") * den >= col("union_size") * num)
   }
+
+  /** Corpus-level near-dup removal: drop every document that is the
+    * HIGHER id of a verified near-dup pair (greedy keep-lowest-id
+    * survivor — the standard web-dedup policy; in a chain a<b<c the
+    * minimum survives, the rest each appear as an id_b and drop).
+    *
+    * Scale: survivors = docs ANTI JOIN (distinct id_b) — one shuffle of
+    * ids, no doc payload moves through the pair pipeline.
+    */
+  def dedupCorpus(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      ngram: Int = 3,
+      k: Int = 128,
+      b: Int = 32,
+      r: Int = 4,
+      seed: Long = 42L,
+      num: Int = 8,
+      den: Int = 10): DataFrame = {
+    val drop = nearDupPairs(docs, idCol, textCol, ngram, k, b, r, seed, num, den)
+      .select(col("id_b").as(idCol)).distinct()
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
 }

@@ -70,6 +70,20 @@ object Sources {
     base.select(col("timestamp").as("ts") +: fields.toSeq.map { case (name, f) => f(col("value")).as(name) }: _*)
   }
 
+  /** S5: programmatic source descriptor — build a streaming source from
+    * (format, schema, options) fluently, the Spark twin of the
+    * reference's `TableDescriptor.forConnector(...)`
+    * (`TableAPIJob.java:73-82`).
+    */
+  def descriptor(
+      spark: SparkSession,
+      format: String,
+      options: Map[String, String],
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.readStream.format(format).options(options)
+    schema.fold(r)(r.schema).load()
+  }
+
   /** §2.8: PROCTIME() ingest column — micro-batch processing time.
     * `current_timestamp()` is evaluated per batch (constant-folded at
     * batch planning), matching Flink's proctime-at-ingest semantics at

@@ -38,6 +38,50 @@ object StreamOps {
       aggs: Seq[Column]): DataFrame =
     WindowAgg.tumble(stream.withWatermark(tsCol, delay), tsCol, duration, keys, aggs)
 
+  /** Processing-time temporal enrich (J1/T2 streaming form): left-join a
+    * probe STREAM against the latest-version-per-key view of a BATCH
+    * dimension (stream-static join). Spark re-evaluates the static side
+    * every micro-batch, so each batch sees the dimension "as of now" —
+    * the reference's TemporalTableFunction semantics
+    * (`DataStreamJob.java:88-104`: "enrich a stream with a dimension
+    * table (last/current value)").
+    *
+    * State story matches the asymmetric STATE_TTL intent
+    * (`WithDeduplicateJoinJob.java:98`, probe '0h' / build '90d'):
+    * stream-static joins keep NO probe state (each batch joins and
+    * forgets), and the build side is a snapshot, not join state.
+    *
+    * File-backed dimensions pin their file listing for the lifetime of
+    * the streaming query; use [[enrichLatestEachBatch]] when the
+    * dimension is replaced while the query runs.
+    */
+  def enrichLatest(
+      probeStream: DataFrame,
+      dim: DataFrame,
+      probeKey: String,
+      dimKey: String,
+      dimOrder: Seq[Column]): DataFrame = {
+    val latest = graft.operators.Dedup.keepLatest(dim, Seq(dimKey), dimOrder)
+    probeStream.join(latest, probeStream(probeKey) === latest(dimKey), "left_outer")
+  }
+
+  /** Refreshing variant of [[enrichLatest]]: `dimProvider` is invoked
+    * once per micro-batch inside `foreachBatch`, so each batch joins the
+    * dimension "as of now" even when its backing files are replaced —
+    * the full TemporalTableFunction behavior. `sink` receives each
+    * enriched micro-batch (write it, merge it, publish it).
+    */
+  def enrichLatestEachBatch(
+      probeStream: DataFrame,
+      dimProvider: () => DataFrame,
+      probeKey: String,
+      dimKey: String,
+      dimOrder: Seq[Column])(sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    probeStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val latest = graft.operators.Dedup.keepLatest(dimProvider(), Seq(dimKey), dimOrder)
+      sink(batch.join(latest, batch(probeKey) === latest(dimKey), "left_outer"), batchId)
+    }
+
   /** Stream-stream LEFT OUTER equi-join bounded by time: right rows match
     * left rows within [leftTs - bound, leftTs + bound]. The bound is the
     * state-TTL analog: both sides' state is evicted once the watermark

@@ -64,6 +64,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("dedupCorpus keeps the lowest id of each near-dup cluster") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = (1 to 39).map(i => s"w$i").mkString(" ") + " w99"
+    val other = (100 to 140).map(i => s"u$i").mkString(" ")
+    val docs = Seq((5L, near), (2L, base), (9L, other)).toDF("doc_id", "text")
+    val kept = MinHash.dedupCorpus(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 9L)) // 5 is the higher id of the (2,5) pair
+  }
+
   test("bruteTopK: hand-computed ranking on tiny vectors") {
     val vecs = Seq(
       (0L, Seq(1.0, 0.0)), // probe

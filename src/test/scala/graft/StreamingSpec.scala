@@ -126,6 +126,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // ------------------------- J1/T2 streaming temporal enrich (stream-static)
+  test("J1 streaming enrichLatest joins the latest dimension version, probe-stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(Upd("ES", "Sevilla", 1), Upd("ES", "Madrid", 2), Upd("FR", "Paris", 1))
+      .toDF("iso", "capital", "v")
+    val probe = MemoryStream[String]
+    val enriched = StreamOps.enrichLatest(
+      probe.toDS().toDF("country"), dim, "country", "iso", Seq(col("v")))
+      .select("country", "capital")
+    val q = graft.sinks.Sinks.memorySink(enriched, "enrich_out")
+    try {
+      probe.addData("ES", "CA")
+      q.processAllAvailable()
+      val batch1 = spark.table("enrich_out").as[(String, String)].collect().toSet
+      assert(batch1 === Set(("ES", "Madrid"), ("CA", null)))
+    } finally q.stop()
+  }
+
+  test("J1/T2 enrichLatestEachBatch re-reads a replaced dimension per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dim").toString
+    def writeDim(rows: Seq[Upd]): Unit =
+      rows.toDF("iso", "capital", "v").write.mode("overwrite").parquet(dimDir)
+
+    writeDim(Seq(Upd("ES", "Sevilla", 1), Upd("ES", "Madrid", 2)))
+    val probe = MemoryStream[String]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val q = StreamOps.enrichLatestEachBatch(
+        probe.toDS().toDF("country"),
+        () => { spark.catalog.refreshByPath(dimDir); spark.read.parquet(dimDir) },
+        "country", "iso", Seq(col("v"))) { (batch, _) =>
+        seen.synchronized {
+          seen ++= batch.select("country", "capital")
+            .collect().map(r => (r.getString(0), r.getString(1)))
+        }
+      }
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    try {
+      probe.addData("ES")
+      q.processAllAvailable()
+      assert(seen.toSet === Set(("ES", "Madrid")))
+
+      writeDim(Seq(Upd("ES", "Barcelona", 3)))
+      probe.addData("ES")
+      q.processAllAvailable()
+      assert(seen.toSet === Set(("ES", "Madrid"), ("ES", "Barcelona")))
+    } finally q.stop()
+  }
+
+  // ----------------------------------------------- S5 descriptor source
+  test("S5 programmatic source descriptor builds a rate stream") {
+    val df = graft.sources.Sources.descriptor(spark, "rate", Map("rowsPerSecond" -> "5"))
+    assert(df.isStreaming)
+    assert(df.schema.fieldNames.toSet === Set("timestamp", "value"))
+  }
+
   // ----------------------------------------------- S3 rate datagen smoke
   test("S3 rate datagen streams derived length-bounded fields end-to-end") {
     val stream = graft.sources.Sources.dataGenRate(spark, rowsPerSecond = 100,
