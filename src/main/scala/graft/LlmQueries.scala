@@ -284,6 +284,27 @@ object LlmQueries {
       "multimodal plumbing: opaque binary payload + typed metadata struct, scan-side header " +
         "features. Batched decode stub lives in Multimodal.decodeFeatures (MultimodalSpec)"),
 
+    // ------------------------------------------------ J5 fluent lateral
+    Q("q35_lateral_fluent",
+      (s, d) => {
+        val n = T.nation(s, d).as("n")
+        val rich = T.customer(s, d).as("c")
+          .where(col("c.c_nationkey") === col("n.n_nationkey").outer() &&
+            col("c.c_acctbal") > 9900)
+          .select(col("c_custkey"), col("c_acctbal"))
+        Lateral.leftOuter(n, rich)
+          .select(col("n_name"), col("c_custkey"), col("c_acctbal"))
+          .orderBy(col("n_name"), col("c_custkey"))
+      },
+      Some("""
+        SELECT n_name, t.c_custkey, t.c_acctbal
+        FROM nation LEFT JOIN LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer
+          WHERE c_nationkey = n_nationkey AND c_acctbal > 9900) t ON TRUE
+        ORDER BY n_name, c_custkey"""),
+      "J5 fluent lateral join (Dataset.lateralJoin + outer() correlation, " +
+        "LateralWithTableAPIJob.java:99-103); nations with no rich customer null-pad"),
+
     // ----------------------------------------------- corpus-level dedup
     Q("q34_neardup_dedup",
       (s, d) => {

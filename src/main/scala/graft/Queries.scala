@@ -474,6 +474,55 @@ object ParityQueries {
         GROUP BY n_name ORDER BY n_name"""),
       "TPC-H Q5 shape: star join with same-nation predicate (bench headline)"),
 
+    // ------------------------------------------------ §2.6 hop window
+    Q("q36_hop_window",
+      (s, d) => {
+        T.events(s, d)
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(dec2s(col("value"))).cast("double").as("sum_value"))
+          .select(col("event_type"), epochUs(col("window.start")).as("window_start_us"),
+            col("n"), col("sum_value"))
+          .orderBy(col("event_type"), col("window_start_us"))
+      },
+      Some("""
+        WITH h AS (SELECT event_type,
+                          unnest([time_bucket(INTERVAL '30 minutes', ts),
+                                  time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws,
+                          value
+                   FROM events)
+        SELECT event_type, epoch_us(ws) AS window_start_us, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+        FROM h GROUP BY event_type, ws ORDER BY event_type, window_start_us"""),
+      "sliding/hopping window agg (size 1h, slide 30m) — widening beyond the " +
+        "reference's tumble-only TVFs (SURVEY §2.6); each event lands in exactly 2 windows"),
+
+    // -------------------------------------------- §2.6 session window
+    Q("q37_session_window",
+      (s, d) => {
+        T.events(s, d)
+          .groupBy(session_window(col("ts"), "1 day"), col("user_id"))
+          .agg(count(lit(1)).as("n"), sum(dec2s(col("value"))).cast("double").as("sum_value"))
+          .select(col("user_id"),
+            epochUs(col("session_window.start")).as("session_start_us"),
+            epochUs(col("session_window.end")).as("session_end_us"),
+            col("n"), col("sum_value"))
+          .orderBy(col("user_id"), col("session_start_us"))
+      },
+      Some("""
+        WITH x AS (SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w >= INTERVAL '1 day'
+                          THEN 1 ELSE 0 END AS new_sess
+                   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        y AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_id
+              FROM x)
+        SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+               epoch_us(max(ts)) + 86400000000 AS session_end_us,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+        FROM y GROUP BY user_id, sess_id ORDER BY user_id, session_start_us"""),
+      "session window agg (1-day gap) per user — widening (SURVEY §2.6); session end = " +
+        "last event + gap, new session starts at diff >= gap (matches Spark's strict bound)"),
+
     // ----------------------------------------------------------- lateral
     Q("q21_lateral_join",
       (s, d) => {

@@ -107,6 +107,26 @@ class FixtureSpec extends SparkSpec {
       ("Alice", "Madrid"), ("Bob", "Madrid"), ("Peter", null), ("Paul", null)))
   }
 
+  // ------------------------------------------------------------- J5
+  test("J5 fluent lateral join: correlated filter + TVF explode forms") {
+    val p = people.as("p")
+    val cu = countriesUpdates.as("cu")
+    val latest = cu
+      .where(col("cu.iso") === col("p.country").outer())
+      .orderBy(col("cu.ts").desc).limit(1).select(col("capital"))
+    val out = Lateral.leftOuter(p, latest)
+      .select("name", "capital").as[(String, String)].collect().toSet
+    assert(out === Set(
+      ("Alice", "Madrid"), ("Bob", "Madrid"), ("Peter", null), ("Paul", null)))
+
+    // TVF form: lateral explode_outer ≡ the J6 fixture semantics
+    val input = Seq(("a", Seq("b")), ("b", Seq.empty[String])).toDF("id", "items").as("t")
+    val exploded = Lateral.leftOuter(input.toDF(),
+        spark.tvf.explode_outer(col("t.items").outer()))
+      .select(col("id"), col("col")).as[(String, String)].collect().toSet
+    assert(exploded === Set(("a", "b"), ("b", null)))
+  }
+
   // ------------------------------------------------------------- J6
   test("J6 outer UNNEST keeps the empty-array parent (CrossJoinJob fixture)") {
     // F3: ("a", [{item_id:"b"}]), ("b", []) — expected ("a","b"), ("b",NULL)
