@@ -358,6 +358,23 @@ object ParityQueries {
         ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST"""),
       "ROLLUP grouping sets — widening (SURVEY §2.5)"),
 
+    // -------------------------------------------------------------- cube
+    Q("q38_cube",
+      (s, d) => {
+        T.orders(s, d)
+          .cube(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(dec2(col("o_totalprice"))).cast("double").as("total_price"))
+          .orderBy(col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+      },
+      Some("""
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"""),
+      "CUBE grouping sets — widening (SURVEY §2.5), complements q15's ROLLUP"),
+
     // ------------------------------------------------- window frames etc
     Q("q16_window_frames",
       (s, d) => {
