@@ -326,6 +326,35 @@ object LlmQueries {
       "corpus near-dup removal: keep-lowest-id survivor per verified pair; " +
         "survivors via anti join on dropped ids (doc payloads never enter the pair pipeline)"),
 
+    // --------------------------------------- typed Aggregator (UDAF) stats
+    Q("q39_corpus_moments",
+      (s, d) => {
+        val m = udaf(graft.functions.CorpusStats.tokenMoments)
+        val base = T.documents(s, d)
+          .select(col("lang"), TextOps.tokenCount(docTokens).as("ntok"))
+          .groupBy(col("lang"))
+          .agg(m(col("ntok")).as("mom"))
+        base.select(
+            col("lang"),
+            col("mom.n").as("n_docs"),
+            col("mom.sum").as("sum_tokens"),
+            col("mom.sumSq").as("sum_sq_tokens"),
+            (col("mom.sum").cast("double") / col("mom.n").cast("double")).as("mean_tokens"),
+            ((col("mom.sumSq").cast("double") - col("mom.sum").cast("double") * col("mom.sum").cast("double") / col("mom.n").cast("double")) / col("mom.n").cast("double")).as("var_tokens"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH t AS (SELECT lang, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ntok FROM documents),
+        m AS (SELECT lang, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS sum_tokens,
+                     CAST(sum(ntok*ntok) AS BIGINT) AS sum_sq_tokens
+              FROM t GROUP BY lang)
+        SELECT lang, n_docs, sum_tokens, sum_sq_tokens,
+               CAST(sum_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_tokens,
+               (CAST(sum_sq_tokens AS DOUBLE) - CAST(sum_tokens AS DOUBLE) * CAST(sum_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)) / CAST(n_docs AS DOUBLE) AS var_tokens
+        FROM m ORDER BY lang"""),
+      "custom typed Aggregator (UDAF, SURVEY §7.6): exact integer moments map-side, " +
+        "mean/variance derived from exact sums in one deterministic double expression"),
+
     // ----------------------------------------------------------- LSH ANN
     Q("q33_ann_lsh",
       (s, d) => {

@@ -182,6 +182,29 @@ class StreamingSpec extends SparkSpec {
     assert(df.schema.fieldNames.toSet === Set("timestamp", "value"))
   }
 
+  // ----------------------------------------- K2/K3 console sink streams
+  test("K2/K3 console sinks run append and update streams end-to-end") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Upd]
+    val qAppend = graft.sinks.Sinks.consoleAppend(input.toDS().toDF(), "k2_append")
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    try {
+      input.addData(Upd("a", "x", 1))
+      qAppend.processAllAvailable()
+      assert(qAppend.isActive)
+    } finally qAppend.stop()
+
+    val input2 = MemoryStream[Upd]
+    val deduped = KeepLatest[String, Upd](input2.toDS(), _.iso, (a, b) => a.v > b.v)
+    val qUpdate = graft.sinks.Sinks.consoleUpdate(deduped.toDF(), "k3_update")
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    try {
+      input2.addData(Upd("a", "x", 1), Upd("a", "y", 2))
+      qUpdate.processAllAvailable()
+      assert(qUpdate.isActive)
+    } finally qUpdate.stop()
+  }
+
   // ----------------------------------------------- S3 rate datagen smoke
   test("S3 rate datagen streams derived length-bounded fields end-to-end") {
     val stream = graft.sources.Sources.dataGenRate(spark, rowsPerSecond = 100,
