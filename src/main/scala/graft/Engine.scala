@@ -24,15 +24,30 @@ import org.apache.spark.sql.SparkSession
   */
 object Engine {
 
-  /** Apply graft's common configuration to a builder. */
-  def configure(b: SparkSession.Builder, shufflePartitions: Int = 32): SparkSession.Builder =
-    b.config("spark.sql.session.timeZone", "UTC")
+  /** Apply graft's common configuration to a builder.
+    *
+    * `rocksDbState = true` switches streaming state to the RocksDB
+    * provider — the beyond-heap path for keep-latest/join state whose
+    * key cardinality exceeds executor memory (the reference's global
+    * state TTL concern, `WithStateTtlJob.java:43-45`, at 100 TB scale).
+    * Default off: heap state is faster at test scale.
+    */
+  def configure(
+      b: SparkSession.Builder,
+      shufflePartitions: Int = 32,
+      rocksDbState: Boolean = false): SparkSession.Builder = {
+    val base = b.config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    if (rocksDbState)
+      base.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    else base
+  }
 
   /** Local session, used by tests and ad-hoc runs. */
   def session(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
