@@ -540,6 +540,25 @@ object ParityQueries {
       "session window agg (1-day gap) per user — widening (SURVEY §2.6); session end = " +
         "last event + gap, new session starts at diff >= gap (matches Spark's strict bound)"),
 
+    // ------------------------------------------------- JSON extraction
+    Q("q40_json_props",
+      (s, d) => {
+        val k = get_json_object(col("props"), "$.k").cast("long")
+        T.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(k).as("sum_k"),
+            count(when(k > 50, 1)).as("n_high"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(count(*) FILTER (CAST(json_extract(props, '$.k') AS BIGINT) > 50) AS BIGINT) AS n_high
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      "JSON property extraction + conditional agg over the events.props column — " +
+        "widening (scalar-function surface, SURVEY §2.8); extraction is scan-side, codegen'd"),
+
     // ----------------------------------------------------------- lateral
     Q("q21_lateral_join",
       (s, d) => {

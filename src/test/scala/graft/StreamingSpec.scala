@@ -47,6 +47,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("property: streaming KeepLatest ≡ batch keepLatest under random interleavings") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(42) // pinned seed — deterministic partitions
+    (1 to 3).foreach { iter =>
+      val rows = (1 to 40).map { i =>
+        Upd(s"k${rnd.nextInt(5)}", s"cap$i", rnd.nextInt(1000) * 100L + i) // unique v
+      }
+      // random batch boundaries
+      val batches = {
+        var rest = rows; val out = Seq.newBuilder[Seq[Upd]]
+        while (rest.nonEmpty) {
+          val n = 1 + rnd.nextInt(7)
+          out += rest.take(n); rest = rest.drop(n)
+        }
+        out.result()
+      }
+      val input = MemoryStream[Upd]
+      val q = KeepLatest[String, Upd](input.toDS(), _.iso, (a, b) => a.v > b.v)
+        .writeStream.format("memory").queryName(s"kl_prop_$iter")
+        .outputMode("update").trigger(Trigger.ProcessingTime(0L)).start()
+      try {
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        val streamFinal = spark.table(s"kl_prop_$iter").as[Upd].collect()
+          .groupBy(_.iso).map { case (k, vs) => k -> vs.maxBy(_.v) }
+        val batchFinal = operators.Dedup.keepLatest(rows.toDF(), Seq("iso"), Seq(col("v")))
+          .as[Upd].collect().map(u => u.iso -> u).toMap
+        assert(streamFinal === batchFinal, s"iter $iter, batches=${batches.map(_.size)}")
+      } finally q.stop()
+    }
+  }
+
   test("KeepLatest transition: champion updates, stale rows ignored, TTL set") {
     val f = KeepLatest.transition[String, Upd]((a, b) => a.v > b.v, ttlMs = Some(60000L)) _
     val s0 = TestGroupState.create[Upd](
