@@ -167,7 +167,10 @@ object ParityQueries {
         FROM customer LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders WHERE o_totalprice > 300000) o
           ON c_custkey = o_custkey
         ORDER BY c_custkey, o_orderkey"""),
-      "J6: outer UNNEST keeps empty-array parents (CrossJoinJob.java:66-71)"),
+      "J6: outer UNNEST keeps empty-array parents (CrossJoinJob.java:66-71). " +
+        "Scale note: the per-key array is bounded by the selective o_totalprice filter " +
+        "(array-building without such a bound is a memory amplification hazard — the " +
+        "production shape for unbounded sets is the plain outer join the oracle uses)"),
 
     // ------------------------------------------------------------ J3/J4
     Q("q06_join_agg_left",
