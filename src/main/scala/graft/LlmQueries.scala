@@ -65,7 +65,8 @@ object LlmQueries {
                CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_size,
                CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS union_size
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE len(list_intersect(a.sh, b.sh)) * 10 >=
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0
+          AND len(list_intersect(a.sh, b.sh)) * 10 >=
               8 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
         ORDER BY doc_a, doc_b"""),
       "minhash near-dup: shingle->minhash->banded LSH buckets->exact-verify candidates " +
@@ -318,7 +319,8 @@ object LlmQueries {
                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM toks),
         drop AS (SELECT DISTINCT b.doc_id
                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-                 WHERE len(list_intersect(a.sh, b.sh)) * 10 >=
+                 WHERE len(a.sh) > 0 AND len(b.sh) > 0
+                   AND len(list_intersect(a.sh, b.sh)) * 10 >=
                        8 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))))
         SELECT doc_id, lang, n_chars FROM documents
         WHERE doc_id NOT IN (SELECT doc_id FROM drop)

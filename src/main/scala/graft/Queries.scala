@@ -529,11 +529,11 @@ object ParityQueries {
           .orderBy(col("user_id"), col("session_start_us"))
       },
       Some("""
-        WITH x AS (SELECT user_id, ts, value,
+        WITH x AS (SELECT user_id, ts, value, event_id,
                      CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w >= INTERVAL '1 day'
                           THEN 1 ELSE 0 END AS new_sess
                    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        y AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_id
+        y AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
               FROM x)
         SELECT user_id, epoch_us(min(ts)) AS session_start_us,
                epoch_us(max(ts)) + 86400000000 AS session_end_us,

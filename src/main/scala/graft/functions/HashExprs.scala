@@ -61,12 +61,17 @@ case class PolyHashArray(child: Expression) extends UnaryExpression with Codegen
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
+        // fold CODE POINTS, not UTF-16 units — Spark's ascii()/substr()
+        // and DuckDB's ascii(substr()) are codepoint-based, and the
+        // twin HOF formulation (TextOps.polyHash) must hash identically
+        // for supplementary characters too
         val s = arr.getUTF8String(i).toString
         var acc = 7L
         var j = 0
         while (j < s.length) {
-          acc = (acc * 31L + s.charAt(j).toLong) % HashCoeffs.Prime
-          j += 1
+          val cp = s.codePointAt(j)
+          acc = (acc * 31L + cp.toLong) % HashCoeffs.Prime
+          j += Character.charCount(cp)
         }
         out(i) = acc
       }
@@ -95,12 +100,14 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
     val sig = Array.fill(k)(HashCoeffs.Prime)
     var i = 0
     while (i < n) {
-      val h = arr.getLong(i)
-      var j = 0
-      while (j < k) {
-        val v = (as(j) * h + bs(j)) % HashCoeffs.Prime
-        if (v < sig(j)) sig(j) = v
-        j += 1
+      if (!arr.isNullAt(i)) { // null elements carry no signal; skip them
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < k) {
+          val v = (as(j) * h + bs(j)) % HashCoeffs.Prime
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
       }
       i += 1
     }
@@ -127,11 +134,13 @@ case class SimHash64(child: Expression, seed: Long)
     val votes = new Array[Long](64)
     var i = 0
     while (i < n) {
-      val h = arr.getLong(i)
-      var j = 0
-      while (j < 64) {
-        if ((as(j) * h + bs(j)) % HashCoeffs.Prime % 2L == 1L) votes(j) += 1 else votes(j) -= 1
-        j += 1
+      if (!arr.isNullAt(i)) { // null elements carry no signal; skip them
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < 64) {
+          if ((as(j) * h + bs(j)) % HashCoeffs.Prime % 2L == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
       }
       i += 1
     }

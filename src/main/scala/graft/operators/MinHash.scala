@@ -46,9 +46,11 @@ object MinHash {
 
   /** k-element minhash signature column over an array of shingle hashes.
     * sig[j] = min over shingles h of (a_j*h + b_j) mod Prime.
-    * Empty shingle sets get Prime (= "infinity") in every slot so they
-    * never collide into real buckets. Native expression — the k×|shingles|
-    * inner loop is the pipeline's hot spot (see HashExprs).
+    * Empty shingle sets get Prime (= "infinity") in every slot — they
+    * never collide with a non-empty doc, but DO collide with each other,
+    * so callers must drop empty-shingle docs before banding (as
+    * [[nearDupPairs]] does). Native expression — the k×|shingles| inner
+    * loop is the pipeline's hot spot (see HashExprs).
     */
   def signature(shingleHashes: Column, k: Int, seed: Long): Column =
     graft.functions.HashExprs.minHashSignature(shingleHashes, k, seed)
@@ -98,10 +100,23 @@ object MinHash {
       num: Int = 8,
       den: Int = 10): DataFrame = {
     // spread: a single-file doc scan arrives as one split; the shingle +
-    // 128-hash signature stage is per-row expensive, so hash-repartition
-    // first (deterministic, one tiny shuffle) to use the whole cluster
+    // k-hash signature stage is per-row expensive, so hash-repartition
+    // the raw docs first (deterministic, one tiny shuffle of raw rows)
+    // to use the whole cluster. The downstream branches (band sides,
+    // verify joins) each recompute the native-hash map stage — measured
+    // cheaper here than shuffling the wide shingle arrays once per
+    // branch; at true 100 TB scale, materialize `sig` to a table and
+    // run candidate generation against that instead.
+    // Docs with fewer than `ngram` tokens have empty shingle sets; they
+    // can never be near-dups (and their all-"infinity" signatures would
+    // collide into one bucket), so they are dropped before banding.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
     val sh = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .repartition(par, col(idCol))
+      // filter on the raw token count (shingles empty ⟺ tokens < ngram):
+      // filtering on size(__sh) would collapse into the projection and
+      // re-run the interpreted shingle HOF twice per row
+      .where(size(TextOps.tokens(col(textCol))) >= ngram)
       .select(
         col(idCol).as("__id"),
         TextOps.shingles(TextOps.tokens(col(textCol)), ngram).as("__sh"))

@@ -49,8 +49,10 @@ object Multimodal {
       col("meta.n_bytes").as("n_bytes"),
       col("meta.width").as("width"),
       col("meta.height").as("height"),
-      // first byte of the payload, as an int (null-safe for empty payloads)
-      coalesce(ascii(decode(col("payload"), "UTF-8").substr(1, 1)), lit(0)).as("first_byte"))
+      // first BYTE of the payload as an int via hex (a UTF-8 decode would
+      // mangle real binary payloads — PNG magic 0x89 is not valid UTF-8);
+      // empty payloads yield 0
+      coalesce(conv(hex(substring(col("payload"), 1, 1)), 16, 10).cast("int"), lit(0)).as("first_byte"))
 
   /** STUB decoder: a real implementation would hand `payload` to an image
     * /audio codec. This deterministic fake emits an 8-dim feature vector
@@ -80,6 +82,46 @@ object Multimodal {
         val f = decodeStub(r.payload)
         val mean = if (r.payload.isEmpty) 0.0 else r.payload.map(_ & 0xff).sum.toDouble / r.payload.length
         MediaFeatures(r.doc_id, r.payload.length, mean, f)
+      }
+    }
+  }
+
+  /** STUB resize: a real implementation re-encodes the image at (w, h).
+    * The deterministic fake truncates/pads the payload to w*h bytes so
+    * downstream size invariants hold and the batching shape is real.
+    */
+  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
+    java.util.Arrays.copyOf(payload, w * h)
+
+  /** STUB frame sampling: a real implementation decodes a video and
+    * keeps every `stride`-th frame. The fake treats the payload as
+    * `frameSize`-byte frames and keeps every stride-th slice —
+    * deterministic, shape-faithful (N bytes -> ceil(frames/stride)
+    * slices).
+    */
+  def frameSampleStub(payload: Array[Byte], frameSize: Int, stride: Int): Seq[Array[Byte]] =
+    payload.grouped(frameSize).zipWithIndex.collect {
+      // drop the trailing partial group — emitted "frames" must honor the
+      // fixed-frame-size invariant downstream decoders assume
+      case (frame, i) if i % stride == 0 && frame.length == frameSize => frame
+    }.toSeq
+
+  final case class FrameRow(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Partition-batched frame sampling: one input row fans out to its kept
+    * frames (flatMap — streaming through the decoder, never materializing
+    * all frames of a partition at once).
+    */
+  def sampleFrames(
+      spark: SparkSession,
+      media: Dataset[MediaRow],
+      frameSize: Int,
+      stride: Int,
+      parallelism: Int): Dataset[FrameRow] = {
+    import spark.implicits._
+    media.repartition(parallelism).flatMap { r =>
+      frameSampleStub(r.payload, frameSize, stride).zipWithIndex.map {
+        case (f, i) => FrameRow(r.doc_id, i, f)
       }
     }
   }

@@ -94,16 +94,26 @@ object Similarity {
     Seq.fill(tables)(Seq.fill(planes)(Seq.fill(dim)(next())))
   }
 
-  /** LSH bucket keys for a vector: one sign-pattern int per table. */
+  /** LSH bucket keys for a vector: one sign-pattern int per table.
+    * Fails fast when the vector length differs from `dim` — zip_with
+    * would otherwise null-pad, every sign test would fall to its
+    * default, and all vectors would silently share one bucket (turning
+    * the bucketed join into a full cross join with correct-looking
+    * results).
+    */
   def bucketKeys(vec: Column, tables: Int, planes: Int, dim: Int, seed: Long): Column = {
     val hp = hyperplanes(tables, planes, dim, seed)
-    array(hp.zipWithIndex.map { case (tbl, t) =>
+    val keys = array(hp.zipWithIndex.map { case (tbl, t) =>
       val sig = tbl.zipWithIndex.map { case (plane, p) =>
         val planeArr = array(plane.map(lit): _*)
         when(dot(vec, planeArr) >= 0, lit(1 << p)).otherwise(lit(0))
       }.reduce(_ + _)
       struct(lit(t).as("table"), sig.as("sig"))
     }: _*)
+    when(size(vec) === dim, keys)
+      .otherwise(raise_error(concat(
+        lit(s"lshBucketTopK: vector length "), size(vec).cast("string"),
+        lit(s" != configured dim $dim"))))
   }
 
   /** Approximate top-k: candidates = vectors sharing any LSH bucket with
@@ -122,17 +132,20 @@ object Similarity {
       planes: Int = 8,
       dim: Int = 64,
       seed: Long = 42L): DataFrame = {
-    def keyed(df: DataFrame, id: String, vec: String) =
-      df.select(col(idCol).as(id), col(vecCol).as(vec),
+    // norms computed once per row (same rule as bruteTopK) — a probe in
+    // many buckets must not re-fold its norm per candidate pair
+    def keyed(df: DataFrame, id: String, vec: String, nrm: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(vec), norm(col(vecCol)).as(nrm),
           explode(bucketKeys(col(vecCol), tables, planes, dim, seed)).as("__b"))
-        .select(col(id), col(vec), col("__b.table").as("table"), col("__b.sig").as("sig"))
-    val c = keyed(spread(corpus, idCol), "neighbor_id", "__cv")
-    val p = keyed(probes, "probe_id", "__pv")
+        .select(col(id), col(vec), col(nrm), col("__b.table").as("table"), col("__b.sig").as("sig"))
+    val c = keyed(spread(corpus, idCol), "neighbor_id", "__cv", "__cn")
+    val p = keyed(probes, "probe_id", "__pv", "__pn")
     val cands = c.join(broadcast(p), Seq("table", "sig"))
       .where(col("probe_id") =!= col("neighbor_id"))
-      .select(col("probe_id"), col("neighbor_id"), col("__pv"), col("__cv"))
+      .select(col("probe_id"), col("neighbor_id"), col("__pv"), col("__cv"), col("__pn"), col("__cn"))
       .distinct()
-    val scored = cands.select(col("probe_id"), col("neighbor_id"), cosine(col("__pv"), col("__cv")).as("cosine"))
+    val scored = cands.select(col("probe_id"), col("neighbor_id"),
+      (dot(col("__pv"), col("__cv")) / (col("__pn") * col("__cn"))).as("cosine"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }

@@ -99,11 +99,13 @@ object StreamOps {
       bound: String): DataFrame = {
     val l = left.withWatermark(leftTs, delay)
     val r = right.withWatermark(rightTs, delay)
+    // side-qualified references: unqualified col() would be ambiguous (or
+    // silently wrong) when both streams share key/timestamp column names
     l.join(
       r,
-      col(leftKey) === col(rightKey) &&
-        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $bound") &&
-        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $bound"),
+      l(leftKey) === r(rightKey) &&
+        r(rightTs) >= l(leftTs) - expr(s"INTERVAL $bound") &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $bound"),
       "left_outer")
   }
 }

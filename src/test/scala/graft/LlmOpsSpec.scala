@@ -118,6 +118,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(f1.features.toSeq === Multimodal.decodeStub("hello world".getBytes("UTF-8")).toSeq)
   }
 
+  test("multimodal: resize and frame-sample stubs keep shape invariants") {
+    val payload = (0 until 100).map(_.toByte).toArray
+    assert(Multimodal.resizeStub(payload, 8, 4).length === 32)
+    assert(Multimodal.resizeStub(payload, 16, 16).length === 256) // pads
+    val frames = Multimodal.frameSampleStub(payload, frameSize = 10, stride = 3)
+    assert(frames.map(_.length) === Seq(10, 10, 10, 10)) // frames 0,3,6,9
+    assert(frames.head.toSeq === payload.take(10).toSeq)
+    // trailing partial group is dropped, never emitted as a short frame
+    val ragged = Multimodal.frameSampleStub((0 until 105).map(_.toByte).toArray, frameSize = 10, stride = 1)
+    assert(ragged.size === 10 && ragged.forall(_.length === 10))
+
+    import spark.implicits._
+    val media = Seq(Multimodal.MediaRow(1L, payload, "video/fake", 10, 10)).toDS()
+    val sampled = Multimodal.sampleFrames(spark, media, frameSize = 10, stride = 3, parallelism = 2)
+    assert(sampled.count() === 4)
+    assert(sampled.collect().map(_.frame_idx).sorted.toSeq === Seq(0, 1, 2, 3))
+  }
+
   test("tokenCount/subtokenCount/fingerprint integer contracts") {
     val df = Seq("alpha be c").toDF("t").select(
       TextOps.tokenCount(TextOps.tokens(col("t"))).as("n"),
