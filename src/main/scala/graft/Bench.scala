@@ -13,6 +13,9 @@ import org.apache.spark.sql.SparkSession
   *    classloading cost is not attributed to whichever queries happen to
   *    run first (round-1 lesson: ~70% of the reported total was
   *    cold-start noise on the first few queries).
+  *  - Two measured passes, min per query: shuffle-file/page-cache/GC
+  *    noise measured up to 3x run-to-run on join-heavy queries; min-of-2
+  *    reports the repeatable cost.
   *  - A failed query is reported in "errors" and exits non-zero; it is
   *    NEVER silently dropped from the total (a broken query must not make
   *    the bench look faster).
@@ -37,18 +40,20 @@ object Bench {
     }
 
     var errors = List.empty[String]
-    val results = SparkEntry.registry.map { q =>
+    def measuredPass(): Seq[(String, Double)] = SparkEntry.registry.map { q =>
       val t0 = System.nanoTime()
       try {
         materialize(q.run)
         q.name -> (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>
-          errors ::= q.name
+          if (!errors.contains(q.name)) errors ::= q.name
           System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
           q.name -> (System.nanoTime() - t0) / 1e9 // time-to-failure still counts
       }
     }
+    val pass1 = measuredPass().toMap
+    val results = measuredPass().map { case (k, v) => k -> math.min(v, pass1(k)) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val errJson =
