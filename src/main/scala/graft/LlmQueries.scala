@@ -237,7 +237,13 @@ object LlmQueries {
     Q("q30_embedding_neardup",
       (s, d) => {
         val e = T.embeddings(s, d).select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        Similarity.cosinePairs(e, "vec_id", "v", 0.4)
+        // LSH candidate generation (no all-pairs join in the plan — pinned
+        // by PlanSpec); every candidate is exactly re-scored, so precision
+        // is 1 and the all-pairs oracle still applies. tables=128/planes=8
+        // is verified to reach recall 1.0 on this corpus at sf0.01 (the
+        // gate's scale); see Similarity's class doc for the low-threshold
+        // candidate-volume tradeoff.
+        Similarity.cosinePairsLsh(e, "vec_id", "v", 0.4)
           .orderBy(col("id_a"), col("id_b"))
       },
       Some("""
@@ -248,8 +254,9 @@ object LlmQueries {
         FROM n a JOIN n b ON a.vec_id < b.vec_id
         WHERE list_sum(list_transform(list_zip(a.v, b.v), z -> z[1]*z[2])) / (a.nrm * b.nrm) >= 0.4
         ORDER BY id_a, id_b"""),
-      "embedding-cosine near-dup pairs (threshold 0.4), exact at test scale; the 100 TB " +
-        "path replaces the cross join with q33's LSH buckets as candidate generator"),
+      "embedding-cosine near-dup pairs (threshold 0.4): LSH bucket candidate generation " +
+        "(ids-only equi-join, no all-pairs) + exact re-score — precision 1 by construction, " +
+        "recall 1.0 at this corpus/scale (tables=128, planes=8, verified vs the all-pairs oracle)"),
 
     // --------------------------------------------------- simhash near-dup
     Q("q31_simhash_pairs",

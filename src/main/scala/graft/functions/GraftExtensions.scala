@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
@@ -14,34 +14,82 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * spark.sql("SELECT graft_poly_hash_array(split(text, ' ')) FROM docs")
   * }}}
   *
-  * The Scala API ([[HashExprs]]) does not require the extension — it
-  * builds the expressions directly — so `SparkEntry.queries` work under
-  * any session; the extension is for SQL-first users.
+  * The Scala API ([[HashExprs]], [[VecExprs]]) does not require the
+  * extension — it builds the expressions directly — so
+  * `SparkEntry.queries` work under any session; the extension is for
+  * SQL-first users.
+  *
+  * Scalar config args (k, seed, n) must be literals: they are baked into
+  * the expression at plan time (coefficient/hyperplane tables derive from
+  * them), so a non-foldable arg is rejected at analysis with a clear
+  * error instead of failing obscurely in `eval()` at builder time.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  private def fail(msg: String): Nothing =
+    throw new AnalysisException(
+      errorClass = "INTERNAL_ERROR",
+      messageParameters = Map("message" -> msg))
+
+  private def checkArity(fn: String, args: Seq[Expression], n: Int): Unit =
+    if (args.size != n) fail(s"$fn expects $n arguments, got ${args.size}")
+
+  private def literalArg(fn: String, args: Seq[Expression], i: Int, what: String): Long = {
+    val e = args(i)
+    if (!e.foldable) fail(s"$fn: $what (argument ${i + 1}) must be a literal, got ${e.sql}")
+    e.eval() match {
+      case n: Number => n.longValue()
+      case other => fail(s"$fn: $what (argument ${i + 1}) must be an integer literal, got $other")
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_poly_hash_array"),
       info("graft_poly_hash_array",
         "graft_poly_hash_array(arr) - polynomial mod-1e9+7 hash of each string in arr"),
-      (args: Seq[Expression]) => PolyHashArray(args.head)))
+      (args: Seq[Expression]) => {
+        checkArity("graft_poly_hash_array", args, 1)
+        PolyHashArray(args.head)
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash"),
       info("graft_minhash",
         "graft_minhash(hashes, k, seed) - k-slot minhash signature of a long array"),
-      (args: Seq[Expression]) =>
-        MinHashSignature(args.head,
-          args(1).eval().asInstanceOf[Number].intValue(),
-          args(2).eval().asInstanceOf[Number].longValue())))
+      (args: Seq[Expression]) => {
+        checkArity("graft_minhash", args, 3)
+        val k = literalArg("graft_minhash", args, 1, "k")
+        if (k < 1 || k > 4096) fail(s"graft_minhash: k must be in [1, 4096], got $k")
+        MinHashSignature(args.head, k.toInt, literalArg("graft_minhash", args, 2, "seed"))
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       info("graft_simhash",
         "graft_simhash(hashes, seed) - 64-bit simhash of a long array"),
-      (args: Seq[Expression]) =>
-        SimHash64(args.head, args(1).eval().asInstanceOf[Number].longValue())))
+      (args: Seq[Expression]) => {
+        checkArity("graft_simhash", args, 2)
+        SimHash64(args.head, literalArg("graft_simhash", args, 1, "seed"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      info("graft_shingles",
+        "graft_shingles(tokens, n) - distinct word n-gram shingles of a string array"),
+      (args: Seq[Expression]) => {
+        checkArity("graft_shingles", args, 2)
+        val n = literalArg("graft_shingles", args, 1, "n")
+        if (n < 1 || n > 64) fail(s"graft_shingles: n must be in [1, 64], got $n")
+        ShingleArray(args.head, n.toInt)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      info("graft_dot",
+        "graft_dot(a, b) - in-order dot product of two double arrays"),
+      (args: Seq[Expression]) => {
+        checkArity("graft_dot", args, 2)
+        DotProduct(args.head, args(1))
+      }))
   }
 }

@@ -1,12 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
-import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the hash-heavy LLM-data operators.
   *
@@ -14,9 +14,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * as nested higher-order functions they run as *interpreted* lambda
   * calls (HOFs never enter whole-stage codegen), which measured ~100×
   * slower than a primitive JVM loop at sf0.1 (q23: 227s -> ~2s). These
-  * expressions do the same arithmetic in tight `while` loops over
-  * primitive longs — the brief's preference order: native Expression >
-  * HOF chain > UDF, for hot paths.
+  * expressions run tight `while` loops over primitives — the brief's
+  * preference order: native Expression > HOF chain > UDF, for hot paths.
+  *
+  * Codegen: each expression's `doGenCode` emits a call to the SAME
+  * static kernel its `eval` uses ([[HashRuntime]]), so inside
+  * WholeStageCodegen there is no row boxing and no interpreted-eval
+  * dispatch (the round-2 CodegenFallback boundary is gone).
   *
   * Determinism contract: identical math to the SQL-expressible
   * formulations in [[graft.operators.TextOps]] (polynomial mod-1e9+7
@@ -24,7 +28,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * surface in query output.
   */
 object HashCoeffs {
-  val Prime: Long = 1000000007L
+  val Prime: Long = HashRuntime.Prime
 
   /** Deterministic (a, b) coefficient pairs from a fixed MMIX LCG — fully
     * specified here, no JVM RNG.
@@ -45,40 +49,20 @@ object HashCoeffs {
   * (acc0=7, acc = (acc*31 + codepoint) mod 1e9+7) — the native twin of
   * [[graft.operators.TextOps.polyHash]]. Null elements hash to null.
   */
-case class PolyHashArray(child: Expression) extends UnaryExpression with CodegenFallback {
+case class PolyHashArray(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+  override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
-      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"polyHashArray needs array<string>, got $t")
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"graft_poly_hash_array needs array<string>, got $t")
     }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val out = new Array[Any](n)
-    var i = 0
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        // fold CODE POINTS, not UTF-16 units — Spark's ascii()/substr()
-        // and DuckDB's ascii(substr()) are codepoint-based, and the
-        // twin HOF formulation (TextOps.polyHash) must hash identically
-        // for supplementary characters too
-        val s = arr.getUTF8String(i).toString
-        var acc = 7L
-        var j = 0
-        while (j < s.length) {
-          val cp = s.codePointAt(j)
-          acc = (acc * 31L + cp.toLong) % HashCoeffs.Prime
-          j += Character.charCount(cp)
-        }
-        out(i) = acc
-      }
-      i += 1
-    }
-    new GenericArrayData(out)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    HashRuntime.polyHashArray(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashRuntime.polyHashArray($c);")
 
   override protected def withNewChildInternal(newChild: Expression): PolyHashArray =
     copy(child = newChild)
@@ -88,30 +72,26 @@ case class PolyHashArray(child: Expression) extends UnaryExpression with Codegen
   * signature): sig[j] = min over h of (a_j*h + b_j) mod 1e9+7; empty
   * arrays yield Prime ("infinity") in every slot.
   */
-case class MinHashSignature(child: Expression, k: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+case class MinHashSignature(child: Expression, k: Int, seed: Long) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      // element type must be LONG exactly: ArrayData.getLong on 4-byte
+      // elements reads garbage from unsafe rows instead of failing
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"graft_minhash needs array<bigint> hashes, got $t")
+    }
 
   @transient private lazy val (as, bs) = HashCoeffs.coefficients(k, seed)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val sig = Array.fill(k)(HashCoeffs.Prime)
-    var i = 0
-    while (i < n) {
-      if (!arr.isNullAt(i)) { // null elements carry no signal; skip them
-        val h = arr.getLong(i)
-        var j = 0
-        while (j < k) {
-          val v = (as(j) * h + bs(j)) % HashCoeffs.Prime
-          if (v < sig(j)) sig(j) = v
-          j += 1
-        }
-      }
-      i += 1
-    }
-    new GenericArrayData(sig)
+  override protected def nullSafeEval(input: Any): Any =
+    HashRuntime.minhash(input.asInstanceOf[ArrayData], as, bs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("minhashAs", as, "long[]")
+    val bsRef = ctx.addReferenceObj("minhashBs", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashRuntime.minhash($c, $asRef, $bsRef);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
@@ -122,38 +102,54 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
   * the majority of tokens have parity-1 in slot j under hash
   * (a_j*h + b_j) mod 1e9+7.
   */
-case class SimHash64(child: Expression, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression, seed: Long) extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"graft_simhash needs array<bigint> hashes, got $t")
+    }
 
   @transient private lazy val (as, bs) = HashCoeffs.coefficients(64, seed)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val votes = new Array[Long](64)
-    var i = 0
-    while (i < n) {
-      if (!arr.isNullAt(i)) { // null elements carry no signal; skip them
-        val h = arr.getLong(i)
-        var j = 0
-        while (j < 64) {
-          if ((as(j) * h + bs(j)) % HashCoeffs.Prime % 2L == 1L) votes(j) += 1 else votes(j) -= 1
-          j += 1
-        }
-      }
-      i += 1
-    }
-    var fp = 0L
-    var j = 0
-    while (j < 64) {
-      if (votes(j) > 0) fp |= (1L << j)
-      j += 1
-    }
-    fp
+  override protected def nullSafeEval(input: Any): Any =
+    HashRuntime.simhash(input.asInstanceOf[ArrayData], as, bs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("simhashAs", as, "long[]")
+    val bsRef = ctx.addReferenceObj("simhashBs", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashRuntime.simhash($c, $asRef, $bsRef);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** array<string> tokens -> array<string> distinct word n-gram shingles
+  * (first-occurrence order, space-joined) — the native twin of the
+  * `transform`+`concat_ws`+`array_distinct` HOF chain it replaces. That
+  * chain was the bench's biggest line-item (VERDICT r2 #2): interpreted,
+  * never codegen'd, and re-evaluated once per consuming branch of the
+  * minhash pipeline.
+  */
+case class ShingleArray(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"graft_shingles needs array<string> tokens, got $t")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashRuntime.shingles(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashRuntime.shingles($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleArray =
     copy(child = newChild)
 }
 
@@ -165,4 +161,6 @@ object HashExprs {
     GraftColumnBridge.column(MinHashSignature(GraftColumnBridge.expression(c), k, seed))
   def simHash64(c: Column, seed: Long): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(c), seed))
+  def shingles(c: Column, n: Int): Column =
+    GraftColumnBridge.column(ShingleArray(GraftColumnBridge.expression(c), n))
 }

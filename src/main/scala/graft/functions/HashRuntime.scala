@@ -1,0 +1,213 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static runtime kernels for the native expressions.
+  *
+  * Each kernel is the SINGLE implementation of its operator's hot loop:
+  * the expression's interpreted `eval` calls it, and the expression's
+  * `doGenCode` emits a call to the same static method — so generated
+  * code inside WholeStageCodegen runs the identical primitive loop with
+  * no `InternalRow` boxing and no `Expression.eval` megamorphic
+  * dispatch (the round-2 CodegenFallback boundary, VERDICT r2 #3).
+  * Scala `object` methods get static forwarders on the companion class,
+  * so janino-compiled code can call `graft.functions.HashRuntime.x(...)`
+  * directly.
+  *
+  * Determinism contract: every fold here is sequential left-to-right, so
+  * results are bit-identical to the SQL-expressible twin formulations
+  * (and hence to the DuckDB oracle) — see [[graft.operators.TextOps]].
+  */
+object HashRuntime {
+
+  val Prime: Long = 1000000007L
+
+  private val ShingleSep: UTF8String = UTF8String.fromString(" ")
+
+  /** Per-element polynomial rolling hash over CODE POINTS:
+    * acc0 = 7, acc = (acc*31 + codepoint) mod 1e9+7. Null elements hash
+    * to null.
+    */
+  def polyHashArray(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i).toString
+        var acc = 7L
+        var j = 0
+        while (j < s.length) {
+          val cp = s.codePointAt(j)
+          acc = (acc * 31L + cp.toLong) % Prime
+          j += Character.charCount(cp)
+        }
+        out(i) = acc
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** k-slot minhash signature: sig[j] = min over element hashes h of
+    * (as(j)*h + bs(j)) mod 1e9+7; empty input yields Prime ("infinity")
+    * in every slot. Null elements carry no signal.
+    */
+  def minhash(arr: ArrayData, as: Array[Long], bs: Array[Long]): ArrayData = {
+    val k = as.length
+    val n = arr.numElements()
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Prime)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < k) {
+          val v = (as(j) * h + bs(j)) % Prime
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit simhash: bit j set iff the majority of element hashes have
+    * parity 1 under (as(j)*h + bs(j)) mod 1e9+7. Null elements carry no
+    * signal.
+    */
+  def simhash(arr: ArrayData, as: Array[Long], bs: Array[Long]): Long = {
+    val n = arr.numElements()
+    val votes = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < 64) {
+          if ((as(j) * h + bs(j)) % Prime % 2L == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+
+  /** Distinct word n-gram shingles, first-occurrence order, tokens joined
+    * by single spaces. Null tokens inside a window are skipped (the
+    * `concat_ws` rule of the HOF twin this replaces); fewer than n tokens
+    * yields an empty array.
+    */
+  def shingles(toks: ArrayData, n: Int): ArrayData = {
+    val m = toks.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.HashSet[UTF8String](math.max(16, (m - n + 1) * 2))
+    val out = new java.util.ArrayList[Any](m - n + 1)
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i <= m - n) {
+      var k = 0
+      while (k < n) {
+        parts(k) = if (toks.isNullAt(i + k)) null else toks.getUTF8String(i + k)
+        k += 1
+      }
+      val gram = UTF8String.concatWs(ShingleSep, parts: _*)
+      if (seen.add(gram)) out.add(gram)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** In-order dot product of two double arrays: sequential left fold of
+    * element products (fixed IEEE evaluation order — identical bits to
+    * the oracle's list_sum fold). Returns null when lengths differ or
+    * any element is null (the `zip_with`+`aggregate` null semantics this
+    * replaces).
+    */
+  def dotOrNull(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0d
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  /** Flattened deterministic hyperplane matrix (tables × planes × dim,
+    * row-major) from the fixed MMIX LCG stream — the single source of
+    * truth for [[graft.operators.Similarity]]'s LSH geometry.
+    */
+  def hyperplaneMatrix(tables: Int, planes: Int, dim: Int, seed: Long): Array[Double] = {
+    var s = seed
+    val out = new Array[Double](tables * planes * dim)
+    var i = 0
+    while (i < out.length) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      // top 53 bits -> uniform in [-1, 1)
+      out(i) = ((s >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+      i += 1
+    }
+    out
+  }
+
+  /** One sign-pattern signature per LSH table: bit p of table t's sig is
+    * set iff the in-order dot of the vector with hyperplane (t, p) is
+    * >= 0. Fails fast on a dim mismatch — silent null-padding would put
+    * every short vector in one bucket and quietly turn the bucketed join
+    * into a cross join.
+    */
+  def lshSignatures(
+      vec: ArrayData,
+      planes: Array[Double],
+      tables: Int,
+      planesPerTable: Int,
+      dim: Int): ArrayData = {
+    if (vec.numElements() != dim) {
+      throw new IllegalArgumentException(
+        s"lshSignatures: vector length ${vec.numElements()} != configured dim $dim")
+    }
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      if (vec.isNullAt(i)) {
+        throw new IllegalArgumentException(s"lshSignatures: null element at index $i")
+      }
+      v(i) = vec.getDouble(i)
+      i += 1
+    }
+    val sigs = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0
+      var p = 0
+      while (p < planesPerTable) {
+        val base = (t * planesPerTable + p) * dim
+        var acc = 0.0d
+        var d = 0
+        while (d < dim) {
+          acc += v(d) * planes(base + d)
+          d += 1
+        }
+        if (acc >= 0) sig |= (1 << p)
+        p += 1
+      }
+      sigs(t) = sig
+      t += 1
+    }
+    new GenericArrayData(sigs)
+  }
+}

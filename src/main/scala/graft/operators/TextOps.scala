@@ -27,17 +27,15 @@ object TextOps {
   /** Whitespace tokens of lowercased text. */
   def tokens(text: Column): Column = split(lower(text), " ")
 
-  /** Distinct n-gram (word) shingles joined by single spaces.
-    * `sequence` is empty when the doc has fewer than n tokens (handled:
-    * sequence(0, size-n) with size-n < 0 yields a descending sequence, so
-    * guard with a when()).
+  /** Distinct n-gram (word) shingles joined by single spaces,
+    * first-occurrence order; fewer than n tokens yields an empty array.
+    * Native expression ([[graft.functions.ShingleArray]]) — the
+    * `transform`+`concat_ws`+`array_distinct` HOF chain it replaces was
+    * interpreted (HOFs never enter codegen) and re-ran once per consuming
+    * branch of the minhash pipeline, which made it the bench's biggest
+    * single cost (VERDICT r2 #2).
     */
-  def shingles(toks: Column, n: Int): Column = {
-    val grams = transform(
-      sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
-    array_distinct(when(size(toks) >= n, grams).otherwise(array()))
-  }
+  def shingles(toks: Column, n: Int): Column = graft.functions.HashExprs.shingles(toks, n)
 
   /** Polynomial rolling hash of a string: fold over 1-indexed character
     * positions, acc = (acc*31 + codepoint) mod 1e9+7, acc0 = 7.

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{AnalysisException, SparkSession}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** SQL-facing registration of the native expressions via
@@ -8,11 +8,14 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ExtensionsSpec extends AnyFunSuite {
 
-  test("graft_* SQL functions resolve and match the Scala API") {
-    // getOrCreate would return an already-active session (built WITHOUT
-    // the extension) when another suite ran first — clear the active/
-    // default handles so the builder constructs a fresh session (it
-    // still reuses the JVM's SparkContext) and restore them after
+  /** Run `body` with a fresh extension-enabled session, then restore the
+    * JVM's prior active/default session handles. When no session existed
+    * before, CLEAR the handles instead of leaving the extension session
+    * as the JVM default — otherwise every later suite's getOrCreate
+    * would silently reuse this local[2]/shufflePartitions=2 session
+    * (order-dependent cross-suite coupling).
+    */
+  private def withExtensionSession[A](body: SparkSession => A): A = {
     val prior = SparkSession.getActiveSession
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -23,31 +26,71 @@ class ExtensionsSpec extends AnyFunSuite {
       .getOrCreate()
     try {
       spark.sparkContext.setLogLevel("WARN")
+      body(spark)
+    } finally {
+      // leave the shared SparkContext running for other suites
+      prior match {
+        case Some(p) =>
+          SparkSession.setActiveSession(p)
+          SparkSession.setDefaultSession(p)
+        case None =>
+          SparkSession.clearActiveSession()
+          SparkSession.clearDefaultSession()
+      }
+    }
+  }
+
+  test("graft_* SQL functions resolve and match the Scala API") {
+    withExtensionSession { spark =>
       import spark.implicits._
       Seq(("hello world")).toDF("text").createOrReplaceTempView("ext_docs")
-      val row = spark.sql("""
-        SELECT graft_poly_hash_array(split(text, ' ')) AS h,
-               graft_minhash(graft_poly_hash_array(split(text, ' ')), 4, 42) AS mh,
-               graft_simhash(graft_poly_hash_array(split(text, ' ')), 42) AS sh
-        FROM ext_docs""").head()
-      def wh(w: String) = w.foldLeft(7L)((a, c) => (a * 31 + c) % 1000000007L)
-      assert(row.getSeq[Long](0) === Seq(wh("hello"), wh("world")))
-      assert(row.getSeq[Long](1).length === 4)
-      // simhash of the same tokens via the Scala API must be identical
-      val viaApi = Seq("hello world").toDF("text")
-        .select(graft.operators.SimHash.simhash(
-          graft.operators.TextOps.polyHashAll(
-            graft.operators.TextOps.tokens(org.apache.spark.sql.functions.col("text")))))
-        .head().getLong(0)
-      assert(row.getLong(2) === viaApi)
-    } finally {
-      // leave the shared context running for other suites; just drop the
-      // view and restore the prior session handles
-      spark.catalog.dropTempView("ext_docs")
-      prior.foreach { p =>
-        SparkSession.setActiveSession(p)
-        SparkSession.setDefaultSession(p)
-      }
+      try {
+        val row = spark.sql("""
+          SELECT graft_poly_hash_array(split(text, ' ')) AS h,
+                 graft_minhash(graft_poly_hash_array(split(text, ' ')), 4, 42) AS mh,
+                 graft_simhash(graft_poly_hash_array(split(text, ' ')), 42) AS sh,
+                 graft_shingles(split(text, ' '), 2) AS sg,
+                 graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp
+          FROM ext_docs""").head()
+        def wh(w: String) = w.foldLeft(7L)((a, c) => (a * 31 + c) % 1000000007L)
+        assert(row.getSeq[Long](0) === Seq(wh("hello"), wh("world")))
+        assert(row.getSeq[Long](1).length === 4)
+        // simhash of the same tokens via the Scala API must be identical
+        val viaApi = Seq("hello world").toDF("text")
+          .select(graft.operators.SimHash.simhash(
+            graft.operators.TextOps.polyHashAll(
+              graft.operators.TextOps.tokens(org.apache.spark.sql.functions.col("text")))))
+          .head().getLong(0)
+        assert(row.getLong(2) === viaApi)
+        assert(row.getSeq[String](3) === Seq("hello world"))
+        assert(row.getDouble(4) === 11.0)
+      } finally spark.catalog.dropTempView("ext_docs")
+    }
+  }
+
+  test("graft_* SQL functions reject bad arity, non-literal config args, and wrong types") {
+    withExtensionSession { spark =>
+      import spark.implicits._
+      Seq((Seq(1L, 2L), 4)).toDF("hs", "k").createOrReplaceTempView("ext_args")
+      try {
+        // wrong arity
+        val e1 = intercept[AnalysisException](spark.sql("SELECT graft_minhash(hs) FROM ext_args").collect())
+        assert(e1.getMessage.contains("expects 3 arguments"), e1.getMessage)
+        // non-literal k: coefficient tables are baked in at plan time
+        val e2 = intercept[AnalysisException](
+          spark.sql("SELECT graft_minhash(hs, k, 42) FROM ext_args").collect())
+        assert(e2.getMessage.contains("must be a literal"), e2.getMessage)
+        // wrong element type: array<int> hashes would read garbage via
+        // ArrayData.getLong on unsafe rows — must fail analysis instead
+        val e3 = intercept[AnalysisException](
+          spark.sql("SELECT graft_minhash(array(1, 2), 4, 42)").collect())
+        assert(e3.getMessage.toLowerCase.contains("array<bigint>")
+          || e3.getMessage.contains("DATATYPE_MISMATCH"), e3.getMessage)
+        val e4 = intercept[AnalysisException](
+          spark.sql("SELECT graft_simhash(array('a'), 42)").collect())
+        assert(e4.getMessage.toLowerCase.contains("array<bigint>")
+          || e4.getMessage.contains("DATATYPE_MISMATCH"), e4.getMessage)
+      } finally spark.catalog.dropTempView("ext_args")
     }
   }
 }

@@ -98,6 +98,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall $recall too low (got ${approx.size} pairs)")
   }
 
+  test("cosinePairsLsh: precision 1 (subset of exact) and high recall on real embeddings") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val exact = Similarity.cosinePairsExact(e, "vec_id", "v", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosinePairsLsh(e, "vec_id", "v", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH emitted a pair the exact scan rejects — re-score broken")
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall too low (${lsh.size}/${exact.size} pairs)")
+  }
+
+  test("native dot: in-order fold, null on length mismatch or null element") {
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)), // 4+10+18
+      (Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))       // length mismatch -> null
+    ).toDF("a", "b").select(Similarity.dot(col("a"), col("b")).as("d"))
+    val got = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got(0) === Some(32.0))
+    assert(got(1) === None)
+  }
+
   test("multimodal: pack schema + batched decode stub shape") {
     import spark.implicits._
     val docs = Seq((1L, "hello world"), (2L, "abc")).toDF("doc_id", "text")

@@ -59,6 +59,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"), plan)
   }
 
+  test("q30 embedding near-dup plans LSH equi-joins — no nested-loop pair join anywhere") {
+    val q = SparkEntry.queries("q30_embedding_neardup")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("minhash candidate generation plans a bucket equi-join, not a cross join") {
     val docs = Tables.documents(spark, sf)
     val sh = docs.select(col("doc_id"),
