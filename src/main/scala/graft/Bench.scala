@@ -40,20 +40,33 @@ object Bench {
     }
 
     var errors = List.empty[String]
-    def measuredPass(): Seq[(String, Double)] = SparkEntry.registry.map { q =>
+    // (seconds, succeeded) per query per pass: min is taken only over
+    // SUCCESSFUL passes — a query that fails fast in one pass must not
+    // report its time-to-failure as the cost (that would make a broken
+    // query look faster). A query with no successful pass reports the MAX
+    // time-to-failure (and the run exits non-zero either way).
+    def measuredPass(): Seq[(String, (Double, Boolean))] = SparkEntry.registry.map { q =>
       val t0 = System.nanoTime()
       try {
         materialize(q.run)
-        q.name -> (System.nanoTime() - t0) / 1e9
+        q.name -> ((System.nanoTime() - t0) / 1e9, true)
       } catch {
         case e: Throwable =>
           if (!errors.contains(q.name)) errors ::= q.name
           System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
-          q.name -> (System.nanoTime() - t0) / 1e9 // time-to-failure still counts
+          q.name -> ((System.nanoTime() - t0) / 1e9, false)
       }
     }
     val pass1 = measuredPass().toMap
-    val results = measuredPass().map { case (k, v) => k -> math.min(v, pass1(k)) }
+    val results = measuredPass().map { case (k, (t2, ok2)) =>
+      val (t1, ok1) = pass1(k)
+      k -> ((ok1, ok2) match {
+        case (true, true) => math.min(t1, t2)
+        case (true, false) => t1
+        case (false, true) => t2
+        case (false, false) => math.max(t1, t2)
+      })
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val errJson =

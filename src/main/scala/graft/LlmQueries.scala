@@ -287,7 +287,7 @@ object LlmQueries {
                CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
                CAST(length(text) % 1024 AS INTEGER) AS width,
                CAST(length(text) % 768 AS INTEGER) AS height,
-               CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte
+               coalesce(TRY_CAST(('0x' || substr(hex(encode(text)), 1, 2)) AS INTEGER), 0) AS first_byte
         FROM documents ORDER BY doc_id"""),
       "multimodal plumbing: opaque binary payload + typed metadata struct, scan-side header " +
         "features. Batched decode stub lives in Multimodal.decodeFeatures (MultimodalSpec)"),

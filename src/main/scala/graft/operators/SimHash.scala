@@ -36,9 +36,21 @@ object SimHash {
     * Input df must have `id` (orderable) and `fp` (long) columns.
     */
   def nearPairs(df: DataFrame, idCol: String, fpCol: String, maxHamming: Int): DataFrame = {
+    // chunks = maxHamming+1 must leave chunks of >= 4 bits: at width < 4
+    // bucket keys carry so little signal that the pigeonhole join
+    // degenerates toward all-pairs (and width 0 would mask every chunk to
+    // 0 — ONE quadratic bucket). 64/16 = 4 bits is the floor.
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15] (chunk width 64/(maxHamming+1) >= 4 bits), got $maxHamming")
     val chunks = maxHamming + 1
     val width = 64 / chunks
     val keyed = df.select(col(idCol).as("__id"), col(fpCol).as("__fp"))
+      // Empty-token docs all fingerprint to exactly 0 (no votes -> no
+      // bits), so a corpus with many trivial docs would put them ALL in
+      // one quadratic bucket on every chunk; drop them before banding
+      // (MinHash's empty-shingle guard, same reasoning). A genuine doc
+      // collides with fp 0 with probability 2^-64.
+      .where(col("__fp") =!= 0L)
       .select(
         col("__id"), col("__fp"),
         explode(transform(sequence(lit(0), lit(chunks - 1)),

@@ -12,8 +12,9 @@ import org.apache.spark.sql.Row
   *    (flink playground `WithDeduplicateJoinJob.java:70-77,88`);
   *  - K2 append print (`DataStreamJob.java:123` toDataStream().print());
   *  - K3 changelog print (`WithStateTtlJob.java:90` toChangelogStream()
-  *    .print()) — Spark update mode emits upserts; the -U/+U retraction
-  *    pairs have no Spark analog (final state matches; SURVEY §7.4);
+  *    .print()) — update mode emits upserts; FULL +I/-U/+U/-D retraction
+  *    streams are produced by [[graft.streaming.Changelog]] (per-batch
+  *    snapshot diff), closing the SURVEY §7.4 divergence;
   *  - K4 execute().print() (`TableAPIJob.java:89-90`) — `df.show()`.
   */
 object Sinks {

@@ -19,9 +19,9 @@ import graft.operators.WindowAgg
   *    the reference's state TTL (`WithStateTtlJob.java:80` — STATE_TTL
   *    hint on both sides);
   *  - keep-latest dedup (W2/T4): [[KeepLatest]];
-  *  - changelog sinks (K3): update-mode console/memory — Spark emits
-  *    upserts, not -U/+U retraction pairs; final table state matches
-  *    (SURVEY §7.4 hard part #2, documented divergence).
+  *  - changelog sinks (K3): update-mode console/memory emit upserts;
+  *    [[Changelog]] emits the full +I/-U/+U/-D retraction stream via
+  *    per-batch snapshot diffs (SURVEY §7.4 hard part #2, closed).
   */
 object StreamOps {
 

@@ -64,6 +64,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("nearPairs drops zero fingerprints (empty docs) and bounds maxHamming") {
+    // empty-token docs vote on no bits -> fp exactly 0; without the guard
+    // they'd all share every chunk bucket (one quadratic bucket) AND
+    // report each other as hamming-0 dups
+    val emptyFp = Seq.empty[Long].toDF("h")
+      .agg(SimHash.simhash(collect_list(col("h"))).as("fp")).as[Long].head()
+    assert(emptyFp === 0L)
+    val base = (1 to 300).map(i => s"w$i").mkString(" ")
+    val fp = (Seq((1L, base), (2L, base)) ++ (10L to 14L).map(_ -> ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        when(col("text") === "", lit(0L))
+          .otherwise(SimHash.simhash(TextOps.polyHashAll(TextOps.tokens(col("text"))))).as("fp"))
+    val pairs = SimHash.nearPairs(fp, "doc_id", "fp", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L))) // no pair touches the five fp==0 docs
+    intercept[IllegalArgumentException] {
+      SimHash.nearPairs(fp, "doc_id", "fp", maxHamming = 16)
+    }
+    intercept[IllegalArgumentException] {
+      SimHash.nearPairs(fp, "doc_id", "fp", maxHamming = -1)
+    }
+  }
+
   test("dedupCorpus keeps the lowest id of each near-dup cluster") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val near = (1 to 39).map(i => s"w$i").mkString(" ") + " w99"

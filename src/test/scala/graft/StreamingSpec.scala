@@ -206,6 +206,98 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // ------------------- flagship end-to-end streaming composition (§7.1)
+  test("flagship: stream -> KeepLatest -> stream-static enrich -> sink == batch pipeline") {
+    // the WithDeduplicateJoinJob end-to-end shape: dedup'd updates
+    // enriched against a dimension, routed to a named sink
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("a", "Alpha"), ("b", "Beta")).toDF("iso2", "label")
+    val input = MemoryStream[Upd]
+    val deduped = KeepLatest[String, Upd](input.toDS(), _.iso, (x, y) => x.v > y.v).toDF()
+    val enriched = deduped
+      .join(broadcast(dim), deduped("iso") === dim("iso2"), "left_outer")
+      .select("iso", "capital", "v", "label")
+    val q = graft.sinks.Sinks.memorySink(enriched, "flagship_out", update = true)
+    try {
+      val rows = Seq(Upd("a", "a", 1), Upd("a", "b", 2), Upd("c", "q", 5),
+        Upd("a", "c", 3), Upd("b", "x", 1))
+      rows.grouped(2).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+
+      // latest emission per key == the batch dedup-then-join result
+      val streamed = spark.table("flagship_out")
+        .as[(String, String, Long, String)].collect()
+        .groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._3) }
+      val batch = {
+        val d = operators.Dedup.keepLatest(rows.toDF(), Seq("iso"), Seq(col("v")))
+        d.join(broadcast(dim), d("iso") === dim("iso2"), "left_outer")
+          .select("iso", "capital", "v", "label")
+          .as[(String, String, Long, String)].collect()
+          .map(r => r._1 -> r).toMap
+      }
+      assert(streamed === batch)
+      assert(batch("a") === (("a", "c", 3L, "Alpha")))
+      assert(batch("c") === (("c", "q", 5L, null)))
+    } finally q.stop()
+  }
+
+  // --------------------------------------------- K3 changelog streams
+  test("Changelog.diff emits +I/-U/+U/-D with old-before-new update pairs") {
+    val prev = Seq(Upd("a", "x", 1), Upd("b", "y", 2), Upd("d", "gone", 7)).toDF()
+    val next = Seq(Upd("a", "x", 1), Upd("b", "z", 3), Upd("c", "new", 4)).toDF()
+    val out = graft.streaming.Changelog.diff(prev, next, Seq("iso"))
+      .select("row_kind", "iso", "capital", "v")
+      .as[(String, String, String, Long)].collect()
+    assert(out.toSet === Set(
+      ("-U", "b", "y", 2L), ("+U", "b", "z", 3L),
+      ("+I", "c", "new", 4L), ("-D", "d", "gone", 7L)))
+    // unchanged key "a" emits nothing; -U/+U both present for "b"
+    assert(!out.exists(_._2 == "a"))
+  }
+
+  test("K3 streaming changelog replays to the batch final state (incl. -D via retention)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Upd]
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Array[(String, String, String, Long)]]
+    val q = graft.streaming.Changelog.stream(
+        input.toDS().toDF(), Seq("iso"), Seq(col("v")),
+        retain = col("capital") =!= "dead") { (delta, _) =>
+        perBatch.synchronized {
+          perBatch += delta.select("row_kind", "iso", "capital", "v")
+            .as[(String, String, String, Long)].collect()
+        }
+      }
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    try {
+      // the WithStateTtlJob shape: one key updated repeatedly + a second key
+      input.addData(Upd("a", "a", 1), Upd("a", "b", 2))
+      q.processAllAvailable()
+      input.addData(Upd("a", "c", 3), Upd("b", "x", 1))
+      q.processAllAvailable()
+      input.addData(Upd("a", "d", 4), Upd("b", "dead", 9)) // b evicted -> -D
+      q.processAllAvailable()
+
+      val log = perBatch.synchronized(perBatch.toList)
+      // batch 1: intra-batch churn compacts to one +I of the champion
+      assert(log(0).toSet === Set(("+I", "a", "b", 2L)))
+      assert(log(1).toSet === Set(("-U", "a", "b", 2L), ("+U", "a", "c", 3L), ("+I", "b", "x", 1L)))
+      assert(log(2).toSet === Set(("-U", "a", "c", 3L), ("+U", "a", "d", 4L), ("-D", "b", "x", 1L)))
+
+      // replay: +I/+U upsert, -D delete, -U is the retraction half
+      val state = scala.collection.mutable.Map.empty[String, (String, Long)]
+      log.flatten.foreach {
+        case ("+I" | "+U", iso, cap, v) => state(iso) = (cap, v)
+        case ("-D", iso, _, _) => state.remove(iso)
+        case _ => ()
+      }
+      val batchFinal = operators.Dedup.keepLatest(
+          Seq(Upd("a", "a", 1), Upd("a", "b", 2), Upd("a", "c", 3), Upd("b", "x", 1),
+            Upd("a", "d", 4), Upd("b", "dead", 9)).toDF(), Seq("iso"), Seq(col("v")))
+        .where(col("capital") =!= "dead")
+        .as[Upd].collect().map(u => u.iso -> ((u.capital, u.v))).toMap
+      assert(state.toMap === batchFinal)
+    } finally q.stop()
+  }
+
   // ----------------------------------------------- S5 descriptor source
   test("S5 programmatic source descriptor builds a rate stream") {
     val df = graft.sources.Sources.descriptor(spark, "rate", Map("rowsPerSecond" -> "5"))
