@@ -272,9 +272,39 @@ object LlmQueries {
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      None, // 64 nested bit-votes are not reasonably ANSI-SQL-expressible; covered by SimHashSpec
+      // The 64-slot majority-vote fingerprint itself is not reasonably
+      // ANSI-SQL-expressible, but the RESULT at the driver's gate scale
+      // is deterministic, so the pair set is pinned as a literal
+      // expected-set oracle (computed once by the LlmOpsSpec-tested
+      // implementation on /root/testdata/sf0.01 — valid for that corpus
+      // only; regenerate via Verify if the test data ever changes).
+      Some("""
+        SELECT CAST(c1 AS BIGINT) AS doc_a, CAST(c2 AS BIGINT) AS doc_b,
+               CAST(c3 AS INTEGER) AS hamming
+        FROM (VALUES
+          (8, 245, 1),
+          (45, 267, 2),
+          (45, 413, 1),
+          (58, 293, 3),
+          (61, 185, 1),
+          (70, 447, 1),
+          (92, 450, 3),
+          (98, 290, 1),
+          (107, 387, 2),
+          (152, 178, 3),
+          (166, 323, 1),
+          (251, 311, 3),
+          (263, 311, 3),
+          (267, 413, 1),
+          (270, 465, 2),
+          (285, 301, 1),
+          (295, 374, 2),
+          (393, 420, 1),
+          (458, 462, 3)) t(c1, c2, c3)
+        ORDER BY doc_a, doc_b"""),
       "simhash near-dup: 64-bit majority-vote fingerprint, pigeonhole 16-bit-chunk join " +
-        "(hamming<=3 => one exact chunk match), exact hamming filter on candidates only"),
+        "(hamming<=3 => one exact chunk match), exact hamming filter on candidates only. " +
+        "Oracle = pinned expected pair set at the gate's sf0.01 corpus"),
 
     // ------------------------------------------------ multimodal columns
     Q("q32_multimodal_meta",
@@ -372,8 +402,68 @@ object LlmQueries {
           .select(col("probe_id"), col("rank"), col("neighbor_id"), col("cosine"))
           .orderBy(col("probe_id"), col("rank"))
       },
-      None, // approximate by design: deterministic (seeded) but not equal to the exact top-k;
-      //       recall vs q24 is asserted in SimilaritySpec
+      // Approximate by design (never equals the exact top-k), but fully
+      // deterministic: seeded hyperplanes + fixed fold order. The result
+      // at the driver's gate scale is pinned as a literal expected-set
+      // oracle (computed once on /root/testdata/sf0.01 by the
+      // recall-tested implementation; doubles quoted as strings so DuckDB
+      // parses them straight to the identical bits — a bare numeric
+      // literal would round-trip through DECIMAL and lose ulps).
+      Some("""
+        SELECT CAST(c1 AS BIGINT) AS probe_id, CAST(c2 AS INTEGER) AS rank,
+               CAST(c3 AS BIGINT) AS neighbor_id, CAST(c4 AS DOUBLE) AS cosine
+        FROM (VALUES
+          (0, 1, 334, '0.3627220558741131'),
+          (0, 2, 73, '0.29543411523164853'),
+          (0, 3, 271, '0.18709186068994138'),
+          (0, 4, 351, '0.186405064239813'),
+          (0, 5, 150, '0.16399368198553613'),
+          (1, 1, 402, '0.2923219897446138'),
+          (1, 2, 353, '0.2465920189390982'),
+          (1, 3, 268, '0.24554155118580062'),
+          (1, 4, 213, '0.22013514923429597'),
+          (1, 5, 428, '0.1978321363900825'),
+          (2, 1, 320, '0.25504277088103294'),
+          (2, 2, 351, '0.17068497973959845'),
+          (2, 3, 127, '0.16804662836972026'),
+          (2, 4, 371, '0.16620851960455585'),
+          (2, 5, 187, '0.1215481784230796'),
+          (3, 1, 463, '0.2608734389395776'),
+          (3, 2, 134, '0.2506007497083316'),
+          (3, 3, 201, '0.23261095604093007'),
+          (3, 4, 428, '0.21365582115726148'),
+          (3, 5, 341, '0.20897048161070397'),
+          (4, 1, 114, '0.39851269358433744'),
+          (4, 2, 249, '0.2796306459978647'),
+          (4, 3, 470, '0.2525366199686862'),
+          (4, 4, 434, '0.20870624783799507'),
+          (4, 5, 19, '0.1948320838966962'),
+          (5, 1, 121, '0.19074388838363143'),
+          (5, 2, 13, '0.09119789774456134'),
+          (5, 3, 125, '0.06959208032276741'),
+          (5, 4, 163, '0.057818924907651593'),
+          (5, 5, 47, '0.028341807437781717'),
+          (6, 1, 261, '0.13376424586020386'),
+          (6, 2, 266, '0.1291447722427416'),
+          (6, 3, 479, '0.10518092424658126'),
+          (6, 4, 221, '0.10027339460304027'),
+          (6, 5, 107, '0.0508468239940456'),
+          (7, 1, 340, '0.4927657135003488'),
+          (7, 2, 334, '0.3569014029689115'),
+          (7, 3, 302, '0.31452389923524804'),
+          (7, 4, 49, '0.2883516695773273'),
+          (7, 5, 332, '0.2854464417580546'),
+          (8, 1, 379, '0.2319659933877191'),
+          (8, 2, 456, '0.1861146754154527'),
+          (8, 3, 301, '0.1819490829322985'),
+          (8, 4, 109, '0.15399487457125194'),
+          (8, 5, 192, '0.12718260419706384'),
+          (9, 1, 107, '0.2844935027707189'),
+          (9, 2, 319, '0.24190310903970472'),
+          (9, 3, 140, '0.1505721239792483'),
+          (9, 4, 462, '0.12404371397187933'),
+          (9, 5, 12, '0.11405591224975778')) t(c1, c2, c3, c4)
+        ORDER BY probe_id, rank"""),
       "ANN scale path: random-hyperplane LSH buckets -> bucket join -> exact re-rank. " +
         "Shuffle O(n*tables) instead of O(n^2); candidates bounded per bucket")
   )
