@@ -394,6 +394,101 @@ object LlmQueries {
       "custom typed Aggregator (UDAF, SURVEY §7.6): exact integer moments map-side, " +
         "mean/variance derived from exact sums in one deterministic double expression"),
 
+    // ------------------------------------- exact Jaccard join (AllPairs)
+    Q("q41_jaccard_join",
+      (s, d) => {
+        JaccardJoin.nearDupPairs(T.documents(s, d), "doc_id", "text", num = 6, den = 10)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+            col("inter_size"), col("union_size"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM toks)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_size,
+               CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS union_size
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0
+          AND len(list_intersect(a.sh, b.sh)) * 10 >=
+              6 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        ORDER BY doc_a, doc_b"""),
+      "EXACT n-gram Jaccard join (threshold 0.6) via rarest-first prefix filtering " +
+        "(AllPairs/PPJoin): guaranteed-complete unlike minhash-LSH; candidates from an " +
+        "inverted-index equi-join of prefixes only, never all-pairs. Oracle all-pairs matches " +
+        "EXACTLY because the filter is complete, not probabilistic"),
+
+    // ----------------------------------------------------------- IVF ANN
+    Q("q42_ann_ivf",
+      (s, d) => {
+        val e = T.embeddings(s, d).select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        Ivf.topK(e, e.where(col("vec_id") < 10), "vec_id", "v", k = 5, stride = 16, nprobe = 4)
+          .select(col("probe_id"), col("rank"), col("neighbor_id"), col("cosine"))
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      // Deterministic (sampled centroids, fixed fold order): result at the
+      // gate's sf0.01 corpus pinned as a literal expected-set oracle
+      // (doubles quoted as strings — see q33).
+      Some("""
+        SELECT CAST(c1 AS BIGINT) AS probe_id, CAST(c2 AS INTEGER) AS rank,
+               CAST(c3 AS BIGINT) AS neighbor_id, CAST(c4 AS DOUBLE) AS cosine
+        FROM (VALUES
+          (0, 1, 365, '0.3699935965460897'),
+          (0, 2, 334, '0.3627220558741131'),
+          (0, 3, 387, '0.33113871888314317'),
+          (0, 4, 423, '0.2969335986409863'),
+          (0, 5, 73, '0.29543411523164853'),
+          (1, 1, 64, '0.3163742953318501'),
+          (1, 2, 472, '0.2921091773422224'),
+          (1, 3, 353, '0.2465920189390982'),
+          (1, 4, 165, '0.24386965334651073'),
+          (1, 5, 80, '0.23368964041224172'),
+          (2, 1, 320, '0.25504277088103294'),
+          (2, 2, 418, '0.25402949645206835'),
+          (2, 3, 112, '0.24531081757260517'),
+          (2, 4, 440, '0.23136910975780278'),
+          (2, 5, 97, '0.22500902551884036'),
+          (3, 1, 130, '0.39987234325628024'),
+          (3, 2, 192, '0.290802917949569'),
+          (3, 3, 437, '0.28053528594179866'),
+          (3, 4, 349, '0.24858115688981752'),
+          (3, 5, 218, '0.23118548464801777'),
+          (4, 1, 496, '0.34121178056570023'),
+          (4, 2, 408, '0.32275312529105415'),
+          (4, 3, 482, '0.31389702932135605'),
+          (4, 4, 280, '0.27982608680315935'),
+          (4, 5, 249, '0.2796306459978647'),
+          (5, 1, 157, '0.31125602484760423'),
+          (5, 2, 33, '0.3109867269549467'),
+          (5, 3, 464, '0.2708818117150911'),
+          (5, 4, 266, '0.26094401790649646'),
+          (5, 5, 133, '0.23748043939647323'),
+          (6, 1, 268, '0.2599415986795585'),
+          (6, 2, 252, '0.255629792758746'),
+          (6, 3, 105, '0.20778042003687974'),
+          (6, 4, 115, '0.2050854395975698'),
+          (6, 5, 326, '0.19868398237547547'),
+          (7, 1, 340, '0.4927657135003488'),
+          (7, 2, 425, '0.4075199341921925'),
+          (7, 3, 334, '0.3569014029689115'),
+          (7, 4, 445, '0.34078247055145644'),
+          (7, 5, 0, '0.29284215147436643'),
+          (8, 1, 447, '0.28074172053081703'),
+          (8, 2, 326, '0.2662331466852273'),
+          (8, 3, 314, '0.25580287974774224'),
+          (8, 4, 338, '0.2364453582878314'),
+          (8, 5, 379, '0.2319659933877191'),
+          (9, 1, 49, '0.38517053208433855'),
+          (9, 2, 386, '0.3221179074351903'),
+          (9, 3, 256, '0.2844743732954765'),
+          (9, 4, 198, '0.2586758655955398'),
+          (9, 5, 274, '0.23351579032180036')) t(c1, c2, c3, c4)
+        ORDER BY probe_id, rank"""),
+      "IVF-Flat ANN: deterministically sampled coarse centroids, map-side argmax " +
+        "assignment (broadcast NLJ + partial max agg — the index shuffle is n id rows), " +
+        "nprobe-list candidate fetch + exact re-rank; reads ~nprobe/k of the corpus per probe"),
+
     // ----------------------------------------------------------- LSH ANN
     Q("q33_ann_lsh",
       (s, d) => {

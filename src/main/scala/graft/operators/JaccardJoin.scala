@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** EXACT n-gram Jaccard similarity join via prefix filtering — the
+  * AllPairs/PPJoin family (Bayardo et al., WWW'07; Xiao et al., PPJoin).
+  *
+  * Complements [[MinHash]]: minhash-LSH is probabilistic (a true pair can
+  * miss every band), prefix filtering is exact-COMPLETE — every pair with
+  * Jaccard >= t is guaranteed to surface, with no signature tuning.
+  * The price is an inverted-index build (token-frequency agg + per-doc
+  * re-sort) instead of minhash's O(b) bucket rows per doc.
+  *
+  * Pipeline:
+  *   1. shingle: distinct word n-grams per doc (native expression,
+  *      scan-side);
+  *   2. canonical order: global shingle document-frequencies (one agg),
+  *      then each doc's shingles sorted rarest-first — the order that
+  *      makes prefixes maximally selective;
+  *   3. prefix: the first p = |S| - ceil(t*|S|) + 1 shingles per doc.
+  *      Completeness: if J(A,B) >= t then |A \ B| <= (1-t)*|A|, so A's
+  *      first common shingle sits within its first (1-t)*|A|+1 <= p_A
+  *      canonical positions (same for B) — the pair MUST share a prefix
+  *      shingle;
+  *   4. candidates: equi-self-join of the exploded prefixes — the ONLY
+  *      candidate shuffle, O(sum of prefix sizes), never all-pairs;
+  *   5. verify: exact integer Jaccard on candidates (inter*den >=
+  *      num*union — no float threshold).
+  *
+  * 100 TB notes: every stage is an equi-shuffle (explode/agg/join) AQE
+  * can split on skew. Rarest-first ordering pushes boilerplate
+  * (high-frequency) shingles OUT of prefixes, so hot buckets are rare by
+  * construction — the reason prefix filtering, not plain inverted-index
+  * join, is the web-dedup standard.
+  */
+object JaccardJoin {
+
+  /** Exact pairs (idA < idB) with shingle-Jaccard >= num/den. Output:
+    * (id_a, id_b, inter_size, union_size) — the same verified shape as
+    * [[MinHash.nearDupPairs]], but guaranteed complete.
+    */
+  def nearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      ngram: Int = 3,
+      num: Int = 8,
+      den: Int = 10): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, s"threshold num/den must be in (0,1], got $num/$den")
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    // docs with < ngram tokens have empty shingle sets: Jaccard undefined
+    // (0/0), can never reach a positive threshold — drop before indexing
+    val sh = docs
+      .repartition(par, col(idCol))
+      .where(size(TextOps.tokens(col(textCol))) >= ngram)
+      .select(
+        col(idCol).as("__id"),
+        TextOps.shingles(TextOps.tokens(col(textCol)), ngram).as("__sh"))
+
+    val tok = sh.select(col("__id"), explode(col("__sh")).as("__s"))
+    val dfreq = tok.groupBy(col("__s")).agg(count(lit(1)).as("__df"))
+    // canonical rarest-first order ((df, shingle) asc — the shingle
+    // tiebreak makes the order total, hence deterministic)
+    val ordered = tok.join(dfreq, Seq("__s"))
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("__s")))).as("__ord"))
+      .select(
+        col("__id"),
+        transform(col("__ord"), x => x.getField("__s")).as("__canon"),
+        size(col("__ord")).as("__n"))
+
+    // p = n - ceil(num*n/den) + 1, all-integer: ceil(a/b) = (a+b-1) div b
+    val p = (col("__n") - floor((col("__n") * num + lit(den - 1)) / lit(den)).cast("int") + 1)
+    val prefix = ordered.select(col("__id"), explode(slice(col("__canon"), lit(1), p)).as("__s"))
+    val cands = prefix.select(col("__id").as("id_a"), col("__s"))
+      .join(prefix.select(col("__id").as("id_b"), col("__s")), Seq("__s"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+
+    val sets = sh.select(col("__id"), col("__sh"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    cands
+      .join(sets.select(col("__id").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("__id").as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
+      .select(
+        col("id_a"), col("id_b"),
+        inter.as("inter_size"),
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long").minus(inter).as("union_size"))
+      .where(col("inter_size") * den >= col("union_size") * num)
+  }
+}

@@ -88,6 +88,63 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("JaccardJoin == brute-force all-pairs on a corpus with threshold-boundary pairs") {
+    // prefix filtering must be COMPLETE: verify against brute force,
+    // including pairs exactly at the integer threshold boundary
+    val docs = (0 until 24).map { i =>
+      // sliding windows over a shared vocabulary -> a spectrum of overlaps
+      val start = (i * 3) % 30
+      (i.toLong, (start until start + 12).map(j => s"w$j").mkString(" "))
+    } ++ Seq(
+      (100L, "a b c d e f g h"),
+      (101L, "a b c d e f g h"), // identical -> J=1
+      (102L, "a b c d e f g x"), // high overlap
+      (200L, "p q")) // too short for 3-grams -> dropped
+    val df = docs.toDF("doc_id", "text")
+    val got = JaccardJoin.nearDupPairs(df, "doc_id", "text", num = 6, den = 10)
+      .select("id_a", "id_b", "inter_size", "union_size")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    def shingleSet(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val brute = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      sa = shingleSet(ta) if ta.split(" ").length >= 3
+      sb = shingleSet(tb) if tb.split(" ").length >= 3
+      inter = (sa & sb).size.toLong
+      union = (sa | sb).size.toLong
+      if inter * 10 >= union * 6
+    } yield (ia, ib, inter, union)).toSet
+    assert(got === brute)
+    assert(brute.contains((100L, 101L, 6L, 6L))) // the identical pair surfaced
+    assert(brute.exists { case (a, b, _, _) => a < 24 && b < 24 }) // window overlaps too
+  }
+
+  test("Ivf.topK with nprobe == all centroids equals bruteTopK exactly") {
+    // 2-D vectors on a circle: cosine structure is hand-checkable, and
+    // probing every list makes IVF an exact search
+    val vecs = (0L until 60L).map { i =>
+      val a = i.toDouble / 60.0 * 2 * math.Pi
+      (i, Seq(math.cos(a), math.sin(a)))
+    }.toDF("vec_id", "v")
+    val probes = vecs.where(col("vec_id").isin(1L, 25L))
+    val ivfAll = Ivf.topK(vecs, probes, "vec_id", "v", k = 3, stride = 10, nprobe = 6)
+      .select("probe_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val brute = Similarity.bruteTopK(vecs, probes, "vec_id", "v", k = 3)
+      .select("probe_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(ivfAll === brute)
+    // neighbors on a circle are the adjacent angles
+    assert(brute.contains((1L, 1, 2L)) || brute.contains((1L, 1, 0L)))
+
+    // restricted probing still finds same-region neighbors and is deterministic
+    val ivf2a = Ivf.topK(vecs, probes, "vec_id", "v", k = 3, stride = 10, nprobe = 2)
+      .select("probe_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val ivf2b = Ivf.topK(vecs, probes, "vec_id", "v", k = 3, stride = 10, nprobe = 2)
+      .select("probe_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(ivf2a === ivf2b)
+    assert((ivf2a & brute).size.toDouble / brute.size >= 0.5, s"recall too low: $ivf2a vs $brute")
+  }
+
   test("dedupCorpus keeps the lowest id of each near-dup cluster") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val near = (1 to 39).map(i => s"w$i").mkString(" ") + " w99"
