@@ -581,6 +581,25 @@ object ParityQueries {
                  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
           FROM customer WHERE c_nationkey = n_nationkey) t ON TRUE
         ORDER BY n_name"""),
-      "J2: LEFT JOIN LATERAL correlated subquery (DataStreamJob.java:116-120)")
+      "J2: LEFT JOIN LATERAL correlated subquery (DataStreamJob.java:116-120)"),
+
+    // ------------------------------------------------- salted skew join
+    Q("q43_salted_join",
+      (s, d) => {
+        SkewJoin.salted(T.lineitem(s, d), T.supplier(s, d), "l_suppkey", "s_suppkey", salt = 8)
+          .groupBy(col("s_nationkey"))
+          .agg(
+            count(lit(1)).as("n_items"),
+            sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+          .orderBy(col("s_nationkey"))
+      },
+      Some("""
+        SELECT s_nationkey, count(*) AS n_items,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey ORDER BY s_nationkey"""),
+      "salted skew join: big side salted deterministically into 8 sub-keys, small side " +
+        "replicated 8x — one hot key spreads over 8 reducers; result provably identical to " +
+        "the plain equi-join (the oracle IS the plain join)")
   )
 }

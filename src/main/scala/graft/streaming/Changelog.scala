@@ -88,6 +88,47 @@ object Changelog {
         .where(retain)
         .localCheckpoint(true) // truncate lineage: O(1) plan depth across batches
       sink(diff(prev, next, keys), batchId)
+      // the replaced snapshot's cached blocks become unreachable here;
+      // Spark's ContextCleaner unpersists them on GC
+      snapshot = Some(next)
+    }
+  }
+
+  /** Changelog of a (windowed) AGGREGATION — the reference's other
+    * retraction shape (`WindowsProctimeAggJob.java:84`: window counts
+    * printed as a changelog, each window's count retracting its previous
+    * value as rows arrive).
+    *
+    * `partial` maps one micro-batch to PARTIAL aggregate rows
+    * (keys ++ `mergeCols`), where every merge column is sum-mergeable
+    * with a union-stable type (counts and sums over long/double — cast
+    * in `partial`; Spark's default decimal sum widening would drift the
+    * snapshot schema batch-to-batch). The running snapshot holds MERGED
+    * partials per key, so a batch costs one batch-local partial agg +
+    * one merge over O(live keys) snapshot rows — incremental, never a
+    * recompute of history. This is exactly Spark's own partial/final agg
+    * split, held open across batches.
+    */
+  def aggChangelog(
+      updates: DataFrame,
+      partial: DataFrame => DataFrame,
+      keys: Seq[String],
+      mergeCols: Seq[String])(sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    require(mergeCols.nonEmpty, "need at least one merge column")
+    var snapshot: Option[DataFrame] = None
+    updates.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val p = partial(batch)
+      val prev = snapshot.getOrElse(
+        batch.sparkSession.createDataFrame(new java.util.ArrayList[Row](), p.schema))
+      val merged = prev.unionByName(p)
+        .groupBy(keys.map(col): _*)
+        .agg(sum(col(mergeCols.head)).as(mergeCols.head),
+          mergeCols.tail.map(c => sum(col(c)).as(c)): _*)
+      // column order can differ after groupBy/agg; restore the partial's
+      require(merged.columns.sorted.sameElements(p.columns.sorted),
+        s"partial must emit exactly keys ++ mergeCols: ${p.columns.mkString(",")}")
+      val next = merged.select(p.columns.map(col): _*).localCheckpoint(true)
+      sink(diff(prev, next, keys), batchId)
       snapshot = Some(next)
     }
   }

@@ -66,6 +66,65 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q41 exact Jaccard join plans inverted-index equi-joins — never all-pairs") {
+    val q = SparkEntry.queries("q41_jaccard_join")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q42 IVF: only the broadcast centroid scoring is non-equi; candidate joins are hashed") {
+    val q = SparkEntry.queries("q42_ann_ivf")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // centroid scoring is an intentional small-side broadcast NLJ; the
+    // candidate fetch and re-rank must be equi-joins
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("salted join equals the plain join (inner and left), including unmatched rows") {
+    val big = Seq(("hot", 1), ("hot", 2), ("hot", 3), ("cold", 4), ("none", 5))
+      .toDF("k", "v")
+    val small = Seq(("hot", "H"), ("cold", "C"), ("unused", "U")).toDF("sk", "tag")
+    def plain(t: String) = big.join(small, big("k") === small("sk"), t)
+      .select("k", "v", "tag").as[(String, Int, String)].collect().toSet
+    def salted(t: String) = SkewJoin.salted(big, small, "k", "sk", salt = 4, joinType = t)
+      .select("k", "v", "tag").as[(String, Int, String)].collect().toSet
+    assert(salted("inner") === plain("inner"))
+    assert(salted("left_outer") === plain("left_outer"))
+    assert(plain("left_outer").contains(("none", 5, null))) // unmatched survives the salt
+    // the join really runs on (key, salt): both columns in the join keys
+    val cond = SkewJoin.salted(big, small, "k", "sk", salt = 4)
+      .queryExecution.optimizedPlan.toString
+    assert(cond.contains("__salt"), cond)
+  }
+
+  test("co-located join of same-bucketed tables plans ZERO exchanges") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.sinks.Bucketing.writeBucketed(
+        Tables.orders(spark, sf).select("o_orderkey", "o_totalprice"),
+        "b_orders", "o_orderkey", buckets = 4)
+      graft.sinks.Bucketing.writeBucketed(
+        Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity"),
+        "b_lineitem", "l_orderkey", buckets = 4)
+      val j = graft.sinks.Bucketing.coLocatedJoin(
+        spark, "b_orders", "b_lineitem", "o_orderkey", "l_orderkey")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      // and it still computes the right thing
+      val expected = Tables.orders(spark, sf).join(
+          Tables.lineitem(spark, sf),
+          col("o_orderkey") === col("l_orderkey")).count()
+      assert(j.count() === expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("minhash candidate generation plans a bucket equi-join, not a cross join") {
     val docs = Tables.documents(spark, sf)
     val sh = docs.select(col("doc_id"),

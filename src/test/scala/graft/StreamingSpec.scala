@@ -298,6 +298,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("K3 aggregation changelog: window counts retract and replay to the batch agg") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Long)]
+    def winKeys(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("iso", "ts", "v")
+        .groupBy(col("iso"), date_trunc("minute", col("ts")).as("win"))
+        .agg(count(lit(1)).cast("long").as("n"), sum(col("v")).cast("long").as("s"))
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Array[(String, String, Timestamp, Long, Long)]]
+    val q = graft.streaming.Changelog.aggChangelog(
+        input.toDS().toDF("iso", "ts", "v"), winKeys, Seq("iso", "win"), Seq("n", "s")) { (delta, _) =>
+        perBatch.synchronized {
+          perBatch += delta.select("row_kind", "iso", "win", "n", "s")
+            .as[(String, String, Timestamp, Long, Long)].collect()
+        }
+      }
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    try {
+      def t(min: Int, sec: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d")
+      input.addData(("a", t(0, 10), 5L), ("a", t(0, 20), 7L), ("b", t(0, 30), 1L))
+      q.processAllAvailable()
+      input.addData(("a", t(0, 40), 2L), ("a", t(2, 0), 9L))
+      q.processAllAvailable()
+
+      val log = perBatch.synchronized(perBatch.toList)
+      val w0 = t(0, 0)
+      assert(log(0).toSet === Set(("+I", "a", w0, 2L, 12L), ("+I", "b", w0, 1L, 1L)))
+      // batch 2: window (a, 00:00) retracts 2/12 and re-asserts 3/14; new window +I
+      assert(log(1).toSet === Set(
+        ("-U", "a", w0, 2L, 12L), ("+U", "a", w0, 3L, 14L),
+        ("+I", "a", t(2, 0), 1L, 9L)))
+
+      // replay == batch aggregation of everything
+      val state = scala.collection.mutable.Map.empty[(String, Timestamp), (Long, Long)]
+      log.flatten.foreach {
+        case ("+I" | "+U", iso, win, n, s) => state((iso, win)) = (n, s)
+        case ("-D", iso, win, _, _) => state.remove((iso, win))
+        case _ => ()
+      }
+      val batchAgg = winKeys(Seq(
+          ("a", t(0, 10), 5L), ("a", t(0, 20), 7L), ("b", t(0, 30), 1L),
+          ("a", t(0, 40), 2L), ("a", t(2, 0), 9L)).toDF("iso", "ts", "v"))
+        .as[(String, Timestamp, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+      assert(state.toMap === batchAgg)
+    } finally q.stop()
+  }
+
   // ----------------------------------------------- S5 descriptor source
   test("S5 programmatic source descriptor builds a rate stream") {
     val df = graft.sources.Sources.descriptor(spark, "rate", Map("rowsPerSecond" -> "5"))
