@@ -322,6 +322,36 @@ object LlmQueries {
       "multimodal plumbing: opaque binary payload + typed metadata struct, scan-side header " +
         "features. Batched decode stub lives in Multimodal.decodeFeatures (MultimodalSpec)"),
 
+    // ------------------------------------- multimodal batched decode path
+    Q("q44_multimodal_decode",
+      (s, d) => {
+        import s.implicits._
+        val media = Multimodal.pack(T.documents(s, d), "doc_id", "text")
+          .select(col("doc_id"), col("payload"), col("meta.format").as("format"),
+            col("meta.width").as("width"), col("meta.height").as("height"))
+          .as[Multimodal.MediaRow]
+        Multimodal.decodeFeatures(s, media, s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("n_bytes"), col("mean_byte"))
+          .orderBy(col("doc_id"))
+      },
+      // the decode runs through the partition-batched mapPartitions path;
+      // byte sums are exact integers, the mean is one double division —
+      // DuckDB reproduces both from the UTF-8 blob's hex pairs
+      Some("""
+        WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+                          octet_length(encode(text)) AS n FROM documents),
+        s AS (SELECT doc_id, n,
+                     CAST(coalesce(list_sum(list_transform(range(1, n + 1),
+                       i -> CAST('0x' || substr(hx, (i-1)*2 + 1, 2) AS INTEGER))), 0) AS BIGINT) AS bsum
+              FROM b)
+        SELECT doc_id, CAST(n AS INTEGER) AS n_bytes,
+               CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
+                    ELSE CAST(bsum AS DOUBLE) / CAST(n AS DOUBLE) END AS mean_byte
+        FROM s ORDER BY doc_id"""),
+      "multimodal batched decode under the oracle gate: pack -> typed Dataset -> " +
+        "partition-batched mapPartitions decode (the real codec shape; stub emits exact " +
+        "byte stats) -> per-doc features. Exercises the one justified mapPartitions path"),
+
     // ------------------------------------------------ J5 fluent lateral
     Q("q35_lateral_fluent",
       (s, d) => {

@@ -153,6 +153,40 @@ case class ShingleArray(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** array<string> -> long: count of elements (with multiplicity) in a
+  * fixed word set. The native twin of `size(filter(toks, isin(...)))` —
+  * that HOF chain runs interpreted per row and sits in the hot map stage
+  * of language-ID (5 marker sets per doc) and quality scoring (stopword
+  * ratio); this is a hash-set probe loop inside codegen.
+  */
+case class WordSetCount(child: Expression, words: Seq[String]) extends UnaryExpression {
+  require(words.nonEmpty, "word set must not be empty")
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"graft_word_count needs array<string>, got $t")
+    }
+
+  @transient private lazy val set: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+    val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](words.size * 2)
+    words.foreach(w => s.add(org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashRuntime.countInSet(input.asInstanceOf[ArrayData], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("wordSet", set, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashRuntime.countInSet($c, $setRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordSetCount =
+    copy(child = newChild)
+}
+
 object HashExprs {
   /** Column wrappers. */
   def polyHashArray(c: Column): Column =
@@ -163,4 +197,6 @@ object HashExprs {
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(c), seed))
   def shingles(c: Column, n: Int): Column =
     GraftColumnBridge.column(ShingleArray(GraftColumnBridge.expression(c), n))
+  def wordSetCount(c: Column, words: Seq[String]): Column =
+    GraftColumnBridge.column(WordSetCount(GraftColumnBridge.expression(c), words))
 }

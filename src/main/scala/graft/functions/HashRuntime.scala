@@ -128,6 +128,21 @@ object HashRuntime {
     new GenericArrayData(out.toArray)
   }
 
+  /** Count of array elements (with multiplicity) present in `set`. Null
+    * elements don't count — the `filter(toks, isin(...))` semantics this
+    * replaces.
+    */
+  def countInSet(arr: ArrayData, set: java.util.HashSet[UTF8String]): Long = {
+    val n = arr.numElements()
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** In-order dot product of two double arrays: sequential left fold of
     * element products (fixed IEEE evaluation order — identical bits to
     * the oracle's list_sum fold). Returns null when lengths differ or

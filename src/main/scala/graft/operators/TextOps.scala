@@ -75,9 +75,13 @@ object TextOps {
       lit(0L),
       (acc, c) => acc + c)
 
-  /** Count of tokens that appear in `words`. */
+  /** Count of tokens (with multiplicity) that appear in `words`. Native
+    * expression ([[graft.functions.WordSetCount]]) — the
+    * `size(filter(isin))` HOF it replaces ran interpreted in the hot map
+    * stage of language-ID (5 sets per doc) and quality scoring.
+    */
   def wordCount(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isin(words.map(w => w: Any): _*))).cast("long")
+    graft.functions.HashExprs.wordSetCount(toks, words)
 
   /** English-ish stopwords present in the synthetic corpus vocabulary. */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")

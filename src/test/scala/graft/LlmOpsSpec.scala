@@ -27,6 +27,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(1) === Seq.empty)
   }
 
+  test("wordCount: multiplicity counted, non-members and nulls skipped") {
+    val df = Seq(
+      ("the cat the hat", 2L), // 'the' twice
+      ("dog", 0L),
+      ("a the a", 3L)).toDF("t", "want")
+    val got = df.select(TextOps.wordCount(TextOps.tokens(col("t")), Seq("the", "a")).as("n"), col("want"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (n, want) => assert(n === want) }
+    // equivalence with the HOF formulation it replaced
+    val hof = df.select(size(filter(TextOps.tokens(col("t")),
+      x => x.isin("the", "a"))).cast("long")).as[Long].collect()
+    assert(got.map(_._1).toSeq === hof.toSeq)
+  }
+
   test("minhash: identical shingle sets give identical signatures; disjoint differ") {
     val df = Seq("x y z w v", "x y z w v", "p q r s t").toDF("t")
       .select(MinHash.signature(TextOps.polyHashAll(
