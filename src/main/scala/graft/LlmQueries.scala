@@ -424,6 +424,30 @@ object LlmQueries {
       "custom typed Aggregator (UDAF, SURVEY §7.6): exact integer moments map-side, " +
         "mean/variance derived from exact sums in one deterministic double expression"),
 
+    // ------------------------------------ deterministic train/val split
+    Q("q45_train_split",
+      (s, d) => {
+        val split = when(TextOps.hashBucket(col("text"), 100) < 90, lit("train"))
+          .otherwise(lit("val"))
+        T.documents(s, d)
+          .select(col("lang"), split.as("split"))
+          .groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("lang"), col("split"))
+      },
+      Some("""
+        WITH h AS (SELECT lang,
+          CASE WHEN list_reduce(list_prepend(CAST(7 AS BIGINT),
+                 list_transform(range(1, length(text)+1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+                 (a, c) -> (a*31 + c) % 1000000007) % 100 < 90
+               THEN 'train' ELSE 'val' END AS split
+          FROM documents)
+        SELECT lang, split, count(*) AS n_docs
+        FROM h GROUP BY lang, split ORDER BY lang, split"""),
+      "deterministic train/val split: content-hash bucket (polyHash mod 100, 90/10) — " +
+        "stable across runs/engines/cluster layouts unlike rand(); map-side assignment, " +
+        "one count shuffle; the oracle reproduces the exact same assignment"),
+
     // ------------------------------------- exact Jaccard join (AllPairs)
     Q("q41_jaccard_join",
       (s, d) => {

@@ -84,6 +84,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ShingleArray(args.head, n.toInt)
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_word_count"),
+      info("graft_word_count",
+        "graft_word_count(tokens, words) - count of tokens present in the literal word array"),
+      (args: Seq[Expression]) => {
+        checkArity("graft_word_count", args, 2)
+        val wordsExpr = args(1)
+        if (!wordsExpr.foldable) {
+          fail(s"graft_word_count: words (argument 2) must be a literal array, got ${wordsExpr.sql}")
+        }
+        wordsExpr.dataType match {
+          case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, _) => ()
+          case t => fail(s"graft_word_count: words must be array<string>, got $t")
+        }
+        val words = wordsExpr.eval() match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            (0 until a.numElements()).map { i =>
+              if (a.isNullAt(i)) fail("graft_word_count: words must not contain null")
+              a.getUTF8String(i).toString
+            }
+          case other => fail(s"graft_word_count: words must be an array<string> literal, got $other")
+        }
+        if (words.isEmpty) fail("graft_word_count: words must not be empty")
+        WordSetCount(args.head, words)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       info("graft_dot",
         "graft_dot(a, b) - in-order dot product of two double arrays"),

@@ -37,16 +37,22 @@ object TextOps {
     */
   def shingles(toks: Column, n: Int): Column = graft.functions.HashExprs.shingles(toks, n)
 
-  /** Polynomial rolling hash of a string: fold over 1-indexed character
-    * positions, acc = (acc*31 + codepoint) mod 1e9+7, acc0 = 7.
-    * (Position-indexed substr, not split-on-empty — Java's split("")
-    * semantics differ from other engines' and would break the oracle.)
+  /** Polynomial rolling hash of a string: fold over code points,
+    * acc = (acc*31 + codepoint) mod 1e9+7, acc0 = 7 — reproducible in the
+    * oracle as a fold over 1-indexed `substr` positions. Native kernel
+    * (the single-element form of [[polyHashAll]]); the interpreted
+    * `aggregate(transform(sequence(...)))` twin it replaces ran one
+    * lambda dispatch per character.
     */
   def polyHash(s: Column): Column =
-    aggregate(
-      transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1))).cast("long")),
-      lit(WordSeed),
-      (acc, c) => (acc * WordMul + c) % Mod)
+    element_at(graft.functions.HashExprs.polyHashArray(array(s)), 1)
+
+  /** Deterministic corpus split: polyHash(text) mod `buckets` — the
+    * reproducible train/validation assignment a training pipeline needs
+    * (stable across runs, engines and cluster layouts; never `rand()`).
+    */
+  def hashBucket(s: Column, buckets: Int): Column =
+    pmod(polyHash(s), lit(buckets.toLong))
 
   /** Per-element polynomial hashes of an array of strings. Native
     * expression (identical math to [[polyHash]]) — tokenized docs hash

@@ -50,7 +50,8 @@ class ExtensionsSpec extends AnyFunSuite {
                  graft_minhash(graft_poly_hash_array(split(text, ' ')), 4, 42) AS mh,
                  graft_simhash(graft_poly_hash_array(split(text, ' ')), 42) AS sh,
                  graft_shingles(split(text, ' '), 2) AS sg,
-                 graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp
+                 graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
+                 graft_word_count(split(text, ' '), array('hello', 'x')) AS wc
           FROM ext_docs""").head()
         def wh(w: String) = w.foldLeft(7L)((a, c) => (a * 31 + c) % 1000000007L)
         assert(row.getSeq[Long](0) === Seq(wh("hello"), wh("world")))
@@ -64,6 +65,7 @@ class ExtensionsSpec extends AnyFunSuite {
         assert(row.getLong(2) === viaApi)
         assert(row.getSeq[String](3) === Seq("hello world"))
         assert(row.getDouble(4) === 11.0)
+        assert(row.getLong(5) === 1L)
       } finally spark.catalog.dropTempView("ext_docs")
     }
   }
@@ -90,6 +92,13 @@ class ExtensionsSpec extends AnyFunSuite {
           spark.sql("SELECT graft_simhash(array('a'), 42)").collect())
         assert(e4.getMessage.toLowerCase.contains("array<bigint>")
           || e4.getMessage.contains("DATATYPE_MISMATCH"), e4.getMessage)
+        // non-literal / wrong-typed word set
+        val e5 = intercept[AnalysisException](
+          spark.sql("SELECT graft_word_count(array('a'), array(1, 2))").collect())
+        assert(e5.getMessage.contains("array<string>"), e5.getMessage)
+        val e6 = intercept[AnalysisException](
+          spark.sql("SELECT graft_word_count(array('a'), array(cast(k AS string))) FROM ext_args").collect())
+        assert(e6.getMessage.contains("literal"), e6.getMessage)
       } finally spark.catalog.dropTempView("ext_args")
     }
   }
