@@ -424,6 +424,46 @@ object LlmQueries {
       "custom typed Aggregator (UDAF, SURVEY §7.6): exact integer moments map-side, " +
         "mean/variance derived from exact sums in one deterministic double expression"),
 
+    // -------------------------------------- length-distribution quantiles
+    Q("q46_length_quantiles",
+      (s, d) => {
+        T.registerAll(s, d)
+        // discrete quantiles via explicit integer ranks (rank_p =
+        // ceil(p*n) computed with integer division) — bit-exact across
+        // engines, unlike interpolating percentile whose float rank
+        // arithmetic can differ by ulps. One window sort per group: the
+        // shape distributed exact quantiles need; at 100 TB switch to
+        // approx_percentile (t-digest sketch, map-side mergeable) and
+        // accept the documented error bound.
+        s.sql("""
+          WITH t AS (SELECT lang, CAST(size(split(lower(text), ' ')) AS BIGINT) AS ntok FROM documents),
+          r AS (SELECT lang, ntok,
+                       row_number() OVER (PARTITION BY lang ORDER BY ntok) AS rn,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM t)
+          SELECT lang, max(n) AS n_docs,
+                 min(CASE WHEN rn = (n + 1) div 2 THEN ntok END) AS p50,
+                 min(CASE WHEN rn = (n * 9 + 9) div 10 THEN ntok END) AS p90,
+                 min(CASE WHEN rn = (n * 99 + 99) div 100 THEN ntok END) AS p99,
+                 max(ntok) AS p100
+          FROM r GROUP BY lang ORDER BY lang""")
+      },
+      Some("""
+        WITH t AS (SELECT lang, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ntok FROM documents),
+        r AS (SELECT lang, ntok,
+                     row_number() OVER (PARTITION BY lang ORDER BY ntok) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM t)
+        SELECT lang, max(n) AS n_docs,
+               min(CASE WHEN rn = (n + 1) // 2 THEN ntok END) AS p50,
+               min(CASE WHEN rn = (n * 9 + 9) // 10 THEN ntok END) AS p90,
+               min(CASE WHEN rn = (n * 99 + 99) // 100 THEN ntok END) AS p99,
+               max(ntok) AS p100
+        FROM r GROUP BY lang ORDER BY lang"""),
+      "doc-length distribution per language: exact discrete p50/p90/p99 via integer " +
+        "ranks (ceil(p*n) in integer division — no float rank ulps); the length-filter " +
+        "thresholds a training-data pipeline derives. Scale path: approx_percentile sketch"),
+
     // ------------------------------------ deterministic train/val split
     Q("q45_train_split",
       (s, d) => {

@@ -14,19 +14,22 @@ import org.apache.spark.sql.functions._
   *
   * Pipeline:
   *   1. shingle: distinct word n-grams per doc (native expression,
-  *      scan-side);
-  *   2. canonical order: global shingle document-frequencies (one agg),
-  *      then each doc's shingles sorted rarest-first — the order that
-  *      makes prefixes maximally selective;
+  *      scan-side), then 8-byte polynomial hashes for the index stages
+  *      (strings only re-enter at verify);
+  *   2. canonical order: global shingle-hash document-frequencies (one
+  *      agg), then each doc's hashes sorted rarest-first — the order
+  *      that makes prefixes maximally selective;
   *   3. prefix: the first p = |S| - ceil(t*|S|) + 1 shingles per doc.
   *      Completeness: if J(A,B) >= t then |A \ B| <= (1-t)*|A|, so A's
   *      first common shingle sits within its first (1-t)*|A|+1 <= p_A
   *      canonical positions (same for B) — the pair MUST share a prefix
-  *      shingle;
+  *      key (string-equal shingles always hash-equal; a hash collision
+  *      can only ADD a candidate, never hide one);
   *   4. candidates: equi-self-join of the exploded prefixes — the ONLY
   *      candidate shuffle, O(sum of prefix sizes), never all-pairs;
-  *   5. verify: exact integer Jaccard on candidates (inter*den >=
-  *      num*union — no float threshold).
+  *   5. verify: exact integer Jaccard on the candidates' true string
+  *      sets (inter*den >= num*union — no float threshold, and any
+  *      hash-collision false candidate dies here).
   *
   * 100 TB notes: every stage is an equi-shuffle (explode/agg/join) AQE
   * can split on skew. Rarest-first ordering pushes boilerplate
@@ -58,23 +61,31 @@ object JaccardJoin {
         col(idCol).as("__id"),
         TextOps.shingles(TextOps.tokens(col(textCol)), ngram).as("__sh"))
 
-    val tok = sh.select(col("__id"), explode(col("__sh")).as("__s"))
-    val dfreq = tok.groupBy(col("__s")).agg(count(lit(1)).as("__df"))
-    // canonical rarest-first order ((df, shingle) asc — the shingle
-    // tiebreak makes the order total, hence deterministic)
-    val ordered = tok.join(dfreq, Seq("__s"))
+    // the index pipeline works on 8-byte shingle HASHES, not the strings:
+    // the frequency agg, per-doc re-sort and prefix self-join shuffle ~3x
+    // fewer bytes. Hash collisions are safe for COMPLETENESS — a string-
+    // equal shingle always hash-matches, so every true pair still shares
+    // a prefix key; a collision can only add a false candidate, and the
+    // verify stage re-checks the real string sets
+    val tok = sh
+      .select(col("__id"), graft.functions.HashExprs.polyHashArray(col("__sh")).as("__hs"))
+      .select(col("__id"), explode(col("__hs")).as("__h"))
+    val dfreq = tok.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+    // canonical rarest-first order ((df, hash) asc — the hash tiebreak
+    // makes the order total, hence deterministic)
+    val ordered = tok.join(dfreq, Seq("__h"))
       .groupBy(col("__id"))
-      .agg(sort_array(collect_list(struct(col("__df"), col("__s")))).as("__ord"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("__h")))).as("__ord"))
       .select(
         col("__id"),
-        transform(col("__ord"), x => x.getField("__s")).as("__canon"),
+        transform(col("__ord"), x => x.getField("__h")).as("__canon"),
         size(col("__ord")).as("__n"))
 
     // p = n - ceil(num*n/den) + 1, all-integer: ceil(a/b) = (a+b-1) div b
     val p = (col("__n") - floor((col("__n") * num + lit(den - 1)) / lit(den)).cast("int") + 1)
-    val prefix = ordered.select(col("__id"), explode(slice(col("__canon"), lit(1), p)).as("__s"))
-    val cands = prefix.select(col("__id").as("id_a"), col("__s"))
-      .join(prefix.select(col("__id").as("id_b"), col("__s")), Seq("__s"))
+    val prefix = ordered.select(col("__id"), explode(slice(col("__canon"), lit(1), p)).as("__h"))
+    val cands = prefix.select(col("__id").as("id_a"), col("__h"))
+      .join(prefix.select(col("__id").as("id_b"), col("__h")), Seq("__h"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()

@@ -78,6 +78,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("KeepLatest state survives a checkpointed restart (stale rows stay rejected)") {
+    implicit val sqlCtx = spark.sqlContext
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ckpt_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_state").toString
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Upd]
+    def appendRows(rows: Upd*): Unit =
+      rows.toDF().coalesce(1).write.mode("append").parquet(srcDir)
+    def start() = {
+      val stream = spark.readStream
+        .schema(Seq.empty[Upd].toDF().schema)
+        .parquet(srcDir)
+        .as[Upd]
+      KeepLatest[String, Upd](stream, _.iso, (a, b) => a.v > b.v)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Upd], _: Long) =>
+          val rows = batch.collect()
+          emitted.synchronized { emitted ++= rows; () }
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(Trigger.ProcessingTime(0L))
+        .start()
+    }
+    // phase 1: establish a champion, then stop the query
+    appendRows(Upd("a", "x", 5))
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(emitted.synchronized(emitted.toSet) === Set(Upd("a", "x", 5)))
+
+    // phase 2: restart from the checkpoint; a STALE row for the old key
+    // must be rejected by the recovered state, a new key emits normally
+    appendRows(Upd("a", "old", 1), Upd("b", "y", 2))
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val all = emitted.synchronized(emitted.toSet)
+    assert(all.contains(Upd("b", "y", 2)))
+    assert(!all.contains(Upd("a", "old", 1)), s"recovered state lost the champion: $all")
+  }
+
   test("KeepLatest transition: champion updates, stale rows ignored, TTL set") {
     val f = KeepLatest.transition[String, Upd]((a, b) => a.v > b.v, ttlMs = Some(60000L)) _
     val s0 = TestGroupState.create[Upd](
