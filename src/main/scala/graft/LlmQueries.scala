@@ -424,6 +424,38 @@ object LlmQueries {
       "custom typed Aggregator (UDAF, SURVEY §7.6): exact integer moments map-side, " +
         "mean/variance derived from exact sums in one deterministic double expression"),
 
+    // ------------------------------------------ sketched distinct counts
+    Q("q47_sketch_vocab",
+      (s, d) => {
+        // HLL++ sketch next to the exact count: at 100 TB the exact
+        // distinct needs a two-level shuffle of every distinct token;
+        // the sketch is a fixed-size register set, map-side mergeable,
+        // one tiny shuffle. Deterministic: fixed hash, register-wise max
+        // merge is order-independent — so the sketch value is pinnable.
+        T.documents(s, d)
+          .select(col("lang"), explode(docTokens).as("w"))
+          .groupBy(col("lang"))
+          .agg(
+            countDistinct(col("w")).as("n_exact"),
+            approx_count_distinct(col("w"), 0.02).as("n_approx"))
+          .orderBy(col("lang"))
+      },
+      // hybrid oracle: the exact half is computed in SQL; the sketch half
+      // is pinned (sf0.01 corpus — tiny 31-word synthetic vocabulary, so
+      // the 2%-rsd sketch is exact here; re-pin if testdata changes)
+      Some("""
+        WITH t AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+        exact AS (SELECT lang, count(DISTINCT w) AS n_exact FROM t GROUP BY lang),
+        pinned AS (SELECT * FROM (VALUES
+          ('de', 31), ('en', 31), ('es', 31), ('fr', 31), ('zh', 31)) p(lang, n_approx))
+        SELECT exact.lang AS lang, CAST(n_exact AS BIGINT) AS n_exact,
+               CAST(n_approx AS BIGINT) AS n_approx
+        FROM exact JOIN pinned ON exact.lang = pinned.lang
+        ORDER BY lang"""),
+      "vocabulary size per language, exact (two-level distinct agg) next to the HLL++ " +
+        "sketch (rsd 2%): the sketch is the 100 TB path — fixed-size mergeable registers, " +
+        "no distinct shuffle; deterministic, so the oracle pins its value exactly"),
+
     // -------------------------------------- length-distribution quantiles
     Q("q46_length_quantiles",
       (s, d) => {
