@@ -15,7 +15,10 @@ import org.apache.spark.sql.SparkSession
   *    cold-start noise on the first few queries).
   *  - Two measured passes, min per query: shuffle-file/page-cache/GC
   *    noise measured up to 3x run-to-run on join-heavy queries; min-of-2
-  *    reports the repeatable cost.
+  *    reports the repeatable cost. BOTH raw passes are also emitted
+  *    (`queries_pass1`/`queries_pass2`) so a one-off outlier (GC pause,
+  *    page-cache miss) is self-diagnosing in the artifact instead of
+  *    looking like a plan regression (round-4 lesson: q01's 2.26s).
   *  - A failed query is reported in "errors" and exits non-zero; it is
   *    NEVER silently dropped from the total (a broken query must not make
   *    the bench look faster).
@@ -57,9 +60,11 @@ object Bench {
           q.name -> ((System.nanoTime() - t0) / 1e9, false)
       }
     }
-    val pass1 = measuredPass().toMap
-    val results = measuredPass().map { case (k, (t2, ok2)) =>
-      val (t1, ok1) = pass1(k)
+    val pass1 = measuredPass()
+    val pass2 = measuredPass()
+    val p1 = pass1.toMap
+    val results = pass2.map { case (k, (t2, ok2)) =>
+      val (t1, ok1) = p1(k)
       k -> ((ok1, ok2) match {
         case (true, true) => math.min(t1, t2)
         case (true, false) => t1
@@ -67,12 +72,17 @@ object Bench {
         case (false, false) => math.max(t1, t2)
       })
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def qJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = qJson(results)
+    val raw1 = qJson(pass1.map { case (k, (t, _)) => k -> t })
+    val raw2 = qJson(pass2.map { case (k, (t, _)) => k -> t })
     val total = results.map(_._2).sum
     val errJson =
       if (errors.isEmpty) ""
       else errors.reverse.map("\"" + _ + "\"").mkString(",\"errors\":[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""queries_pass1":$raw1,"queries_pass2":$raw2,"sf":"$sfDir"$errJson}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** MinHash + banded-LSH near-duplicate detection over text documents.
   *
@@ -102,11 +103,7 @@ object MinHash {
     // spread: a single-file doc scan arrives as one split; the shingle +
     // k-hash signature stage is per-row expensive, so hash-repartition
     // the raw docs first (deterministic, one tiny shuffle of raw rows)
-    // to use the whole cluster. The downstream branches (band sides,
-    // verify joins) each recompute the native-hash map stage — measured
-    // cheaper here than shuffling the wide shingle arrays once per
-    // branch; at true 100 TB scale, materialize `sig` to a table and
-    // run candidate generation against that instead.
+    // to use the whole cluster.
     // Docs with fewer than `ngram` tokens have empty shingle sets; they
     // can never be near-dups (and their all-"infinity" signatures would
     // collide into one bucket), so they are dropped before banding.
@@ -120,6 +117,10 @@ object MinHash {
       .select(
         col(idCol).as("__id"),
         TextOps.shingles(TextOps.tokens(col(textCol)), ngram).as("__sh"))
+      // three consumers (signature branch + both verify sides): persist
+      // once instead of re-running scan+shingle per branch; at true
+      // 100 TB scale, materialize `sig` to a table instead
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sig = sh.withColumn("__sig", signature(TextOps.polyHashAll(col("__sh")), k, seed))
     val cands = candidatePairs(sig, "__id", "__sig", b, r)
     val sets = sh.select(col("__id"), col("__sh"))

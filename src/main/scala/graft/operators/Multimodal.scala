@@ -80,7 +80,10 @@ object Multimodal {
       // per-partition setup would open the codec once here
       rows.map { r =>
         val f = decodeStub(r.payload)
-        val mean = if (r.payload.isEmpty) 0.0 else r.payload.map(_ & 0xff).sum.toDouble / r.payload.length
+        // Long accumulator: an Int byte-sum overflows past ~8.4 MB of
+        // payload (255 * 2^31/255 bytes) — exactly the large-media case
+        val bsum = r.payload.foldLeft(0L)((a, b) => a + (b & 0xff))
+        val mean = if (r.payload.isEmpty) 0.0 else bsum.toDouble / r.payload.length
         MediaFeatures(r.doc_id, r.payload.length, mean, f)
       }
     }

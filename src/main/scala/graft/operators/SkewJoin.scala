@@ -19,11 +19,23 @@ import org.apache.spark.sql.functions._
   * only worth it when the small side is genuinely small and skew is
   * genuinely pathological.
   *
-  * The salt is deterministic (hash of the big-side row's key and all
-  * columns, mod `salt`), so results and partition placement are
-  * reproducible run-to-run — no `rand()`.
+  * Salt assignment: `monotonically_increasing_id() % salt` — round-robin
+  * within each scan partition. The RESULT is provably independent of
+  * which salt a row gets (every salt value finds the same small-side
+  * match), so output determinism is unconditional; only physical row
+  * placement varies with scan split order. This beats hashing row
+  * content on both axes the round-4 review flagged: no column is read
+  * for the salt (column pruning reaches the scan), and fully identical
+  * duplicate rows of a hot key — the canonical pathological case — still
+  * spread across all `salt` reducers instead of re-colliding.
   */
 object SkewJoin {
+
+  /** Round-robin salt in [0, salt): reads no data columns, spreads even
+    * bit-identical duplicate rows. Exposed for tests.
+    */
+  private[graft] def saltCol(salt: Int) =
+    pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int")
 
   def salted(
       big: DataFrame,
@@ -36,8 +48,7 @@ object SkewJoin {
     // right/full would duplicate unmatched small-side rows per replica
     require(joinType == "inner" || joinType == "left" || joinType == "left_outer",
       s"salted join supports inner/left joins, got $joinType")
-    val l = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salt)).cast("int"))
+    val l = big.withColumn("__salt", saltCol(salt))
     val r = small.withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
     l.join(r, l(bigKey) === r(smallKey) && l("__salt") === r("__salt"), joinType)
       .drop("__salt")

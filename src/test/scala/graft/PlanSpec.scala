@@ -99,6 +99,22 @@ class PlanSpec extends SparkSpec {
     assert(cond.contains("__salt"), cond)
   }
 
+  test("salt spreads identical duplicate hot rows and reads no data columns") {
+    // 64 bit-identical rows of one hot key — the pathological case where
+    // a content-hash salt re-collides everything onto one reducer
+    val dup = spark.range(0, 64, 1, 4).select(lit("hot").as("k"), lit(1).as("v"))
+    val spread = dup.withColumn("__salt", SkewJoin.saltCol(4))
+      .select("__salt").distinct().count()
+    assert(spread === 4L)
+    // salting must not defeat column pruning: a 2-column projection of a
+    // salted lineitem join still prunes the scan down to referenced cols
+    val plan = SkewJoin.salted(
+        Tables.lineitem(spark, sf), Tables.supplier(spark, sf),
+        "l_suppkey", "s_suppkey", salt = 8)
+      .select("l_orderkey", "s_name").explainFormatted()
+    assert(plan.contains("l_orderkey") && !plan.contains("l_comment"), plan)
+  }
+
   test("co-located join of same-bucketed tables plans ZERO exchanges") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
