@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators._
@@ -553,9 +554,10 @@ object LlmQueries {
           .select(col("probe_id"), col("rank"), col("neighbor_id"), col("cosine"))
           .orderBy(col("probe_id"), col("rank"))
       },
-      // Deterministic (sampled centroids, fixed fold order): result at the
-      // gate's sf0.01 corpus pinned as a literal expected-set oracle
-      // (doubles quoted as strings — see q33).
+      // Deterministic (sampled centroids + one fixed-point Lloyd
+      // refinement, fixed fold order): result at the gate's sf0.01 corpus
+      // pinned as a literal expected-set oracle (doubles quoted as
+      // strings — see q33). Stale-pin protection: PinnedCorpus guard.
       Some("""
         SELECT CAST(c1 AS BIGINT) AS probe_id, CAST(c2 AS INTEGER) AS rank,
                CAST(c3 AS BIGINT) AS neighbor_id, CAST(c4 AS DOUBLE) AS cosine
@@ -564,54 +566,55 @@ object LlmQueries {
           (0, 2, 334, '0.3627220558741131'),
           (0, 3, 387, '0.33113871888314317'),
           (0, 4, 423, '0.2969335986409863'),
-          (0, 5, 73, '0.29543411523164853'),
-          (1, 1, 64, '0.3163742953318501'),
-          (1, 2, 472, '0.2921091773422224'),
-          (1, 3, 353, '0.2465920189390982'),
-          (1, 4, 165, '0.24386965334651073'),
-          (1, 5, 80, '0.23368964041224172'),
+          (0, 5, 7, '0.29284215147436643'),
+          (1, 1, 386, '0.37148454183744223'),
+          (1, 2, 195, '0.32274442635213746'),
+          (1, 3, 64, '0.3163742953318501'),
+          (1, 4, 124, '0.30275028236602597'),
+          (1, 5, 402, '0.2923219897446138'),
           (2, 1, 320, '0.25504277088103294'),
           (2, 2, 418, '0.25402949645206835'),
           (2, 3, 112, '0.24531081757260517'),
-          (2, 4, 440, '0.23136910975780278'),
+          (2, 4, 197, '0.23314916074606343'),
           (2, 5, 97, '0.22500902551884036'),
           (3, 1, 130, '0.39987234325628024'),
-          (3, 2, 192, '0.290802917949569'),
-          (3, 3, 437, '0.28053528594179866'),
-          (3, 4, 349, '0.24858115688981752'),
-          (3, 5, 218, '0.23118548464801777'),
-          (4, 1, 496, '0.34121178056570023'),
-          (4, 2, 408, '0.32275312529105415'),
-          (4, 3, 482, '0.31389702932135605'),
-          (4, 4, 280, '0.27982608680315935'),
-          (4, 5, 249, '0.2796306459978647'),
-          (5, 1, 157, '0.31125602484760423'),
-          (5, 2, 33, '0.3109867269549467'),
+          (3, 2, 149, '0.3299339769519209'),
+          (3, 3, 192, '0.290802917949569'),
+          (3, 4, 437, '0.28053528594179866'),
+          (3, 5, 396, '0.260964744503398'),
+          (4, 1, 114, '0.39851269358433744'),
+          (4, 2, 496, '0.34121178056570023'),
+          (4, 3, 408, '0.32275312529105415'),
+          (4, 4, 482, '0.31389702932135605'),
+          (4, 5, 280, '0.27982608680315935'),
+          (5, 1, 33, '0.3109867269549467'),
+          (5, 2, 395, '0.2755988285521192'),
           (5, 3, 464, '0.2708818117150911'),
-          (5, 4, 266, '0.26094401790649646'),
-          (5, 5, 133, '0.23748043939647323'),
-          (6, 1, 268, '0.2599415986795585'),
-          (6, 2, 252, '0.255629792758746'),
-          (6, 3, 105, '0.20778042003687974'),
+          (5, 4, 487, '0.2630433732893686'),
+          (5, 5, 266, '0.26094401790649646'),
+          (6, 1, 430, '0.32252026548071816'),
+          (6, 2, 78, '0.20823917013691964'),
+          (6, 3, 453, '0.20579270179662507'),
           (6, 4, 115, '0.2050854395975698'),
-          (6, 5, 326, '0.19868398237547547'),
+          (6, 5, 232, '0.20311375143962154'),
           (7, 1, 340, '0.4927657135003488'),
           (7, 2, 425, '0.4075199341921925'),
           (7, 3, 334, '0.3569014029689115'),
-          (7, 4, 445, '0.34078247055145644'),
-          (7, 5, 0, '0.29284215147436643'),
-          (8, 1, 447, '0.28074172053081703'),
-          (8, 2, 326, '0.2662331466852273'),
-          (8, 3, 314, '0.25580287974774224'),
-          (8, 4, 338, '0.2364453582878314'),
+          (7, 4, 0, '0.29284215147436643'),
+          (7, 5, 59, '0.27023582414155406'),
+          (8, 1, 314, '0.25580287974774224'),
+          (8, 2, 254, '0.24251541396861967'),
+          (8, 3, 338, '0.2364453582878314'),
+          (8, 4, 35, '0.2326091777698265'),
           (8, 5, 379, '0.2319659933877191'),
           (9, 1, 49, '0.38517053208433855'),
-          (9, 2, 386, '0.3221179074351903'),
-          (9, 3, 256, '0.2844743732954765'),
-          (9, 4, 198, '0.2586758655955398'),
+          (9, 2, 256, '0.2844743732954765'),
+          (9, 3, 198, '0.2586758655955398'),
+          (9, 4, 319, '0.24190310903970472'),
           (9, 5, 274, '0.23351579032180036')) t(c1, c2, c3, c4)
         ORDER BY probe_id, rank"""),
-      "IVF-Flat ANN: deterministically sampled coarse centroids, map-side argmax " +
+      "IVF-Flat ANN: deterministically sampled coarse centroids + one fixed-point Lloyd " +
+        "refinement (order-independent integer mean accumulation), map-side argmax " +
         "assignment (broadcast NLJ + partial max agg — the index shuffle is n id rows), " +
         "nprobe-list candidate fetch + exact re-rank; reads ~nprobe/k of the corpus per probe"),
 
@@ -688,4 +691,46 @@ object LlmQueries {
       "ANN scale path: random-hyperplane LSH buckets -> bucket join -> exact re-rank. " +
         "Shuffle O(n*tables) instead of O(n^2); candidates bounded per bucket")
   )
+}
+
+/** Guard for the literal pinned oracles (q31 simhash, q33 LSH ANN,
+  * q42 IVF, q47's sketch half): those VALUES lists were computed from
+  * ONE specific corpus, so the gate must refuse to compare them against
+  * any other — a silent testdata/seed change would otherwise surface as
+  * a baffling hash mismatch instead of "your pins are stale".
+  *
+  * Fingerprint = (row count, bit_xor of xxhash64(id, payload)) per
+  * table: order-independent (XOR), overflow-free (no ANSI sum trap),
+  * deterministic across runs/partitionings/clusters.
+  */
+object PinnedCorpus {
+
+  /** Fingerprints of /root/testdata/sf0.01 at pin time. Regenerating
+    * testdata invalidates these AND every pinned VALUES oracle:
+    * recompute both via [[fingerprints]] + a fresh Verify run.
+    */
+  val DocumentsFp: (Long, Long) = (500L, -5517124391411150572L)
+  val EmbeddingsFp: (Long, Long) = (500L, 8896384913969029791L)
+
+  def fingerprints(spark: SparkSession, sfDir: String): ((Long, Long), (Long, Long)) = {
+    def fp(df: DataFrame, cols: Column*): (Long, Long) = {
+      val r = df.agg(count(lit(1)).as("n"), bit_xor(xxhash64(cols: _*)).as("x")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    (fp(Tables.documents(spark, sfDir), col("doc_id"), col("text")),
+      fp(Tables.embeddings(spark, sfDir), col("vec_id"), col("embedding")))
+  }
+
+  /** Fail loudly when `sfDir` is not the corpus the pins were computed
+    * from. Called by Verify before dumping oracle SQL.
+    */
+  def assertMatches(spark: SparkSession, sfDir: String): Unit = {
+    val (docs, embs) = fingerprints(spark, sfDir)
+    require(docs == DocumentsFp && embs == EmbeddingsFp,
+      s"corpus fingerprint mismatch: $sfDir has documents=$docs embeddings=$embs, " +
+        s"but the pinned literal oracles (q31/q33/q42/q47) were computed for " +
+        s"documents=$DocumentsFp embeddings=$EmbeddingsFp. The testdata, seeds or hash " +
+        "constants changed — regenerate the pinned VALUES oracles in LlmQueries " +
+        "and update PinnedCorpus before trusting the gate.")
+  }
 }

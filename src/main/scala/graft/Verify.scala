@@ -12,6 +12,9 @@ object Verify {
         shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the literal pinned oracles are only valid for the corpus they were
+    // computed from — refuse to dump them against anything else
+    PinnedCorpus.assertMatches(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

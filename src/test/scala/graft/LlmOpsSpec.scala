@@ -10,6 +10,16 @@ import graft.operators._
 class LlmOpsSpec extends SparkSpec {
   import testImplicits._
 
+  test("pinned-oracle corpus fingerprint matches the gate corpus (pins not stale)") {
+    // the literal VALUES oracles (q31/q33/q42/q47) are only valid for the
+    // corpus they were computed from; this fails LOUDLY if testdata drifts
+    PinnedCorpus.assertMatches(spark, "/root/testdata/sf0.01")
+    // and really rejects a different corpus
+    intercept[IllegalArgumentException] {
+      PinnedCorpus.assertMatches(spark, "/root/testdata/sf0.001")
+    }
+  }
+
   test("polyHash: pinned value for 'hello' (cross-engine contract)") {
     // fold: acc0=7, acc = (acc*31 + codepoint) mod 1e9+7 — hand-computable
     var acc = 7L
@@ -157,6 +167,28 @@ class LlmOpsSpec extends SparkSpec {
       .select("probe_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
     assert(ivf2a === ivf2b)
     assert((ivf2a & brute).size.toDouble / brute.size >= 0.5, s"recall too low: $ivf2a vs $brute")
+  }
+
+  test("Ivf Lloyd refinement: recall vs brute >= unrefined at equal nprobe (real embeddings)") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val probes = e.where(col("vec_id") < 10)
+    def recallOf(refine: Int): Double = {
+      val approx = Ivf.topK(e, probes, "vec_id", "v", k = 5, stride = 16, nprobe = 4, refine = refine)
+        .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val exact = Similarity.bruteTopK(e, probes, "vec_id", "v", 5)
+        .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (approx & exact).size.toDouble / exact.size
+    }
+    val (r0, r1) = (recallOf(0), recallOf(1))
+    assert(r1 >= r0, s"refinement dropped recall: refine=1 $r1 < refine=0 $r0")
+    assert(r1 >= 0.3, s"refined recall $r1 unreasonably low")
+    // refinement is itself deterministic: same pipeline twice, same rows
+    val a = Ivf.topK(e, probes, "vec_id", "v", 5, 16, 4, 1)
+      .select("probe_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val b = Ivf.topK(e, probes, "vec_id", "v", 5, 16, 4, 1)
+      .select("probe_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(a === b)
   }
 
   test("dedupCorpus keeps the lowest id of each near-dup cluster") {
