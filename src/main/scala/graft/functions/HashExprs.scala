@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
@@ -187,6 +187,36 @@ case class WordSetCount(child: Expression, words: Seq[String]) extends UnaryExpr
     copy(child = newChild)
 }
 
+/** (array<string>, array<string>) -> long: set-intersection size bounded
+  * by the Jaccard threshold num/den — exact for pairs that can reach it,
+  * early-exits with a below-threshold partial for pairs that provably
+  * cannot (see [[HashRuntime.boundedIntersectSize]]). The native verify
+  * kernel of the near-dup joins; `size(array_intersect(..))` without the
+  * intersection-array allocation.
+  */
+case class BoundedIntersectSize(left: Expression, right: Expression, num: Int, den: Int)
+    extends BinaryExpression {
+  require(num > 0 && den > 0 && num <= den, s"threshold num/den must be in (0,1], got $num/$den")
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_intersect_size needs two array<string>, got $l / $r")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashRuntime.boundedIntersectSize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], num, den)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.HashRuntime.boundedIntersectSize($a, $b, $num, $den);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BoundedIntersectSize =
+    copy(left = newLeft, right = newRight)
+}
+
 object HashExprs {
   /** Column wrappers. */
   def polyHashArray(c: Column): Column =
@@ -199,4 +229,7 @@ object HashExprs {
     GraftColumnBridge.column(ShingleArray(GraftColumnBridge.expression(c), n))
   def wordSetCount(c: Column, words: Seq[String]): Column =
     GraftColumnBridge.column(WordSetCount(GraftColumnBridge.expression(c), words))
+  def boundedIntersectSize(a: Column, b: Column, num: Int, den: Int): Column =
+    GraftColumnBridge.column(BoundedIntersectSize(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b), num, den))
 }

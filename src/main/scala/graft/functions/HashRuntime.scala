@@ -143,6 +143,44 @@ object HashRuntime {
     c
   }
 
+  /** Intersection size of two string SETS (arrays of distinct elements),
+    * bounded by the Jaccard threshold num/den: returns the exact count
+    * when the pair can reach the threshold, and bails with the partial
+    * count as soon as it provably cannot (partial < required, so the
+    * caller's `inter*den >= union*num` filter still rejects exactly the
+    * right pairs — passing pairs ALWAYS carry the exact count). Replaces
+    * `size(array_intersect(a, b))`, which materializes the intersection
+    * array and can't early-exit; on a near-dup verify stage most
+    * candidates fail, so the bail path is the common path. Null elements
+    * carry no signal.
+    */
+  def boundedIntersectSize(a: ArrayData, b: ArrayData, num: Int, den: Int): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    // required overlap for J >= num/den: inter*(num+den) >= num*(na+nb)
+    val req = (num.toLong * (na + nb) + (num + den - 1)) / (num + den)
+    if (math.min(na, nb) < req) return 0L
+    // build a set over the smaller side, probe with the larger
+    val (build, probe) = if (na <= nb) (a, b) else (b, a)
+    val bn = build.numElements()
+    val set = new java.util.HashSet[UTF8String](bn * 2)
+    var i = 0
+    while (i < bn) {
+      if (!build.isNullAt(i)) set.add(build.getUTF8String(i))
+      i += 1
+    }
+    val pn = probe.numElements()
+    var c = 0L
+    i = 0
+    while (i < pn) {
+      if (!probe.isNullAt(i) && set.contains(probe.getUTF8String(i))) c += 1
+      // even matching every remaining probe element can't reach req
+      if (c + (pn - 1 - i) < req) return c
+      i += 1
+    }
+    c
+  }
+
   /** In-order dot product of two double arrays: sequential left fold of
     * element products (fixed IEEE evaluation order — identical bits to
     * the oracle's list_sum fold). Returns null when lengths differ or

@@ -123,16 +123,7 @@ object MinHash {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sig = sh.withColumn("__sig", signature(TextOps.polyHashAll(col("__sh")), k, seed))
     val cands = candidatePairs(sig, "__id", "__sig", b, r)
-    val sets = sh.select(col("__id"), col("__sh"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
-    cands
-      .join(sets.select(col("__id").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
-      .join(sets.select(col("__id").as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
-      .select(
-        col("id_a"), col("id_b"),
-        inter.as("inter_size"),
-        (size(col("sh_a")) + size(col("sh_b"))).cast("long").minus(inter).as("union_size"))
-      .where(col("inter_size") * den >= col("union_size") * num)
+    PairVerify.exact(cands, sh, num, den)
   }
 
   /** Corpus-level near-dup removal: drop every document that is the

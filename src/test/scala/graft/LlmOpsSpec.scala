@@ -20,6 +20,27 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("boundedIntersectSize: filter decision == exact Jaccard; passing pairs exact count") {
+    val rnd = new scala.util.Random(7) // pinned seed
+    val cases = (1 to 200).map { _ =>
+      val vocab = 1 + rnd.nextInt(20)
+      def arr() = rnd.shuffle((0 until vocab).toList).take(1 + rnd.nextInt(vocab)).map(i => s"s$i")
+      (arr(), arr())
+    } ++ Seq((List("a"), List.empty[String]), (List.empty[String], List.empty[String]))
+    val df = cases.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.functions.HashExprs.boundedIntersectSize(col("a"), col("b"), 6, 10).as("got"))
+      .as[(Seq[String], Seq[String], Long)].collect()
+    df.foreach { case (a, b, got) =>
+      val inter = (a.toSet & b.toSet).size.toLong
+      val union = (a.toSet | b.toSet).size.toLong
+      val passes = inter * 10 >= union * 6
+      val gotPasses = got * 10 >= (a.size + b.size - got) * 6
+      assert(gotPasses === passes, s"filter flipped: a=$a b=$b got=$got inter=$inter")
+      if (passes) assert(got === inter, s"passing pair not exact: a=$a b=$b")
+    }
+  }
+
   test("polyHash: pinned value for 'hello' (cross-engine contract)") {
     // fold: acc0=7, acc = (acc*31 + codepoint) mod 1e9+7 — hand-computable
     var acc = 7L
