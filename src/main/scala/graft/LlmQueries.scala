@@ -689,7 +689,75 @@ object LlmQueries {
           (9, 5, 12, '0.11405591224975778')) t(c1, c2, c3, c4)
         ORDER BY probe_id, rank"""),
       "ANN scale path: random-hyperplane LSH buckets -> bucket join -> exact re-rank. " +
-        "Shuffle O(n*tables) instead of O(n^2); candidates bounded per bucket")
+        "Shuffle O(n*tables) instead of O(n^2); candidates bounded per bucket"),
+
+    // ------------------------------- end-to-end corpus curation pipeline
+    Q("q48_curation_pipeline",
+      (s, d) => {
+        // the whole training-data curation flow as ONE declarative plan:
+        // exact dedup (min-id survivor) -> language-ID + quality gate ->
+        // deterministic content-hash train/val split -> per-(lang, split)
+        // counts. Catalyst fuses the map-side stages (language scores,
+        // quality, split) into the scan of the dedup output; the plan has
+        // exactly two shuffles (dedup by text hash, final count agg).
+        val surv = T.documents(s, d)
+          .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+        val (_, pred) = TextOps.languageId(TextOps.tokens(col("text")), LangMarkers)
+        val qp = TextOps.qualityScore(col("text"))
+        surv
+          .select(col("text"), pred.as("pred_lang"),
+            qp.nTokens.as("__nt"), qp.quality.as("__q"))
+          .where(col("__nt") >= 5 && col("__q") >= 0.5)
+          .select(col("pred_lang"),
+            when(TextOps.hashBucket(col("text"), 100) < 90, lit("train"))
+              .otherwise(lit("val")).as("split"))
+          .groupBy(col("pred_lang"), col("split"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("pred_lang"), col("split"))
+      },
+      Some {
+        // composed verbatim from the q22/q26/q27/q45 oracle pieces — each
+        // stage's bit-exactness is independently gate-proven
+        val stop = TextOps.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        val scoreExprs = LangMarkers.map { case (lang, words) =>
+          val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"CAST(len(list_filter(w, x -> list_contains($lst, x))) AS BIGINT) AS score_$lang"
+        }.mkString(",\n               ")
+        val langs = LangMarkers.map(_._1)
+        val cases = langs.init.zipWithIndex.map { case (l, i) =>
+          val conds = langs.drop(i + 1).map(o => s"score_$l >= score_$o").mkString(" AND ")
+          s"WHEN $conds THEN '$l'"
+        }.mkString("\n                    ")
+        s"""
+        WITH surv AS (SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text),
+        t AS (SELECT text, string_split(lower(text), ' ') AS w FROM surv),
+        m AS (SELECT text, w,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(w, x -> list_contains($stop, x))) AS BIGINT) AS n_stop,
+               CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_wlen,
+               $scoreExprs
+        FROM t),
+        q AS (SELECT text, n_tokens,
+               least(CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+                 + (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * CAST(0.2 AS DOUBLE)
+                 + (CAST(sum_wlen AS DOUBLE) / CAST(n_tokens AS DOUBLE)) / CAST(10.0 AS DOUBLE) * CAST(0.3 AS DOUBLE) AS quality,
+               CASE $cases
+                    ELSE '${langs.last}' END AS pred_lang
+        FROM m),
+        k AS (SELECT text, pred_lang FROM q WHERE n_tokens >= 5 AND quality >= CAST(0.5 AS DOUBLE)),
+        h AS (SELECT pred_lang,
+               CASE WHEN list_reduce(list_prepend(CAST(7 AS BIGINT),
+                      list_transform(range(1, length(text)+1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+                      (a, c) -> (a*31 + c) % 1000000007) % 100 < 90
+                    THEN 'train' ELSE 'val' END AS split
+        FROM k)
+        SELECT pred_lang, split, count(*) AS n_docs
+        FROM h GROUP BY pred_lang, split ORDER BY pred_lang, split"""
+      },
+      "end-to-end corpus curation in one plan: exact dedup -> language-ID + quality gate " +
+        "-> deterministic content-hash 90/10 split -> counts. Two shuffles total (dedup by " +
+        "text hash, final agg); every map stage fused into the scan by Catalyst. Oracle " +
+        "composes the gate-proven q22/q26/q27/q45 pieces verbatim")
   )
 }
 

@@ -109,6 +109,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WordSetCount(args.head, words)
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_intersect_size"),
+      info("graft_intersect_size",
+        "graft_intersect_size(a, b, num, den) - set-intersection size of two string arrays, " +
+          "exact for pairs reaching Jaccard num/den, early-exit below it"),
+      (args: Seq[Expression]) => {
+        checkArity("graft_intersect_size", args, 4)
+        val num = literalArg("graft_intersect_size", args, 2, "num")
+        val den = literalArg("graft_intersect_size", args, 3, "den")
+        if (num < 1 || den < 1 || num > den) {
+          fail(s"graft_intersect_size: threshold num/den must be in (0, 1], got $num/$den")
+        }
+        BoundedIntersectSize(args.head, args(1), num.toInt, den.toInt)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       info("graft_dot",
         "graft_dot(a, b) - in-order dot product of two double arrays"),

@@ -51,7 +51,8 @@ class ExtensionsSpec extends AnyFunSuite {
                  graft_simhash(graft_poly_hash_array(split(text, ' ')), 42) AS sh,
                  graft_shingles(split(text, ' '), 2) AS sg,
                  graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
-                 graft_word_count(split(text, ' '), array('hello', 'x')) AS wc
+                 graft_word_count(split(text, ' '), array('hello', 'x')) AS wc,
+                 graft_intersect_size(array('a', 'b', 'c'), array('b', 'c', 'd'), 1, 2) AS isz
           FROM ext_docs""").head()
         def wh(w: String) = w.foldLeft(7L)((a, c) => (a * 31 + c) % 1000000007L)
         assert(row.getSeq[Long](0) === Seq(wh("hello"), wh("world")))
@@ -66,6 +67,8 @@ class ExtensionsSpec extends AnyFunSuite {
         assert(row.getSeq[String](3) === Seq("hello world"))
         assert(row.getDouble(4) === 11.0)
         assert(row.getLong(5) === 1L)
+        // {a,b,c} ∩ {b,c,d} = 2, and J = 2/4 reaches 1/2 — exact count
+        assert(row.getLong(6) === 2L)
       } finally spark.catalog.dropTempView("ext_docs")
     }
   }
@@ -99,6 +102,17 @@ class ExtensionsSpec extends AnyFunSuite {
         val e6 = intercept[AnalysisException](
           spark.sql("SELECT graft_word_count(array('a'), array(cast(k AS string))) FROM ext_args").collect())
         assert(e6.getMessage.contains("literal"), e6.getMessage)
+        // intersect_size: threshold must be a valid literal fraction
+        val e7 = intercept[AnalysisException](
+          spark.sql("SELECT graft_intersect_size(array('a'), array('a'), 3, 2)").collect())
+        assert(e7.getMessage.contains("(0, 1]"), e7.getMessage)
+        val e8 = intercept[AnalysisException](
+          spark.sql("SELECT graft_intersect_size(array('a'), array(1), 1, 2)").collect())
+        assert(e8.getMessage.toLowerCase.contains("array<string>")
+          || e8.getMessage.contains("DATATYPE_MISMATCH"), e8.getMessage)
+        val e9 = intercept[AnalysisException](
+          spark.sql("SELECT graft_intersect_size(array('a'), array('a'), k, 2) FROM ext_args").collect())
+        assert(e9.getMessage.contains("must be a literal"), e9.getMessage)
       } finally spark.catalog.dropTempView("ext_args")
     }
   }
