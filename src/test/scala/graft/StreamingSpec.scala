@@ -456,6 +456,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("K3 agg changelog with snapshotDir resumes merged partials across a restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_agg_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_agg_ckpt").toString
+    val snap = java.nio.file.Files.createTempDirectory("graft_agg_snap").toString
+    def partial(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("iso").agg(count(lit(1)).cast("long").as("n"), sum("v").cast("long").as("s"))
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long)]
+    def appendRows(rows: Upd*): Unit =
+      rows.toDF().coalesce(1).write.mode("append").parquet(srcDir)
+    def start() = graft.streaming.Changelog.aggChangelog(
+        spark.readStream.schema(Seq.empty[Upd].toDF().schema).parquet(srcDir),
+        partial, Seq("iso"), Seq("n", "s"), snapshotDir = Some(snap)) { (delta, _) =>
+        deltas.synchronized {
+          deltas ++= delta.select("row_kind", "iso", "n", "s")
+            .as[(String, String, Long, Long)].collect()
+          ()
+        }
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0L)).start()
+
+    appendRows(Upd("a", "x", 10), Upd("a", "y", 5))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(deltas.synchronized(deltas.toList) === List(("+I", "a", 2L, 15L)))
+
+    // restart with a fresh in-memory snapshot: the merge must resume from
+    // the PERSISTED partials (count 2, sum 15), not restart from zero
+    appendRows(Upd("a", "z", 1))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val after = deltas.synchronized(deltas.toList).drop(1)
+    assert(after.toSet === Set(("-U", "a", 2L, 15L), ("+U", "a", 3L, 16L)), after)
+  }
+
   test("K3 agg changelog retention: evicted windows emit -D and stay out of state") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long)]
