@@ -55,6 +55,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("law: JaccardJoin == brute force on random low-vocabulary corpora") {
+    // tiny vocabulary = high document-frequency for every shingle = the
+    // adversarial case for prefix filtering, and the regime where the
+    // PPJoin length/positional filters must stay COMPLETE (they prune
+    // candidates, never true pairs). Random thresholds cross the
+    // integer-boundary cases.
+    val corpusGen: Gen[(List[String], Int, Int)] = for {
+      vocab <- Gen.choose(3, 6)
+      nDocs <- Gen.choose(2, 18)
+      docs <- Gen.listOfN(nDocs, Gen.choose(0, 12).flatMap(len =>
+        Gen.listOfN(len, Gen.choose(0, vocab - 1).map(i => s"w$i")).map(_.mkString(" "))))
+      num <- Gen.choose(1, 10)
+    } yield (docs, num, 10)
+    samples(corpusGen, 12).foreach { case (texts, num, den) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = JaccardJoin.nearDupPairs(docs.toDF("doc_id", "text"), "doc_id", "text",
+          ngram = 2, num = num, den = den)
+        .select("id_a", "id_b", "inter_size", "union_size")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      def sh(t: String): Set[String] =
+        if (t.split(" ").length < 2) Set.empty
+        else t.split(" ").sliding(2).map(_.mkString(" ")).toSet
+      val want = (for {
+        (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+        sa = sh(ta) if sa.nonEmpty
+        sb = sh(tb) if sb.nonEmpty
+        inter = (sa & sb).size.toLong
+        union = (sa | sb).size.toLong
+        if inter * den >= union * num
+      } yield (ia, ib, inter, union)).toSet
+      assert(got === want, s"num=$num/$den docs=$texts")
+    }
+  }
+
   test("law: exact dedup is idempotent and keeps one row per key") {
     samples(rowsGen, 6).filter(_.nonEmpty).foreach { rows =>
       val df = rows.toDF("k", "v", "p")
