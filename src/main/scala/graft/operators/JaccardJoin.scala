@@ -136,4 +136,22 @@ object JaccardJoin {
 
     PairVerify.exact(cands, sh, num, den)
   }
+
+  /** Corpus-level near-dup removal with the EXACT join: drop every doc
+    * that is the higher id of a verified pair (greedy keep-lowest-id,
+    * same policy as [[MinHash.dedupCorpus]] — but guaranteed-complete,
+    * no LSH miss probability). Survivors = docs ANTI JOIN distinct id_b:
+    * one id shuffle, no payload rides the pair pipeline.
+    */
+  def dedupCorpus(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      ngram: Int = 3,
+      num: Int = 8,
+      den: Int = 10): DataFrame = {
+    val drop = nearDupPairs(docs, idCol, textCol, ngram, num, den)
+      .select(col("id_b").as(idCol)).distinct()
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
 }

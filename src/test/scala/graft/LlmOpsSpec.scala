@@ -220,6 +220,10 @@ class LlmOpsSpec extends SparkSpec {
     val kept = MinHash.dedupCorpus(docs, "doc_id", "text")
       .select("doc_id").as[Long].collect().toSet
     assert(kept === Set(2L, 9L)) // 5 is the higher id of the (2,5) pair
+    // the exact-join variant agrees (and is complete by construction)
+    val keptExact = JaccardJoin.dedupCorpus(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptExact === Set(2L, 9L))
   }
 
   test("bruteTopK: hand-computed ranking on tiny vectors") {
