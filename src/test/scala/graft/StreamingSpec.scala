@@ -78,6 +78,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("T3 KeepLatest runs on the RocksDB state store provider (beyond-heap state path)") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Upd]
+      val q = KeepLatest[String, Upd](input.toDS(), _.iso, (a, b) => a.v > b.v)
+        .writeStream.format("memory").queryName("kl_rocks")
+        .outputMode("update").trigger(Trigger.ProcessingTime(0L)).start()
+      try {
+        input.addData(Upd("a", "x", 1), Upd("a", "y", 2))
+        q.processAllAvailable()
+        input.addData(Upd("a", "stale", 0), Upd("b", "z", 5))
+        q.processAllAvailable()
+        val finalState = spark.table("kl_rocks").as[Upd].collect()
+          .groupBy(_.iso).map { case (k, vs) => k -> vs.maxBy(_.v).capital }
+        assert(finalState === Map("a" -> "y", "b" -> "z"))
+        // the query really used RocksDB, not the default heap provider:
+        // the provider surfaces rocksdb* custom metrics in progress
+        val rocksMetrics = q.recentProgress.flatMap(_.stateOperators)
+          .flatMap(_.customMetrics.keySet().toArray(Array.empty[String]))
+          .filter(_.toLowerCase.contains("rocksdb"))
+        assert(rocksMetrics.nonEmpty, "no rocksdb metrics — provider not in effect")
+      } finally q.stop()
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("KeepLatest state survives a checkpointed restart (stale rows stay rejected)") {
     implicit val sqlCtx = spark.sqlContext
     val srcDir = java.nio.file.Files.createTempDirectory("graft_ckpt_src").toString
