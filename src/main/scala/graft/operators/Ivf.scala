@@ -110,6 +110,84 @@ object Ivf {
       .select(col(id), col("__best.centroid_id").as("centroid_id"))
   }
 
+  /** Persist the IVF index as tables: the assignment PARTITIONED BY
+    * centroid (so a query's candidate fetch is a partition-pruned scan of
+    * ~nprobe/k of the corpus, not a join over all of it) plus the small
+    * centroid table. This is the 100 TB shape the class doc promises:
+    * build once, query many, never re-scan the corpus per query.
+    */
+  def writeIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      stride: Int = 16,
+      refine: Int = 1): Unit = {
+    val cents = centroids(corpus, idCol, vecCol, stride, refine)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      cents.write.mode("overwrite").parquet(s"$path/centroids")
+      // carry the vector INTO the partitioned index so the query-time
+      // re-rank reads only the probed partitions — no join back to the
+      // unpartitioned corpus
+      val v = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      assign(corpus, idCol, vecCol, cents)
+        .join(v, Seq("neighbor_id"))
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/assign")
+    } finally { cents.unpersist(); () }
+  }
+
+  /** Approximate top-k against a [[writeIndex]]-persisted index. The
+    * probed list ids are collected to the driver to drive STATIC
+    * partition pruning on the assignment scan — bounded by the centroid
+    * count (k = n/stride, small by design), never row data. Output
+    * schema matches [[topK]].
+    */
+  def topKFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val p = withNorm(probes, idCol, vecCol, "probe_id", "__pv", "__pn")
+    val cw = Window.partitionBy(col("probe_id"))
+      .orderBy(col("__ccos").desc, col("centroid_id").asc)
+    val probeLists = p.join(broadcast(cents))
+      .select(col("probe_id"), col("centroid_id"),
+        cos(col("__pv"), col("__pn"), col("__kv"), col("__kn")).as("__ccos"))
+      .withColumn("__cr", row_number().over(cw))
+      .where(col("__cr") <= nprobe)
+      .select(col("probe_id"), col("centroid_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // probed-partition union: at most |centroids| longs via the driver —
+    // what makes the scan below a PartitionFilters prune, not a full read
+    val probedIds = probeLists.select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val idxRaw = spark.read.parquet(s"$path/assign")
+    // partition-directory values are type-INFERRED on read (small ids
+    // come back int); match the literal type or the In-filter wouldn't
+    // reach PartitionFilters
+    val probed: Seq[Any] = idxRaw.schema("centroid_id").dataType match {
+      case org.apache.spark.sql.types.IntegerType => probedIds.map(_.toInt)
+      case _ => probedIds
+    }
+    val index = idxRaw.where(col("centroid_id").isin(probed: _*))
+
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
+    probeLists.join(index, Seq("centroid_id"))
+      .where(col("probe_id") =!= col("neighbor_id"))
+      .join(broadcast(p), Seq("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        cos(col("__pv"), col("__pn"), col("__cv"),
+          sqrt(VecExprs.dot(col("__cv"), col("__cv")))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Approximate top-k cosine neighbors per probe, IVF-style. Same output
     * schema as [[Similarity.bruteTopK]]/[[Similarity.lshBucketTopK]]:
     * (probe_id, neighbor_id, cosine, rank).

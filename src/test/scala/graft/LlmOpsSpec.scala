@@ -212,6 +212,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("Ivf persisted index: partition-pruned fetch, results == in-memory topK") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val probes = e.where(col("vec_id") < 10)
+    Ivf.writeIndex(e, "vec_id", "v", dir, stride = 16, refine = 1)
+    val fromIdx = Ivf.topKFromIndex(spark, probes, "vec_id", "v", dir, k = 5, nprobe = 4)
+    // bit-identical to the in-memory pipeline (same centroids, same
+    // candidate lists, same in-order cosine folds)
+    val a = fromIdx.select("probe_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val b = Ivf.topK(e, probes, "vec_id", "v", k = 5, stride = 16, nprobe = 4, refine = 1)
+      .select("probe_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(a === b)
+    // the candidate fetch is a partition-pruned scan, not a full read
+    val plan = fromIdx.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [centroid_id"), plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+  }
+
   test("dedupCorpus keeps the lowest id of each near-dup cluster") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val near = (1 to 39).map(i => s"w$i").mkString(" ") + " w99"
