@@ -126,6 +126,51 @@ object MinHash {
     PairVerify.exact(cands, sh, num, den)
   }
 
+  /** Persist the dedup index: one row per doc with its shingle set AND
+    * minhash signature, so repeated dedup runs (the build-once/query-many
+    * shape — nightly dedup over a growing corpus, threshold sweeps) skip
+    * the scan+shingle+signature stage entirely. At 100 TB this table is
+    * the expensive artifact; candidate generation and verify against it
+    * are cheap by comparison.
+    */
+  def writeCorpusIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      ngram: Int = 3,
+      k: Int = 128,
+      seed: Long = 42L): Unit = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    docs
+      .repartition(par, col(idCol))
+      .where(size(TextOps.tokens(col(textCol))) >= ngram)
+      .select(
+        col(idCol).as("__id"),
+        TextOps.shingles(TextOps.tokens(col(textCol)), ngram).as("__sh"))
+      .withColumn("__sig", signature(TextOps.polyHashAll(col("__sh")), k, seed))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Near-dup pairs from a [[writeCorpusIndex]] table: banding + verify
+    * only — no re-shingling, no re-hashing. Same output and semantics as
+    * [[nearDupPairs]] with the matching (ngram, k, seed); b*r must not
+    * exceed the indexed k.
+    */
+  def nearDupPairsFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      b: Int = 32,
+      r: Int = 4,
+      num: Int = 8,
+      den: Int = 10): DataFrame = {
+    val idx = spark.read.parquet(path)
+    require(Seq("__id", "__sh", "__sig").forall(idx.columns.contains),
+      s"not a writeCorpusIndex table: ${idx.columns.mkString(",")}")
+    val cands = candidatePairs(idx.select(col("__id"), col("__sig")), "__id", "__sig", b, r)
+    PairVerify.exact(cands, idx.select(col("__id"), col("__sh")), num, den)
+  }
+
   /** Corpus-level near-dup removal: drop every document that is the
     * HIGHER id of a verified near-dup pair (greedy keep-lowest-id
     * survivor — the standard web-dedup policy; in a chain a<b<c the

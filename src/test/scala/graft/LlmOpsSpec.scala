@@ -212,6 +212,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("MinHash persisted corpus index: pairs == in-memory pipeline, no re-shingle") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_idx").toString + "/idx"
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    MinHash.writeCorpusIndex(docs, "doc_id", "text", dir)
+    val fromIdx = MinHash.nearDupPairsFromIndex(spark, dir)
+    val a = fromIdx.select("id_a", "id_b", "inter_size", "union_size")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val b = MinHash.nearDupPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b", "inter_size", "union_size")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(a === b)
+    assert(a.nonEmpty) // the sf0.01 corpus has planted near-dups (q23: 25 pairs)
+    // the index path never touches the raw documents table
+    val plan = fromIdx.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"), "index query re-read the corpus")
+  }
+
   test("Ivf persisted index: partition-pruned fetch, results == in-memory topK") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
     val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
