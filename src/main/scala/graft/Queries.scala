@@ -586,7 +586,10 @@ object ParityQueries {
     // ------------------------------------------------- salted skew join
     Q("q43_salted_join",
       (s, d) => {
-        SkewJoin.salted(T.lineitem(s, d), T.supplier(s, d), "l_suppkey", "s_suppkey", salt = 8)
+        // saltOn = the columns the query reads anyway: deterministic salt
+        // without pulling untouched lineitem columns through the scan
+        SkewJoin.salted(T.lineitem(s, d), T.supplier(s, d), "l_suppkey", "s_suppkey",
+            salt = 8, saltOn = Seq("l_orderkey", "l_linenumber", "l_quantity"))
           .groupBy(col("s_nationkey"))
           .agg(
             count(lit(1)).as("n_items"),

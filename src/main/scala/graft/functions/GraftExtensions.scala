@@ -111,8 +111,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_intersect_size"),
       info("graft_intersect_size",
-        "graft_intersect_size(a, b, num, den) - set-intersection size of two string arrays, " +
-          "exact for pairs reaching Jaccard num/den, early-exit below it"),
+        "graft_intersect_size(a, b, num, den) - DISTINCT-set intersection size of two string " +
+          "arrays; exact for pairs reaching Jaccard num/den, early-exit (partial count) below " +
+          "it. Pass distinct arrays: the num/den bound treats array lengths as set sizes"),
       (args: Seq[Expression]) => {
         checkArity("graft_intersect_size", args, 4)
         val num = literalArg("graft_intersect_size", args, 2, "num")

@@ -143,16 +143,23 @@ object HashRuntime {
     c
   }
 
-  /** Intersection size of two string SETS (arrays of distinct elements),
-    * bounded by the Jaccard threshold num/den: returns the exact count
-    * when the pair can reach the threshold, and bails with the partial
-    * count as soon as it provably cannot (partial < required, so the
-    * caller's `inter*den >= union*num` filter still rejects exactly the
-    * right pairs — passing pairs ALWAYS carry the exact count). Replaces
+  /** DISTINCT-set intersection size of two string arrays, bounded by the
+    * Jaccard threshold num/den: returns the exact |set(a) ∩ set(b)| when
+    * the pair can reach the threshold, and bails with the partial count
+    * as soon as it provably cannot (partial < required, so the caller's
+    * `inter*den >= union*num` filter still rejects exactly the right
+    * pairs — passing pairs ALWAYS carry the exact count). Replaces
     * `size(array_intersect(a, b))`, which materializes the intersection
     * array and can't early-exit; on a near-dup verify stage most
-    * candidates fail, so the bail path is the common path. Null elements
-    * carry no signal.
+    * candidates fail, so the bail path is the common path.
+    *
+    * Duplicate-bearing inputs: each build-side element is consumed on
+    * its first probe hit, so the count is the true distinct-set
+    * intersection even with repeated elements (a plain contains-probe
+    * would over-count). The threshold early-exit derives `req` from the
+    * ARRAY lengths though — meaningful Jaccard semantics need distinct
+    * arrays (which every internal caller passes; the SQL surface
+    * documents the same). Null elements carry no signal.
     */
   def boundedIntersectSize(a: ArrayData, b: ArrayData, num: Int, den: Int): Long = {
     val na = a.numElements()
@@ -173,7 +180,8 @@ object HashRuntime {
     var c = 0L
     i = 0
     while (i < pn) {
-      if (!probe.isNullAt(i) && set.contains(probe.getUTF8String(i))) c += 1
+      // remove-on-hit: a duplicated probe element counts once
+      if (!probe.isNullAt(i) && set.remove(probe.getUTF8String(i))) c += 1
       // even matching every remaining probe element can't reach req
       if (c + (pn - 1 - i) < req) return c
       i += 1

@@ -205,6 +205,8 @@ object Ivf {
       s"bad stride=$stride nprobe=$nprobe refine=$refine")
     // k tiny rows, but their lineage holds refine+1 corpus passes — the
     // final assign AND the probe ranking both reuse them: persist once
+    // (k-row cache entry, lives until clearCache()/session end; repeated
+    // querying should use writeIndex/topKFromIndex)
     val cents = centroids(corpus, idCol, vecCol, stride, refine)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val index = assign(corpus, idCol, vecCol, cents)

@@ -87,7 +87,10 @@ object JaccardJoin {
         TextOps.shingles(TextOps.tokens(col(textCol)), ngram).as("__sh"))
       // three consumers (index build + both verify sides): materialize
       // once. Lazy persist — first action fills it; the shared
-      // CacheManager dedupes re-runs of the same plan (bench passes)
+      // CacheManager dedupes re-runs of the same plan (bench passes).
+      // Cache-lifetime contract: entries are keyed by plan and live
+      // until `spark.catalog.clearCache()` or session end — a service
+      // looping over DIFFERENT corpora should clear between runs
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // the index pipeline works on 8-byte shingle HASHES, not the strings:

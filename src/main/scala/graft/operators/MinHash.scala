@@ -100,6 +100,10 @@ object MinHash {
       seed: Long = 42L,
       num: Int = 8,
       den: Int = 10): DataFrame = {
+    // b*r beyond k would slice past the signature: the overrun bands
+    // hash an EMPTY slice identically for every doc — each one a
+    // whole-corpus bucket, degrading the join toward all-pairs
+    require(b * r <= k, s"b*r must not exceed k: $b*$r > $k")
     // spread: a single-file doc scan arrives as one split; the shingle +
     // k-hash signature stage is per-row expensive, so hash-repartition
     // the raw docs first (deterministic, one tiny shuffle of raw rows)
@@ -118,8 +122,9 @@ object MinHash {
         col(idCol).as("__id"),
         TextOps.shingles(TextOps.tokens(col(textCol)), ngram).as("__sh"))
       // three consumers (signature branch + both verify sides): persist
-      // once instead of re-running scan+shingle per branch; at true
-      // 100 TB scale, materialize `sig` to a table instead
+      // once instead of re-running scan+shingle per branch (cache lives
+      // until clearCache()/session end — see JaccardJoin); for repeated
+      // querying use [[writeCorpusIndex]] + [[nearDupPairsFromIndex]]
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sig = sh.withColumn("__sig", signature(TextOps.polyHashAll(col("__sh")), k, seed))
     val cands = candidatePairs(sig, "__id", "__sig", b, r)
@@ -167,6 +172,12 @@ object MinHash {
     val idx = spark.read.parquet(path)
     require(Seq("__id", "__sh", "__sig").forall(idx.columns.contains),
       s"not a writeCorpusIndex table: ${idx.columns.mkString(",")}")
+    // enforce b*r <= indexed k: overrun bands would slice empty and put
+    // the whole corpus in one bucket per band (see nearDupPairs)
+    idx.select(size(col("__sig"))).take(1).foreach { r0 =>
+      val sigLen = r0.getInt(0)
+      require(b * r <= sigLen, s"b*r exceeds the indexed signature length: $b*$r > $sigLen")
+    }
     val cands = candidatePairs(idx.select(col("__id"), col("__sig")), "__id", "__sig", b, r)
     PairVerify.exact(cands, idx.select(col("__id"), col("__sh")), num, den)
   }

