@@ -138,14 +138,16 @@ object MinHash {
     * the expensive artifact; candidate generation and verify against it
     * are cheap by comparison.
     */
-  def writeCorpusIndex(
+  /** The (\_\_id, \_\_sh, \_\_sig) index rows of a document table — the
+    * unit of [[writeCorpusIndex]] and of incremental (streaming) dedup.
+    */
+  def corpusIndex(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      path: String,
       ngram: Int = 3,
       k: Int = 128,
-      seed: Long = 42L): Unit = {
+      seed: Long = 42L): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     docs
       .repartition(par, col(idCol))
@@ -154,8 +156,17 @@ object MinHash {
         col(idCol).as("__id"),
         TextOps.shingles(TextOps.tokens(col(textCol)), ngram).as("__sh"))
       .withColumn("__sig", signature(TextOps.polyHashAll(col("__sh")), k, seed))
-      .write.mode("overwrite").parquet(path)
   }
+
+  def writeCorpusIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      ngram: Int = 3,
+      k: Int = 128,
+      seed: Long = 42L): Unit =
+    corpusIndex(docs, idCol, textCol, ngram, k, seed).write.mode("overwrite").parquet(path)
 
   /** Near-dup pairs from a [[writeCorpusIndex]] table: banding + verify
     * only — no re-shingling, no re-hashing. Same output and semantics as

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * rows), early-exit below it for pairs that provably cannot — the
   * common case on a verify stage, where most candidates fail.
   */
-private[operators] object PairVerify {
+private[graft] object PairVerify {
 
   /** `cands`: (id_a, id_b). `sets`: (__id, __sh) — one row per doc,
     * __sh the distinct shingle array. Output: (id_a, id_b, inter_size,

@@ -556,6 +556,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // -------------------------------------- incremental corpus dedup ingest
+  test("StreamingDedup: batches dedup against the accepted corpus; final == batch dedupCorpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("graft_sdedup").toString + "/index"
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearBase = (1 to 39).map(i => s"w$i").mkString(" ") + " w99" // near-dup of base
+    val other = (100 to 140).map(i => s"u$i").mkString(" ")
+    val nearOther = (100 to 139).map(i => s"u$i").mkString(" ") + " u999"
+    val input = MemoryStream[(Long, String)]
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = graft.streaming.StreamingDedup.run(
+        input.toDS().toDF("doc_id", "text"), "doc_id", "text", idx) { (survivors, _) =>
+        accepted.synchronized {
+          accepted ++= survivors.select("doc_id").as[Long].collect()
+          ()
+        }
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_sdedup_ckpt").toString)
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    try {
+      // batch 1: within-batch near-dup pair (1,2) -> 2 drops; 3 unique
+      input.addData((1L, base), (2L, nearBase), (3L, other))
+      q.processAllAvailable()
+      assert(accepted.synchronized(accepted.toSet) === Set(1L, 3L))
+      // batch 2: 10 is a CROSS-BATCH near-dup of accepted 1 -> drops;
+      // 11 is a near-dup of accepted 3 -> drops; 12 unique -> survives
+      input.addData((10L, nearBase), (11L, nearOther), (12L, "totally different words here now"))
+      q.processAllAvailable()
+      assert(accepted.synchronized(accepted.toSet) === Set(1L, 3L, 12L))
+    } finally q.stop()
+
+    // the incremental result equals one-shot batch dedup over everything
+    val all = Seq((1L, base), (2L, nearBase), (3L, other),
+      (10L, nearBase), (11L, nearOther), (12L, "totally different words here now"))
+      .toDF("doc_id", "text")
+    val oneShot = graft.operators.MinHash.dedupCorpus(all, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(oneShot === Set(1L, 3L, 12L))
+  }
+
   // ----------------------------------------------- S5 descriptor source
   test("S5 programmatic source descriptor builds a rate stream") {
     val df = graft.sources.Sources.descriptor(spark, "rate", Map("rowsPerSecond" -> "5"))
