@@ -199,6 +199,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("append-mode tumble: windows emit once when the watermark closes them; late data dropped") {
+    // beyond the reference (pure processing time): event-time windows
+    // with a real watermark — the production shape for exactly-once
+    // window emission to append-only sinks (files, Kafka)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    val agged = StreamOps.tumble(
+      input.toDS().toDF("iso", "ts"), "ts", "1 minute", "0 seconds",
+      Seq("iso"), Seq(count(lit(1)).as("n")))
+    val q = agged.writeStream.format("memory").queryName("tumble_append")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0L)).start()
+    try {
+      def t(min: Int, sec: Int = 0) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d")
+      input.addData(("a", t(0)), ("a", t(0, 20)), ("b", t(0, 40)))
+      q.processAllAvailable()
+      // window [00:00, 00:01) is still open: nothing emitted yet
+      assert(spark.table("tumble_append").count() === 0)
+      // an event at 00:05 advances the watermark past the window end
+      input.addData(("a", t(5)))
+      q.processAllAvailable()
+      input.addData(("zz", t(6))) // one more batch so the flush lands
+      q.processAllAvailable()
+      val rows = spark.table("tumble_append")
+        .select("iso", "window_start", "n").as[(String, Timestamp, Long)].collect()
+      // both closed windows emitted exactly once; the still-open 00:06
+      // window (zz) must NOT appear
+      assert(rows.toSet === Set(("a", t(0), 2L), ("b", t(0), 1L), ("a", t(5), 1L)))
+      assert(!rows.exists(_._2 == t(6)))
+      // late event for the closed window: dropped by the watermark, the
+      // emitted count must NOT change or re-emit
+      input.addData(("a", t(0, 50)))
+      q.processAllAvailable()
+      val after = spark.table("tumble_append")
+        .select("iso", "window_start", "n").as[(String, Timestamp, Long)].collect()
+      assert(after.count(r => r._2 == t(0)) === rows.count(r => r._2 == t(0)))
+    } finally q.stop()
+  }
+
   // ------------------------------- stream-stream left outer join (J3)
   test("J3 streaming left outer join: matches join, unmatched null-pad after watermark") {
     implicit val sqlCtx = spark.sqlContext
