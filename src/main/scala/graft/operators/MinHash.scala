@@ -72,12 +72,37 @@ object MinHash {
 
   /** Candidate pairs (idA < idB) sharing at least one LSH bucket.
     * Input: df with `id` and `sig` columns. Output: (id_a, id_b).
+    *
+    * `maxBucketSize` is the degenerate-bucket guard for web-scale
+    * corpora: a bucket holding B docs contributes B² candidate rows, and
+    * boilerplate (empty pages, license headers) routinely puts millions
+    * of near-identical docs in one bucket — one such bucket IS an
+    * all-pairs join. Buckets above the cap are dropped wholesale
+    * (one count agg over the band rows, then a semi-join). Opt-in and
+    * recall-trading by design: docs whose EVERY shared bucket is
+    * degenerate lose their pairs — the standard web-dedup accept
+    * (boilerplate clusters are handled by exact dedup upstream, q22's
+    * hash-groupBy, where they cost O(B) not O(B²)).
     */
-  def candidatePairs(df: DataFrame, idCol: String, sigCol: String, b: Int, r: Int): DataFrame = {
+  def candidatePairs(
+      df: DataFrame,
+      idCol: String,
+      sigCol: String,
+      b: Int,
+      r: Int,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     val banded = bands(df.select(col(idCol).as("__id"), col(sigCol).as("__sig")), "__sig", b, r)
       .select(col("__id"), col("band"), col("bucket"))
-    val l = banded.select(col("__id").as("id_a"), col("band"), col("bucket"))
-    val rt = banded.select(col("__id").as("id_b"), col("band"), col("bucket"))
+    val kept = maxBucketSize.fold(banded) { cap =>
+      require(cap >= 2, s"maxBucketSize must be >= 2, got $cap")
+      val ok = banded.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("__bn"))
+        .where(col("__bn") <= cap)
+        .select(col("band"), col("bucket"))
+      banded.join(ok, Seq("band", "bucket"), "left_semi")
+    }
+    val l = kept.select(col("__id").as("id_a"), col("band"), col("bucket"))
+    val rt = kept.select(col("__id").as("id_b"), col("band"), col("bucket"))
     l.join(rt, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))

@@ -226,6 +226,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("maxBucketSize guard drops degenerate boilerplate buckets, keeps normal pairs") {
+    // 20 identical boilerplate docs (one bucket of 20 per band) + one
+    // distinct near-dup pair: the guard must kill the boilerplate
+    // candidate explosion and keep the real pair
+    val boiler = (0 until 20).map(i => (i.toLong, "lorem ipsum dolor sit amet boilerplate text"))
+    val a = (100 to 140).map(i => s"w$i").mkString(" ")
+    val b = (100 to 139).map(i => s"w$i").mkString(" ") + " w999"
+    val docs = (boiler ++ Seq((200L, a), (201L, b))).toDF("doc_id", "text")
+    val idx = MinHash.corpusIndex(docs, "doc_id", "text")
+    val unguarded = MinHash.candidatePairs(idx, "__id", "__sig", 32, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(unguarded.count { case (x, y) => x < 20 && y < 20 } === 190) // 20 choose 2
+    val guarded = MinHash.candidatePairs(idx, "__id", "__sig", 32, 4, maxBucketSize = Some(5))
+      .as[(Long, Long)].collect().toSet
+    assert(!guarded.exists { case (x, y) => x < 20 && y < 20 }) // boilerplate gone
+    assert(guarded.contains((200L, 201L))) // the real pair survives
+  }
+
   test("MinHash persisted corpus index: pairs == in-memory pipeline, no re-shingle") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mh_idx").toString + "/idx"
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
