@@ -697,9 +697,12 @@ object LlmQueries {
         // the whole training-data curation flow as ONE declarative plan:
         // exact dedup (min-id survivor) -> language-ID + quality gate ->
         // deterministic content-hash train/val split -> per-(lang, split)
-        // counts. Catalyst fuses the map-side stages (language scores,
-        // quality, split) into the scan of the dedup output; the plan has
-        // exactly two shuffles (dedup by text hash, final count agg).
+        // counts. Catalyst earns its keep here: min(doc_id) is eliminated
+        // (unused downstream, so dedup collapses to a keys-only hash agg),
+        // the scan reads ONLY `text` with the token-count filter pushed
+        // into it, and all map stages (language scores, quality, split)
+        // fuse into one codegen stage. Two data shuffles (dedup by text
+        // hash, count agg) plus the output sort's range exchange.
         val surv = T.documents(s, d)
           .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
         val (_, pred) = TextOps.languageId(TextOps.tokens(col("text")), LangMarkers)
