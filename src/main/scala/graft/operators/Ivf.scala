@@ -155,17 +155,24 @@ object Ivf {
     val p = withNorm(probes, idCol, vecCol, "probe_id", "__pv", "__pn")
     val cw = Window.partitionBy(col("probe_id"))
       .orderBy(col("__ccos").desc, col("centroid_id").asc)
+    // localCheckpoint, not persist: materialized once (immediately
+    // collected below and reused in the final join), lineage cut, and
+    // the blocks are GC-freed when the result plan dies — a persist
+    // here would leak one CacheManager entry per query call in the
+    // build-once/query-MANY API
     val probeLists = p.join(broadcast(cents))
       .select(col("probe_id"), col("centroid_id"),
         cos(col("__pv"), col("__pn"), col("__kv"), col("__kn")).as("__ccos"))
       .withColumn("__cr", row_number().over(cw))
       .where(col("__cr") <= nprobe)
       .select(col("probe_id"), col("centroid_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
-    // probed-partition union: at most |centroids| longs via the driver —
-    // what makes the scan below a PartitionFilters prune, not a full read
-    val probedIds = probeLists.select(col("centroid_id")).distinct()
+    // probed-partition union: at most |centroids| ids via the driver —
+    // what makes the scan below a PartitionFilters prune, not a full
+    // read. Cast to long first: centroid_id inherits the corpus id
+    // type, and getLong on an int column throws
+    val probedIds = probeLists.select(col("centroid_id").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq
     val idxRaw = spark.read.parquet(s"$path/assign")
     // partition-directory values are type-INFERRED on read (small ids

@@ -129,31 +129,16 @@ object MinHash {
     // hash an EMPTY slice identically for every doc — each one a
     // whole-corpus bucket, degrading the join toward all-pairs
     require(b * r <= k, s"b*r must not exceed k: $b*$r > $k")
-    // spread: a single-file doc scan arrives as one split; the shingle +
-    // k-hash signature stage is per-row expensive, so hash-repartition
-    // the raw docs first (deterministic, one tiny shuffle of raw rows)
-    // to use the whole cluster.
-    // Docs with fewer than `ngram` tokens have empty shingle sets; they
-    // can never be near-dups (and their all-"infinity" signatures would
-    // collide into one bucket), so they are dropped before banding.
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val sh = docs
-      .repartition(par, col(idCol))
-      // filter on the raw token count (shingles empty ⟺ tokens < ngram):
-      // filtering on size(__sh) would collapse into the projection and
-      // re-run the interpreted shingle HOF twice per row
-      .where(size(TextOps.tokens(col(textCol))) >= ngram)
-      .select(
-        col(idCol).as("__id"),
-        TextOps.shingles(TextOps.tokens(col(textCol)), ngram).as("__sh"))
-      // three consumers (signature branch + both verify sides): persist
-      // once instead of re-running scan+shingle per branch (cache lives
-      // until clearCache()/session end — see JaccardJoin); for repeated
-      // querying use [[writeCorpusIndex]] + [[nearDupPairsFromIndex]]
+    // one definition of the scan+shingle+signature stage (corpusIndex —
+    // also what the persisted-index and streaming paths consume, so the
+    // semantics can't desynchronize), persisted once for its three
+    // consumers: the banding branch and both verify sides. Cache lives
+    // until clearCache()/session end — see JaccardJoin; for repeated
+    // querying use [[writeCorpusIndex]] + [[nearDupPairsFromIndex]]
+    val idx = corpusIndex(docs, idCol, textCol, ngram, k, seed)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val sig = sh.withColumn("__sig", signature(TextOps.polyHashAll(col("__sh")), k, seed))
-    val cands = candidatePairs(sig, "__id", "__sig", b, r)
-    PairVerify.exact(cands, sh, num, den)
+    val cands = candidatePairs(idx.select(col("__id"), col("__sig")), "__id", "__sig", b, r)
+    PairVerify.exact(cands, idx.select(col("__id"), col("__sh")), num, den)
   }
 
   /** Persist the dedup index: one row per doc with its shingle set AND
@@ -163,8 +148,15 @@ object MinHash {
     * the expensive artifact; candidate generation and verify against it
     * are cheap by comparison.
     */
-  /** The (\_\_id, \_\_sh, \_\_sig) index rows of a document table — the
-    * unit of [[writeCorpusIndex]] and of incremental (streaming) dedup.
+  /** The (\_\_id, \_\_sh, \_\_sig) index rows of a document table — THE
+    * single definition of the scan+shingle+signature stage, consumed by
+    * [[nearDupPairs]], [[writeCorpusIndex]] and the streaming dedup.
+    *
+    * Docs with fewer than `ngram` tokens are dropped: their shingle sets
+    * are empty, they can never be near-dups, and their all-"infinity"
+    * signatures would collide into one bucket. (Callers that must KEEP
+    * such docs — e.g. dedup output — anti-join drops against the
+    * original table instead of semi-joining survivors.)
     */
   def corpusIndex(
       docs: DataFrame,
@@ -173,6 +165,12 @@ object MinHash {
       ngram: Int = 3,
       k: Int = 128,
       seed: Long = 42L): DataFrame = {
+    // spread: a single-file doc scan arrives as one split; the shingle +
+    // k-hash signature stage is per-row expensive, so hash-repartition
+    // the raw docs first (deterministic, one tiny shuffle of raw rows).
+    // Filter on the raw token count (shingles empty ⟺ tokens < ngram):
+    // filtering on size(__sh) would collapse into the projection and
+    // re-run the shingle expression twice per row
     val par = docs.sparkSession.sparkContext.defaultParallelism
     docs
       .repartition(par, col(idCol))

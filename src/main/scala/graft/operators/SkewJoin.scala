@@ -36,6 +36,14 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** The salt: pure content hash of (key, identity columns) mod `salt`.
+    * Exposed for tests — the retry-safety property IS this expression's
+    * content-determinism, and must be asserted against the production
+    * definition, not a test-local copy.
+    */
+  private[graft] def saltExpr(bigKey: String, idCols: Seq[String], salt: Int) =
+    pmod(xxhash64((bigKey +: idCols).distinct.map(col): _*), lit(salt)).cast("int")
+
   def salted(
       big: DataFrame,
       small: DataFrame,
@@ -50,8 +58,7 @@ object SkewJoin {
       s"salted join supports inner/left joins, got $joinType")
     val idCols = if (saltOn.nonEmpty) saltOn else big.columns.toSeq
     require(idCols.forall(big.columns.contains), s"saltOn columns not in big side: $saltOn")
-    val l = big.withColumn("__salt",
-      pmod(xxhash64((bigKey +: idCols).distinct.map(col): _*), lit(salt)).cast("int"))
+    val l = big.withColumn("__salt", saltExpr(bigKey, idCols, salt))
     val r = small.withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
     l.join(r, l(bigKey) === r(smallKey) && l("__salt") === r("__salt"), joinType)
       .drop("__salt")

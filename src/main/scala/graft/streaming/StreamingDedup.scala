@@ -12,24 +12,41 @@ import graft.operators.{MinHash, PairVerify}
   * against everything already accepted, survivors join the corpus, the
   * rest are dropped on arrival.
   *
-  * Policy (matches [[MinHash.dedupCorpus]] when ids arrive in increasing
-  * order, the normal ingest case):
+  * Policy — greedy ONLINE dedup, the standard ingest behavior:
   *  1. accepted-first — a batch doc near-dup of any ACCEPTED doc drops;
   *  2. lowest-id-within-batch — among new near-dups of each other, the
-  *     minimum id survives.
+  *     minimum id survives;
+  *  3. docs too short to shingle (< ngram tokens) can never be near-dups
+  *     and are always accepted (emitted, not indexed) — the same rows
+  *     [[MinHash.dedupCorpus]] keeps.
+  *
+  * Equivalence to one-shot [[MinHash.dedupCorpus]] on the union holds
+  * when ids arrive in increasing order AND every near-dup pair involves
+  * a surviving doc (duplicate clusters centered on canonicals — the
+  * common web-dedup shape). The deliberate divergence: when a DROPPED
+  * doc is the only link between two otherwise-dissimilar docs (b≈a
+  * dropped in batch 1; later c≈b but c≉a — Jaccard is not transitive),
+  * the online policy KEEPS c (it is compared against accepted docs
+  * only), while one-shot dedup over the union would drop it. Online
+  * keeps strictly more data and never drops a doc without an accepted
+  * witness; re-running batch dedup over the accepted corpus converges
+  * the two.
   *
   * State is the persisted minhash corpus index ([[MinHash.corpusIndex]]
   * rows) laid out one directory per micro-batch
-  * (`<indexPath>/batch=<id>`, overwrite) — so a foreachBatch RETRY
+  * (`<indexPath>/batch=<id>`, overwrite) — a foreachBatch RETRY
   * rewrites its own directory instead of double-appending (idempotent,
-  * at-least-once safe), and a restart resumes against the full accepted
-  * corpus with zero recovery logic.
+  * at-least-once safe), a restart resumes against the full accepted
+  * corpus with zero recovery logic, and directories from a dead
+  * incarnation (ids beyond the current batch after a checkpoint reset)
+  * are purged on write so the index tree never carries phantom docs.
   *
   * 100 TB shape: per batch the work is banding the batch (tiny) against
   * the stored index's bands (map-only explode of stored signatures — no
   * re-shingling of history, the index IS the state), one bucket
-  * equi-join, and exact verify on candidates only. The accepted corpus
-  * never re-scans its raw documents.
+  * equi-join, and exact verify on candidates only; the drop-sets are
+  * localCheckpointed so the verify joins run ONCE per batch (not once
+  * per consumer). The accepted corpus never re-scans its raw documents.
   */
 object StreamingDedup {
 
@@ -56,7 +73,9 @@ object StreamingDedup {
       try {
         val accepted = readIndex(spark, indexPath, batchIdx, beforeBatch = batchId)
         // 1. cross candidates: batch bands vs accepted bands — one bucket
-        // equi-join; verify exactly; any hit drops the batch doc
+        // equi-join; verify exactly; any hit drops the batch doc.
+        // localCheckpoint materializes the small id set so the verify
+        // DAG runs once, not once per downstream consumer
         val bb = MinHash.bands(batchIdx.select(col("__id"), col("__sig")), "__sig", b, r)
           .select(col("__id"), col("band"), col("bucket"))
         val ab = MinHash.bands(accepted.select(col("__id"), col("__sig")), "__sig", b, r)
@@ -68,6 +87,7 @@ object StreamingDedup {
           .unionByName(accepted.select(col("__id"), col("__sh")))
         val dupOfAccepted = PairVerify.exact(crossCands, sets, num, den)
           .select(col("id_a").as("__id")).distinct()
+          .localCheckpoint(true)
         val fresh = batchIdx.join(dupOfAccepted, Seq("__id"), "left_anti")
 
         // 2. within-batch: keep the lowest id of each near-dup cluster
@@ -75,17 +95,40 @@ object StreamingDedup {
           fresh.select(col("__id"), col("__sig")), "__id", "__sig", b, r)
         val innerDrop = PairVerify.exact(innerCands, fresh.select(col("__id"), col("__sh")), num, den)
           .select(col("id_b").as("__id")).distinct()
-        val survivors = fresh.join(innerDrop, Seq("__id"), "left_anti")
+          .localCheckpoint(true)
 
         // 3. commit this batch's accepted index rows (overwrite = retry-
-        // idempotent), then emit the surviving ORIGINAL rows
-        survivors.select(col("__id"), col("__sh"), col("__sig"))
+        // idempotent), purge dead-incarnation leftovers, then emit the
+        // surviving ORIGINAL rows — anti-join against the drop sets, so
+        // short un-shingleable docs (never indexed, never droppable)
+        // pass through like dedupCorpus's anti-join keeps them
+        fresh.join(innerDrop, Seq("__id"), "left_anti")
+          .select(col("__id"), col("__sh"), col("__sig"))
           .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
-        val out = batch.join(
-          survivors.select(col("__id").as(idCol)), Seq(idCol), "left_semi")
-        onSurvivors(out, batchId)
+        purgeBeyond(spark, indexPath, batchId)
+        val dropIds = dupOfAccepted.unionByName(innerDrop).select(col("__id").as(idCol))
+        onSurvivors(batch.join(dropIds, Seq(idCol), "left_anti"), batchId)
       } finally { batchIdx.unpersist(); () }
     }
+  }
+
+  private def batchDirIds(spark: SparkSession, indexPath: String): Seq[Long] = {
+    val p = new Path(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("batch=") => n.stripPrefix("batch=").toLong }
+  }
+
+  /** Dead-incarnation purge: a reused indexPath with a reset checkpoint
+    * restarts batchIds at 0 — directories beyond the current batch are
+    * a previous run's corpse and would surface as phantom accepted docs.
+    */
+  private def purgeBeyond(spark: SparkSession, indexPath: String, batchId: Long): Unit = {
+    val p = new Path(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    batchDirIds(spark, indexPath).filter(_ > batchId)
+      .foreach(id => fs.delete(new Path(s"$indexPath/batch=$id"), true))
   }
 
   /** The accepted-corpus index: every batch directory with id <
@@ -97,14 +140,8 @@ object StreamingDedup {
       indexPath: String,
       template: DataFrame,
       beforeBatch: Long): DataFrame = {
-    val p = new Path(indexPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dirs =
-      if (!fs.exists(p)) Seq.empty
-      else fs.listStatus(p).toSeq.map(_.getPath.getName)
-        .collect { case n if n.startsWith("batch=") => n.stripPrefix("batch=").toLong }
-        .filter(_ < beforeBatch)
-        .map(id => s"$indexPath/batch=$id")
+    val dirs = batchDirIds(spark, indexPath).filter(_ < beforeBatch)
+      .map(id => s"$indexPath/batch=$id")
     if (dirs.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), template.schema)
     else spark.read.schema(template.schema).parquet(dirs: _*)

@@ -100,20 +100,22 @@ class PlanSpec extends SparkSpec {
   }
 
   test("salt is content-deterministic (retry-safe), spreads a hot key, prunes columns") {
-    // deterministic: the salt is a pure function of row content, so a
-    // recomputed partition (task retry) reassigns NOTHING — two
-    // evaluations of the same rows agree row-for-row
+    // retry-safety = the PRODUCTION salt expression maps row content to
+    // the same salt under ANY partitioning (a recomputed partition on
+    // task retry reassigns nothing). An order-dependent salt (mono_id,
+    // rand, partition counters) gives different per-row salts across
+    // these two evaluations and fails here
     val hot = spark.range(0, 64, 1, 4)
       .select(lit("hot").as("k"), col("id").as("v"))
-    def salts() = SkewJoin.salted(hot, Seq(("hot", "H")).toDF("sk", "tag"), "k", "sk", salt = 4)
-      .select("v", "tag").as[(Long, String)].collect().toSet
-    assert(salts() === salts())
+    def saltMap(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("__salt", SkewJoin.saltExpr("k", Seq("v"), 4))
+        .select("v", "__salt").as[(Long, Int)].collect().toMap
+    val base = saltMap(hot)
+    assert(saltMap(hot.repartition(13)) === base) // different partitioning, same salts
+    assert(saltMap(hot.coalesce(1)) === base)
     // a hot key whose rows differ in the saltOn identity spreads across
-    // sub-keys (distinct __salt values observed via the small-side fan-out)
-    val spread = hot.withColumn("__salt",
-        pmod(xxhash64(col("k"), col("v")), lit(4)).cast("int"))
-      .select("__salt").distinct().count()
-    assert(spread === 4L)
+    // all sub-keys
+    assert(base.values.toSet.size === 4)
     // caller-named saltOn keeps column pruning: untouched lineitem
     // columns never reach the scan
     val plan = SkewJoin.salted(

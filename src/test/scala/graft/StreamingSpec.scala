@@ -615,24 +615,28 @@ class StreamingSpec extends SparkSpec {
         java.nio.file.Files.createTempDirectory("graft_sdedup_ckpt").toString)
       .trigger(Trigger.ProcessingTime(0L)).start()
     try {
-      // batch 1: within-batch near-dup pair (1,2) -> 2 drops; 3 unique
-      input.addData((1L, base), (2L, nearBase), (3L, other))
+      // batch 1: within-batch near-dup pair (1,2) -> 2 drops; 3 unique;
+      // 4 is too short to shingle -> always accepted (emitted, unindexed)
+      input.addData((1L, base), (2L, nearBase), (3L, other), (4L, "too short"))
       q.processAllAvailable()
-      assert(accepted.synchronized(accepted.toSet) === Set(1L, 3L))
+      assert(accepted.synchronized(accepted.toSet) === Set(1L, 3L, 4L))
       // batch 2: 10 is a CROSS-BATCH near-dup of accepted 1 -> drops;
       // 11 is a near-dup of accepted 3 -> drops; 12 unique -> survives
       input.addData((10L, nearBase), (11L, nearOther), (12L, "totally different words here now"))
       q.processAllAvailable()
-      assert(accepted.synchronized(accepted.toSet) === Set(1L, 3L, 12L))
+      assert(accepted.synchronized(accepted.toSet) === Set(1L, 3L, 4L, 12L))
     } finally q.stop()
 
-    // the incremental result equals one-shot batch dedup over everything
-    val all = Seq((1L, base), (2L, nearBase), (3L, other),
+    // this fixture has no dropped-doc-linked chains, so the incremental
+    // result equals one-shot batch dedup over everything (including the
+    // short doc both paths keep); see the scaladoc for the chain case
+    // where online dedup deliberately keeps more
+    val all = Seq((1L, base), (2L, nearBase), (3L, other), (4L, "too short"),
       (10L, nearBase), (11L, nearOther), (12L, "totally different words here now"))
       .toDF("doc_id", "text")
     val oneShot = graft.operators.MinHash.dedupCorpus(all, "doc_id", "text")
       .select("doc_id").as[Long].collect().toSet
-    assert(oneShot === Set(1L, 3L, 12L))
+    assert(oneShot === Set(1L, 3L, 4L, 12L))
   }
 
   // ----------------------------------------------- S5 descriptor source
