@@ -760,7 +760,31 @@ object LlmQueries {
       "end-to-end corpus curation in one plan: exact dedup -> language-ID + quality gate " +
         "-> deterministic content-hash 90/10 split -> counts. Two shuffles total (dedup by " +
         "text hash, final agg); every map stage fused into the scan by Catalyst. Oracle " +
-        "composes the gate-proven q22/q26/q27/q45 pieces verbatim")
+        "composes the gate-proven q22/q26/q27/q45 pieces verbatim"),
+
+    // --------------------------------------- embedding-cosine corpus dedup
+    Q("q49_embedding_dedup",
+      (s, d) => {
+        val e = T.embeddings(s, d).select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        Similarity.dedupCorpus(e, "vec_id", "v", 0.4)
+          .select(col("vec_id"))
+          .orderBy(col("vec_id"))
+      },
+      // oracle: survivors = ids never appearing as the HIGHER id of a
+      // qualifying all-pairs pair (q30's pair oracle + anti-join). The
+      // LSH path's recall is 1.0 on this corpus (q30 hash-matches the
+      // all-pairs oracle), so the dedup sets agree exactly
+      Some("""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
+        drop AS (SELECT DISTINCT b.vec_id
+                 FROM n a JOIN n b ON a.vec_id < b.vec_id
+                 WHERE list_sum(list_transform(list_zip(a.v, b.v), z -> z[1]*z[2])) / (a.nrm * b.nrm) >= 0.4)
+        SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT vec_id FROM drop)
+        ORDER BY vec_id"""),
+      "embedding-cosine corpus dedup (threshold 0.4): LSH candidate pairs -> exact verify " +
+        "-> keep-lowest-id anti-join. Completes the dedup family's embedding column: pairs " +
+        "(q30) and corpus-level removal (this) share the bucketed no-all-pairs pipeline")
   )
 }
 

@@ -153,6 +153,26 @@ object Similarity {
       .where(col("cosine") >= threshold)
   }
 
+  /** Corpus-level embedding dedup: drop every vector that is the higher
+    * id of a [[cosinePairsLsh]] pair (greedy keep-lowest-id — the same
+    * policy as [[MinHash.dedupCorpus]], over cosine instead of Jaccard).
+    * Survivors = vecs ANTI JOIN distinct id_b: one id shuffle, vectors
+    * never ride the pair pipeline.
+    */
+  def dedupCorpus(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      tables: Int = 128,
+      planes: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val drop = cosinePairsLsh(vecs, idCol, vecCol, threshold, tables, planes, dim, seed)
+      .select(col("id_b").as(idCol)).distinct()
+    vecs.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Approximate top-k: candidates = vectors sharing any LSH bucket with
     * the probe, exactly re-ranked within the candidate set. Returns the
     * same schema as [[bruteTopK]]. Recall < 1 by construction; raise

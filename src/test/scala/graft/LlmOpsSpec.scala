@@ -319,6 +319,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall $recall too low (got ${approx.size} pairs)")
   }
 
+  test("Similarity.dedupCorpus drops the higher id of each cosine near-dup pair") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pairs = Similarity.cosinePairsLsh(e, "vec_id", "v", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty) // the corpus has planted cosine near-dups (q30: 59 pairs)
+    val kept = Similarity.dedupCorpus(e, "vec_id", "v", 0.4)
+      .select("vec_id").as[Long].collect().toSet
+    val wantDropped = pairs.map(_._2).toSet
+    assert(kept === e.select("vec_id").as[Long].collect().toSet -- wantDropped)
+    // no surviving pair: every id_b of a pair among survivors was dropped
+    assert(!pairs.exists { case (a, b) => kept.contains(a) && kept.contains(b) })
+  }
+
   test("cosinePairsLsh: precision 1 (subset of exact) and high recall on real embeddings") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
