@@ -784,12 +784,37 @@ object LlmQueries {
         ORDER BY vec_id"""),
       "embedding-cosine corpus dedup (threshold 0.4): LSH candidate pairs -> exact verify " +
         "-> keep-lowest-id anti-join. Completes the dedup family's embedding column: pairs " +
-        "(q30) and corpus-level removal (this) share the bucketed no-all-pairs pipeline")
+        "(q30) and corpus-level removal (this) share the bucketed no-all-pairs pipeline"),
+
+    // ------------------------------------------------ simhash corpus dedup
+    Q("q50_simhash_dedup",
+      (s, d) => {
+        val fp = T.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(
+            col("doc_id"),
+            SimHash.simhash(TextOps.polyHashAll(docTokens)).as("fp"))
+        SimHash.dedupCorpus(fp, "doc_id", "fp", maxHamming = 3)
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      // oracle: survivors = doc_ids never appearing as the HIGHER id of a
+      // q31 pair — the drop rule composed over q31's pinned pair set (the
+      // 17 distinct doc_b values below; same corpus-validity caveat, same
+      // PinnedCorpus guard).
+      Some("""
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (178, 185, 245, 267, 290, 293, 301, 311, 323,
+                             374, 387, 413, 420, 447, 450, 462, 465)
+        ORDER BY doc_id"""),
+      "simhash corpus dedup (hamming<=3): pigeonhole pair generation -> keep-lowest-id " +
+        "anti-join. Completes corpus-level removal for every near-dup family: minhash " +
+        "(q34), exact Jaccard, embedding cosine (q49), and simhash (this)")
   )
 }
 
 /** Guard for the literal pinned oracles (q31 simhash, q33 LSH ANN,
-  * q42 IVF, q47's sketch half): those VALUES lists were computed from
+  * q42 IVF, q47's sketch half, q50's drop set): those VALUES lists were computed from
   * ONE specific corpus, so the gate must refuse to compare them against
   * any other — a silent testdata/seed change would otherwise surface as
   * a baffling hash mismatch instead of "your pins are stale".
@@ -823,7 +848,7 @@ object PinnedCorpus {
     val (docs, embs) = fingerprints(spark, sfDir)
     require(docs == DocumentsFp && embs == EmbeddingsFp,
       s"corpus fingerprint mismatch: $sfDir has documents=$docs embeddings=$embs, " +
-        s"but the pinned literal oracles (q31/q33/q42/q47) were computed for " +
+        s"but the pinned literal oracles (q31/q33/q42/q47/q50) were computed for " +
         s"documents=$DocumentsFp embeddings=$EmbeddingsFp. The testdata, seeds or hash " +
         "constants changed — regenerate the pinned VALUES oracles in LlmQueries " +
         "and update PinnedCorpus before trusting the gate.")

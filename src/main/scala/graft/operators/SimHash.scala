@@ -68,4 +68,18 @@ object SimHash {
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Corpus-level simhash dedup: drop every doc that is the higher id of
+    * a [[nearPairs]] pair (greedy keep-lowest-id — the same policy as
+    * [[MinHash.dedupCorpus]] and [[graft.operators.Similarity.dedupCorpus]],
+    * over Hamming distance instead of Jaccard/cosine). Survivors =
+    * docs ANTI JOIN distinct id_b: one ids-only shuffle; fingerprints
+    * never ride the candidate join. Docs with fp == 0 (empty token
+    * stream) never pair, so they always survive.
+    */
+  def dedupCorpus(df: DataFrame, idCol: String, fpCol: String, maxHamming: Int): DataFrame = {
+    val drop = nearPairs(df, idCol, fpCol, maxHamming)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(drop, Seq(idCol), "left_anti")
+  }
 }

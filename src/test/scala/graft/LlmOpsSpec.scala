@@ -147,6 +147,23 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("SimHash.dedupCorpus drops exactly the higher id of each pair; fp==0 docs survive") {
+    val fp = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"),
+        SimHash.simhash(TextOps.polyHashAll(TextOps.tokens(col("text")))).as("fp"))
+    val pairs = SimHash.nearPairs(fp, "doc_id", "fp", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty) // the corpus has planted near-dups (q31: 19 pairs)
+    val kept = SimHash.dedupCorpus(fp, "doc_id", "fp", maxHamming = 3)
+      .select("doc_id").as[Long].collect().toSet
+    val all = fp.select("doc_id").as[Long].collect().toSet
+    assert(kept === all -- pairs.map(_._2))
+    assert(!pairs.exists { case (a, b) => kept.contains(a) && kept.contains(b) })
+    // fp==0 docs never enter candidate generation, so they always survive
+    val zeroIds = fp.where(col("fp") === 0L).select("doc_id").as[Long].collect().toSet
+    assert(zeroIds.subsetOf(kept))
+  }
+
   test("JaccardJoin == brute-force all-pairs on a corpus with threshold-boundary pairs") {
     // prefix filtering must be COMPLETE: verify against brute force,
     // including pairs exactly at the integer threshold boundary
