@@ -809,7 +809,41 @@ object LlmQueries {
         ORDER BY doc_id"""),
       "simhash corpus dedup (hamming<=3): pigeonhole pair generation -> keep-lowest-id " +
         "anti-join. Completes corpus-level removal for every near-dup family: minhash " +
-        "(q34), exact Jaccard, embedding cosine (q49), and simhash (this)")
+        "(q34), exact Jaccard, embedding cosine (q49), and simhash (this)"),
+
+    // ----------------------------------- cluster-canonical corpus dedup
+    Q("q51_cluster_dedup",
+      (s, d) => {
+        JaccardJoin.dedupCorpusClustered(T.documents(s, d), "doc_id", "text", num = 6, den = 10)
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      // oracle: q41's exact all-pairs pair graph, components by
+      // transitive closure (recursive CTE), keep the min id per
+      // component — fully SQL-derived, no pinning
+      Some("""
+        WITH RECURSIVE toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM toks),
+        pairs AS (SELECT a.doc_id AS pa, b.doc_id AS pb
+                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+                    AND len(list_intersect(a.sh, b.sh)) * 10 >=
+                        6 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))),
+        edges AS (SELECT pa AS u, pb AS v FROM pairs UNION SELECT pb, pa FROM pairs),
+        reach(id, r) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+        comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id)
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> c)
+        ORDER BY doc_id"""),
+      "cluster-canonical dedup: exact Jaccard pair graph -> distributed connected " +
+        "components (min-label propagation + pointer jumping, O(log n) ids-only join " +
+        "rounds) -> keep the min-id doc per cluster. Transitive, one survivor per " +
+        "near-dup cluster — the policy production corpus pipelines use; greedy q-style " +
+        "drop-higher-id (q34/q49/q50) can keep several docs of one cluster")
   )
 }
 

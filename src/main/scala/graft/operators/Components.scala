@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed connected components over an undirected edge list — the
+  * clustering step of cluster-canonical corpus dedup (pair graph ->
+  * components -> keep one representative per component), the policy
+  * production LLM-data pipelines apply on top of near-dup PAIR detection.
+  *
+  * Algorithm: min-label propagation with pointer jumping (the practical
+  * Spark formulation of the Shiloach–Vishkin / star-contraction family,
+  * cf. Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC'14). Each round does two ids-only hash joins:
+  *
+  *   1. neighbor-min: comp(v) <- min(comp(v), min over comp(u) for
+  *      neighbors u) — one equi-join of the symmetric edge list with the
+  *      label table plus a groupBy-min (map-side partial agg);
+  *   2. pointer jump: comp(v) <- comp(comp(v)) — a self-join that halves
+  *      label-chain depth, giving O(log n) rounds on paths where plain
+  *      propagation needs O(diameter).
+  *
+  * Every shuffle is an equi-join/agg on ids ONLY — no payload rides the
+  * iteration, AQE handles skewed hub nodes. Lineage is truncated each
+  * round via `localCheckpoint` (iterative plans otherwise grow
+  * superlinearly and stall the optimizer long before the cluster is the
+  * bottleneck). `localCheckpoint` stores blocks on executors: on a real
+  * cluster an executor loss aborts the job (acceptable for a
+  * rounds-bounded batch job; swap for reliable `checkpoint` with a
+  * checkpoint dir if the deployment needs task-level fault recovery).
+  *
+  * Determinism: min over a fixed vertex set is order-independent, so the
+  * labeling is exactly reproducible at any parallelism.
+  */
+object Components {
+
+  /** Components of the undirected graph given by `edges(aCol, bCol)`.
+    * Output: (id BIGINT, comp BIGINT) — one row per distinct endpoint,
+    * `comp` = the MINIMUM id reachable from `id` (so `comp` is a stable,
+    * deterministic cluster representative). Isolated ids never appear in
+    * `edges` and so are absent here — callers union them back (or
+    * anti-join, as [[JaccardJoin.dedupCorpusClustered]] does).
+    *
+    * `maxIter` bounds the rounds; pointer jumping converges in O(log n)
+    * so 30 covers any graph that fits in storage. Throws if labels have
+    * not stabilized by then rather than returning a wrong clustering.
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 30): DataFrame = {
+    val e = edges.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    // symmetric, self-loop-free, ids-only — persisted AND materialized
+    // before the loop: round 1 references it from two plan branches
+    // (neighbor-min and the label join), and an unfilled cache would be
+    // computed once PER BRANCH inside the same job
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sym.count()
+
+    var comp = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      // 1. neighbor-min: min comp over each node's neighborhood. Every id
+      // has >= 1 neighbor (sym is symmetric and self-loop-free), so the
+      // join is inner. `__improved` rides the same pass: neighbor-min
+      // stability IS the fixpoint test (comp(v) <= comp(u) across every
+      // edge, symmetric => constant per component), so no separate
+      // convergence join is needed — and the final round skips the jump.
+      //
+      // The ONE heavy job per round is this checkpoint. It also truncates
+      // lineage every round — mandatory, not optional: `comp` is
+      // referenced from two branches here (and the jump self-joins), so
+      // an untruncated plan TREE grows ~4x per round, and Catalyst's
+      // tree walks (no sharing-aware memoization) go exponential.
+      val nbrMin = sym
+        .join(comp.select(col("id").as("dst"), col("comp").as("__nc")), Seq("dst"))
+        .groupBy(col("src"))
+        .agg(min(col("__nc")).as("__nc"))
+        .select(col("src").as("id"), col("__nc"))
+      val stepped = comp.join(nbrMin, Seq("id"))
+        .select(col("id"), least(col("comp"), col("__nc")).as("comp"),
+          (col("__nc") < col("comp")).as("__improved"))
+        .localCheckpoint()
+      changed = stepped.where(col("__improved")).count()
+      val labels = stepped.drop("__improved")
+      comp =
+        if (changed == 0) labels
+        else {
+          // 2. pointer jump: comp values are themselves node ids, so chase
+          // one hop — comp(v) <- comp(comp(v)) — halving chain depth. Left
+          // join: a label may already be its component's root. NOT
+          // materialized: both inputs are the checkpointed `stepped`, so
+          // the tree stays constant-depth and the join fuses into the
+          // next round's single job.
+          labels.as("x")
+            .join(labels.select(col("id").as("comp"), col("comp").as("__cc")).as("y"),
+              Seq("comp"), "left")
+            .select(col("x.id").as("id"), coalesce(col("__cc"), col("comp")).as("comp"))
+        }
+      iter += 1
+    }
+    sym.unpersist()
+    require(changed == 0,
+      s"connected components did not converge in $maxIter rounds — " +
+        "raise maxIter (pointer jumping needs O(log n) rounds)")
+    comp
+  }
+}

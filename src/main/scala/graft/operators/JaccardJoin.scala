@@ -157,4 +157,33 @@ object JaccardJoin {
       .select(col("id_b").as(idCol)).distinct()
     docs.join(drop, Seq(idCol), "left_anti")
   }
+
+  /** CLUSTER-canonical corpus dedup: connected components over the
+    * verified near-dup pair graph, keep exactly ONE doc (the min id) per
+    * component. This is the policy production corpus pipelines apply —
+    * a near-dup CLUSTER {1,2,3} contributes one survivor, whereas the
+    * greedy drop-higher-id rule of [[dedupCorpus]] can keep several:
+    * on pairs (1,3),(2,3) greedy keeps {1,2} (3 is the only higher id),
+    * clustering keeps {1}. Also transitive: chains a~b~c collapse to one
+    * doc even when a~c itself is below the threshold.
+    *
+    * Cost on top of the pair join: [[Components.connectedComponents]]
+    * over the ids-only pair list — O(log n) rounds of id-to-id hash
+    * joins, no payload — then one anti-join against the corpus. Docs in
+    * no pair never enter the component table and survive via the
+    * anti-join.
+    */
+  def dedupCorpusClustered(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      ngram: Int = 3,
+      num: Int = 8,
+      den: Int = 10): DataFrame = {
+    val pairs = nearDupPairs(docs, idCol, textCol, ngram, num, den)
+    val drop = Components.connectedComponents(pairs, "id_a", "id_b")
+      .where(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
 }

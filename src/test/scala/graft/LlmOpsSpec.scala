@@ -147,6 +147,30 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedupCorpusClustered: one survivor per cluster, subset of greedy survivors") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val pairs = JaccardJoin.nearDupPairs(docs, "doc_id", "text", num = 6, den = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    val comp = Components.connectedComponents(pairs.toSeq.toDF("id_a", "id_b"), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val kept = JaccardJoin.dedupCorpusClustered(docs, "doc_id", "text", num = 6, den = 10)
+      .select("doc_id").as[Long].collect().toSet
+    val greedy = JaccardJoin.dedupCorpus(docs, "doc_id", "text", num = 6, den = 10)
+      .select("doc_id").as[Long].collect().toSet
+    // exactly one survivor per component: its min id
+    comp.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keySet.filter(kept) === Set(c))
+    }
+    // every id_b is a non-min member of its component, so clustered drops
+    // a superset of greedy's drops
+    assert(kept.subsetOf(greedy))
+    // docs in no pair survive both policies
+    val allIds = docs.select("doc_id").as[Long].collect().toSet
+    val paired = comp.keySet
+    assert((allIds -- paired).subsetOf(kept))
+  }
+
   test("SimHash.dedupCorpus drops exactly the higher id of each pair; fp==0 docs survive") {
     val fp = Tables.documents(spark, "/root/testdata/sf0.01")
       .select(col("doc_id"),

@@ -89,6 +89,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("law: connectedComponents == driver union-find on random graphs") {
+    val edgeGen: Gen[List[(Long, Long)]] =
+      Gen.listOfN(60, for {
+        a <- Gen.choose(0L, 39L)
+        b <- Gen.choose(0L, 39L)
+      } yield (a, b))
+    samples(edgeGen, 6).foreach { edges =>
+      val real = edges.filter { case (a, b) => a != b }
+      if (real.nonEmpty) {
+        // driver-side union-find reference
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        real.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = parent.keys.map(v => v -> find(v)).toMap
+        // min-reachable canonicalization: union-find roots are already
+        // the min because we always parent max under min
+        val got = Components.connectedComponents(real.toDF("a", "b"), "a", "b")
+          .as[(Long, Long)].collect().toMap
+        assert(got === want, s"edges=$real")
+      }
+    }
+  }
+
+  test("connectedComponents labels a long path to its min (pointer jumping)") {
+    // a 200-node path: plain 1-hop min propagation needs ~200 rounds;
+    // pointer jumping must finish within the default maxIter=30
+    val path = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Components.connectedComponents(path, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size === 200)
+    assert(got.values.toSet === Set(0L))
+  }
+
   test("law: exact dedup is idempotent and keeps one row per key") {
     samples(rowsGen, 6).filter(_.nonEmpty).foreach { rows =>
       val df = rows.toDF("k", "v", "p")
