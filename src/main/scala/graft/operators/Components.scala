@@ -55,12 +55,28 @@ object Components {
     // symmetric, self-loop-free, ids-only — persisted AND materialized
     // before the loop: round 1 references it from two plan branches
     // (neighbor-min and the label join), and an unfilled cache would be
-    // computed once PER BRANCH inside the same job
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    // computed once PER BRANCH inside the same job. Symmetrization is a
+    // single-branch explode, NOT `e.union(e.reversed)`: a union embeds
+    // the (often expensive) edge-producing pipeline twice in one plan,
+    // and the cache-fill job would compute it twice.
+    val symAll = e
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    sym.count()
+    val nEdges = symAll.count()
+    // Size the ITERATION's parallelism to the graph, not the corpus: the
+    // pair graph of a dedup run is orders of magnitude smaller than its
+    // input (ids only, verified pairs only), yet inherits corpus-sized
+    // partitioning — every loop round would schedule full task waves over
+    // near-empty partitions. ~2M edges (~64 MB) per partition; coalesce
+    // is narrow over the cached blocks, so the re-layout is free, and at
+    // real graph sizes p grows back to the cluster's parallelism.
+    val p = math.max(1L, math.min(symAll.rdd.getNumPartitions.toLong, nEdges / 2000000L)).toInt
+    val sym = if (p < symAll.rdd.getNumPartitions) symAll.coalesce(p) else symAll
 
     var comp = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
@@ -106,10 +122,29 @@ object Components {
         }
       iter += 1
     }
-    sym.unpersist()
+    symAll.unpersist()
     require(changed == 0,
       s"connected components did not converge in $maxIter rounds — " +
         "raise maxIter (pointer jumping needs O(log n) rounds)")
     comp
+  }
+
+  /** The cluster-canonical dedup POLICY, shared by every near-dup family:
+    * cluster the verified pair graph, keep exactly the MINIMUM id of each
+    * cluster, return the surviving `docs` rows. Docs in no pair never
+    * enter the component table and survive via the anti-join. One
+    * ids-only anti-join on top of [[connectedComponents]]; the doc
+    * payload never rides the graph iteration.
+    */
+  def keepMinPerCluster(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    val drop = connectedComponents(pairs, aCol, bCol)
+      .where(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
   }
 }

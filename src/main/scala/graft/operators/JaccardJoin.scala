@@ -179,11 +179,7 @@ object JaccardJoin {
       textCol: String,
       ngram: Int = 3,
       num: Int = 8,
-      den: Int = 10): DataFrame = {
-    val pairs = nearDupPairs(docs, idCol, textCol, ngram, num, den)
-    val drop = Components.connectedComponents(pairs, "id_a", "id_b")
-      .where(col("id") =!= col("comp"))
-      .select(col("id").as(idCol))
-    docs.join(drop, Seq(idCol), "left_anti")
-  }
+      den: Int = 10): DataFrame =
+    Components.keepMinPerCluster(docs, idCol,
+      nearDupPairs(docs, idCol, textCol, ngram, num, den))
 }

@@ -239,4 +239,26 @@ object MinHash {
       .select(col("id_b").as(idCol)).distinct()
     docs.join(drop, Seq(idCol), "left_anti")
   }
+
+  /** Cluster-canonical variant of [[dedupCorpus]]: connected components
+    * over the verified pair graph, keep exactly ONE (min-id) doc per
+    * near-dup cluster — the transitive policy of
+    * [[JaccardJoin.dedupCorpusClustered]] on the probabilistic (LSH)
+    * candidate path. Same probabilistic caveat as [[nearDupPairs]]: an
+    * LSH-missed pair can split a cluster in two (each half still dedups
+    * internally).
+    */
+  def dedupCorpusClustered(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      ngram: Int = 3,
+      k: Int = 128,
+      b: Int = 32,
+      r: Int = 4,
+      seed: Long = 42L,
+      num: Int = 8,
+      den: Int = 10): DataFrame =
+    Components.keepMinPerCluster(docs, idCol,
+      nearDupPairs(docs, idCol, textCol, ngram, k, b, r, seed, num, den))
 }
