@@ -843,7 +843,103 @@ object LlmQueries {
         "components (min-label propagation + pointer jumping, O(log n) ids-only join " +
         "rounds) -> keep the min-id doc per cluster. Transitive, one survivor per " +
         "near-dup cluster — the policy production corpus pipelines use; greedy q-style " +
-        "drop-higher-id (q34/q49/q50) can keep several docs of one cluster")
+        "drop-higher-id (q34/q49/q50) can keep several docs of one cluster"),
+
+    // --------------------------------------- test-set decontamination
+    Q("q52_decontaminate",
+      (s, d) => {
+        // benchmark = every 20th doc (the held-out eval set), corpus = the
+        // rest; drop corpus docs sharing any word 5-gram with the benchmark
+        val docs = T.documents(s, d)
+        val corpus = docs.where(pmod(col("doc_id"), lit(20L)) =!= 0)
+        val benchmark = docs.where(pmod(col("doc_id"), lit(20L)) === 0)
+        Decontaminate.clean(corpus, benchmark, "doc_id", "text", ngram = 5)
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        g AS (SELECT doc_id, unnest(list_transform(range(1, len(w)-3),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS gram
+              FROM t),
+        bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+        hit AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram) WHERE g.doc_id % 20 <> 0)
+        SELECT doc_id FROM documents
+        WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hit)
+        ORDER BY doc_id"""),
+      "test-set decontamination (GPT-3-style n-gram collision, n=5): benchmark n-grams " +
+        "-> distinct banlist -> one exact string semi-join against the exploded corpus " +
+        "-> anti-join the contaminated ids. Banlist is benchmark-sized (broadcastable); " +
+        "ids-only contamination set; no hashing, so zero false drops"),
+
+    // ------------------------------------------------- per-source caps
+    Q("q53_source_cap",
+      (s, d) => {
+        // cap each source at 10 docs, chosen by deterministic hash
+        // priority (NOT head-of-table: that biases toward old/low-id docs;
+        // NOT rand(): irreproducible). Priority = (id * Knuth-multiplier)
+        // mod 1e9+7 — engine-independent integer arithmetic, doc_id
+        // tiebreak makes the order total. The rn<=k filter compiles to
+        // WindowGroupLimit: each map task keeps only its local top-k per
+        // source BEFORE the shuffle, so the exchange carries O(sources*k)
+        // rows per task, not the corpus — the same plan shape PlanSpec
+        // pins for keep-latest dedup.
+        val pr = pmod(col("doc_id") * lit(2654435761L), lit(1000000007L))
+        T.documents(s, d)
+          .withColumn("__rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("source")).orderBy(pr.asc, col("doc_id").asc)))
+          .where(col("__rn") <= 10)
+          .select(col("doc_id"), col("source"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 10 ORDER BY doc_id"""),
+      "per-source document cap (the per-domain cap stage of web-corpus curation): " +
+        "deterministic hash-priority top-10 per source via WindowGroupLimit — map-side " +
+        "group limit before the one shuffle by source; reproducible across runs/engines, " +
+        "unlike rand() sampling"),
+
+    // -------------------------------------- repetition quality filter
+    Q("q54_repetition_filter",
+      (s, d) => {
+        // Gopher-style repetition criterion: a doc whose duplicate-bigram
+        // fraction exceeds 10% is boilerplate/spam-suspect. Integer-exact
+        // flag: dup_frac > 0.1  <=>  distinct2 * 10 < total2 * 9. All
+        // map-side (native shingle expression in the scan stage); one agg
+        // shuffle by source.
+        val toks = TextOps.tokens(col("text"))
+        T.documents(s, d)
+          .select(col("source"),
+            greatest(size(toks) - 1, lit(0)).cast("long").as("__tot"),
+            size(TextOps.shingles(toks, 2)).cast("long").as("__d2"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("__d2") * 10 < col("__tot") * 9, 1L).otherwise(0L)).as("n_flagged"),
+            sum(col("__tot")).as("total_bigrams"),
+            sum(col("__d2")).as("distinct_bigrams"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH t AS (SELECT source, string_split(lower(text), ' ') AS w FROM documents),
+        m AS (SELECT source,
+               CAST(greatest(len(w)-1, 0) AS BIGINT) AS tot,
+               CAST(len(list_distinct(list_transform(range(1, len(w)),
+                 i -> w[i] || ' ' || w[i+1]))) AS BIGINT) AS d2
+              FROM t)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN d2*10 < tot*9 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+               CAST(sum(tot) AS BIGINT) AS total_bigrams,
+               CAST(sum(d2) AS BIGINT) AS distinct_bigrams
+        FROM m GROUP BY source ORDER BY source"""),
+      "Gopher-style repetition filter: duplicate-bigram fraction per doc (integer-exact " +
+        "flag: distinct*10 < total*9 <=> dup_frac > 0.1), aggregated per source. " +
+        "Scan-side native shingles, one agg shuffle — the map-only quality-gate shape")
   )
 }
 

@@ -171,6 +171,43 @@ class LlmOpsSpec extends SparkSpec {
     assert((allIds -- paired).subsetOf(kept))
   }
 
+  test("Decontaminate == driver brute force; clean+contaminated partition the corpus") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val corpus = docs.where(pmod(col("doc_id"), lit(20L)) =!= 0)
+    val benchmark = docs.where(pmod(col("doc_id"), lit(20L)) === 0)
+    def grams(text: String, n: Int): Set[String] = {
+      val w = text.toLowerCase.split(" ", -1)
+      if (w.length < n) Set.empty else w.sliding(n).map(_.mkString(" ")).toSet
+    }
+    for (n <- Seq(3, 5)) {
+      val ban = benchmark.select("text").as[String].collect().flatMap(grams(_, n)).toSet
+      val want = corpus.select("doc_id", "text").as[(Long, String)].collect()
+        .filter { case (_, t) => grams(t, n).exists(ban) }.map(_._1).toSet
+      val flagged = Decontaminate.contaminatedIds(corpus, benchmark, "doc_id", "text", n)
+        .as[Long].collect().toSet
+      assert(flagged === want, s"n=$n")
+      val clean = Decontaminate.clean(corpus, benchmark, "doc_id", "text", n)
+        .select("doc_id").as[Long].collect().toSet
+      val all = corpus.select("doc_id").as[Long].collect().toSet
+      assert(clean === (all -- flagged), s"n=$n")
+    }
+  }
+
+  test("MinHash.dedupCorpusClustered keeps exactly the min id of each pair-graph component") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val pairs = MinHash.nearDupPairs(docs, "doc_id", "text")
+    val comp = Components.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(comp.nonEmpty)
+    val kept = MinHash.dedupCorpusClustered(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    comp.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keySet.filter(kept) === Set(c))
+    }
+    val allIds = docs.select("doc_id").as[Long].collect().toSet
+    assert((allIds -- comp.keySet).subsetOf(kept))
+  }
+
   test("SimHash.dedupCorpus drops exactly the higher id of each pair; fp==0 docs survive") {
     val fp = Tables.documents(spark, "/root/testdata/sf0.01")
       .select(col("doc_id"),

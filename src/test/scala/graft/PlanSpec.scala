@@ -30,6 +30,12 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("q53 per-source cap compiles to WindowGroupLimit (map-side top-k)") {
+    val q = SparkEntry.registry.find(_.name == "q53_source_cap").get
+    val plan = q.run(spark, sf).explainFormatted()
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("enrichLatest does NOT force a broadcast on an unbounded dedup dim") {
     // large-ish dim: full events table keyed by user — cardinality grows
     // with data; a forced broadcast here would OOM at scale
