@@ -939,7 +939,92 @@ object LlmQueries {
         FROM m GROUP BY source ORDER BY source"""),
       "Gopher-style repetition filter: duplicate-bigram fraction per doc (integer-exact " +
         "flag: distinct*10 < total*9 <=> dup_frac > 0.1), aggregated per source. " +
-        "Scan-side native shingles, one agg shuffle — the map-only quality-gate shape")
+        "Scan-side native shingles, one agg shuffle — the map-only quality-gate shape"),
+
+    // -------------------------------- cross-doc repeated-passage report
+    Q("q55_shared_passages",
+      (s, d) => {
+        // cross-document repeated passages: an 8-gram present in >= 2
+        // docs is shared boilerplate (headers, licenses, templates) — the
+        // practical stand-in for suffix-array substring dedup (Lee et al.,
+        // "Deduplicating Training Data Makes Language Models Better")
+        // when a distributed suffix array is not worth building. Grams
+        // are DISTINCT per doc (native shingle expr), so count(*) per
+        // gram IS its document frequency. Complements q54: that flags
+        // intra-doc repetition, this flags text repeated ACROSS docs.
+        // Two shuffles: df agg by gram (AQE splits hot boilerplate
+        // grams), per-doc agg; flagged when shared fraction > 1/2,
+        // integer-exact.
+        // persisted: feeds the df agg AND the join probe side — without
+        // it the scan+shingle stage runs twice. NOT a count-over-window:
+        // that computes df in one shuffle, but WindowExec BUFFERS each
+        // gram partition, and a real boilerplate gram (license header in
+        // 1% of a web corpus) is a partition that fits no executor; the
+        // agg+join streams the hot gram's probe rows and AQE can split
+        // them.
+        val sh = T.documents(s, d)
+          .select(col("doc_id"), explode(TextOps.shingles(docTokens, 8)).as("__g"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dfreq = sh.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+        sh.join(dfreq, Seq("__g"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+          .select(col("doc_id"), col("n_grams"), col("n_shared"),
+            when(col("n_shared") * 2 > col("n_grams"), 1L).otherwise(0L).as("flagged"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-6),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+                      w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]))) AS g
+               FROM t),
+        df AS (SELECT g, count(*) AS df FROM sh GROUP BY g)
+        SELECT doc_id, count(*) AS n_grams,
+               CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+               CAST(CASE WHEN sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 2 > count(*)
+                    THEN 1 ELSE 0 END AS BIGINT) AS flagged
+        FROM sh JOIN df USING (g)
+        GROUP BY doc_id ORDER BY doc_id"""),
+      "cross-document repeated-passage detection (8-gram document frequency >= 2): the " +
+        "scalable stand-in for suffix-array substring dedup — per-doc shared-gram counts, " +
+        "integer-exact majority flag. Distinct from q54 (intra-doc repetition) and " +
+        "near-dup joins (whole-doc similarity): catches shared boilerplate in otherwise " +
+        "unique docs"),
+
+    // ---------------------------------- per-label embedding centroids
+    Q("q56_label_centroids",
+      (s, d) => {
+        // per-class embedding centroid — the monitoring/EDA stage of an
+        // embedding pipeline (class drift, cluster purity). Doubles sum
+        // in nondeterministic order under parallel agg, so the mean is
+        // accumulated FIXED-POINT: floor(x * 2^20) per element summed as
+        // BIGINT (exact, order-independent — same device as the IVF
+        // Lloyd pass), divided back out only in the final projection.
+        // posexplode is scan-side; one agg shuffle by (label, dim).
+        T.embeddings(s, d)
+          .select(col("label"),
+            posexplode(col("embedding").cast("array<double>")).as(Seq("__p", "__x")))
+          .select(col("label"), (col("__p") + 1).cast("long").as("dim"),
+            floor(col("__x") * 1048576).as("__fp"))
+          .groupBy(col("label"), col("dim"))
+          .agg(count(lit(1)).as("n_vecs"), sum(col("__fp")).as("sum_fp"))
+          .select(col("label"), col("dim"), col("n_vecs"), col("sum_fp"),
+            (col("sum_fp").cast("double") / (lit(1048576.0) * col("n_vecs"))).as("centroid"))
+          .orderBy(col("label"), col("dim"))
+      },
+      Some("""
+        SELECT label, i AS dim, count(*) AS n_vecs,
+               CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT)) AS BIGINT) AS sum_fp,
+               CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT)) AS DOUBLE)
+                 / (1048576.0 * count(*)) AS centroid
+        FROM embeddings, range(1, 65) t(i)
+        GROUP BY label, i ORDER BY label, dim"""),
+      "per-label embedding centroids with ORDER-INDEPENDENT exact accumulation: " +
+        "fixed-point floor(x*2^20) summed as BIGINT (parallel double sums are " +
+        "nondeterministic; integer sums are not), mean recovered in the final " +
+        "projection. The class-drift/cluster-purity monitoring stage")
   )
 }
 
