@@ -11,7 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  def registry: Seq[Q] = ParityQueries.all ++ LlmQueries.all
+  def registry: Seq[Q] = ParityQueries.all ++ LlmQueries.all ++ PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Uses the reference's flagship dedup-then-join composition

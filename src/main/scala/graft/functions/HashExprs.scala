@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType, StringType}
 
 /** Native Catalyst expressions for the hash-heavy LLM-data operators.
   *
@@ -217,6 +217,38 @@ case class BoundedIntersectSize(left: Expression, right: Expression, num: Int, d
     copy(left = newLeft, right = newRight)
 }
 
+/** bigint (64-bit key hash) -> boolean: bloom-filter membership probe
+  * against a fixed bit array (see [[HashRuntime.bloomContains]]). No
+  * false negatives; false-positive rate set by the builder's bits/key.
+  * The bit array rides the plan as a reference object — the same way
+  * Spark's own runtime row-level bloom filters ship their build-side
+  * result — so sizing guidance lives with [[graft.operators.Bloom]].
+  */
+case class BloomMightContain(child: Expression, bits: Array[Long], k: Int)
+    extends UnaryExpression {
+  require(bits.length > 0 && (bits.length & (bits.length - 1)) == 0,
+    s"bloom bit array must be a power-of-two word count, got ${bits.length}")
+  require(k >= 1 && k <= 32, s"bloom probe count must be in [1,32], got $k")
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"graft_bloom_contains needs bigint, got $t")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashRuntime.bloomContains(input.asInstanceOf[Long], bits, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bitsRef = ctx.addReferenceObj("bloomBits", bits, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashRuntime.bloomContains($c, $bitsRef, $k);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}
+
 object HashExprs {
   /** Column wrappers. */
   def polyHashArray(c: Column): Column =
@@ -232,4 +264,6 @@ object HashExprs {
   def boundedIntersectSize(a: Column, b: Column, num: Int, den: Int): Column =
     GraftColumnBridge.column(BoundedIntersectSize(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b), num, den))
+  def bloomMightContain(c: Column, bits: Array[Long], k: Int): Column =
+    GraftColumnBridge.column(BloomMightContain(GraftColumnBridge.expression(c), bits, k))
 }

@@ -208,6 +208,53 @@ object HashRuntime {
     java.lang.Double.valueOf(acc)
   }
 
+  /** SplitMix64 finalizer: full-avalanche 64-bit mix (Steele et al.,
+    * "Fast splittable pseudorandom number generators", OOPSLA'14). The
+    * bloom kernels mix their input hash through this so correlated keys
+    * (sequential ids, common prefixes under a weak upstream hash) still
+    * spread over the whole bit array.
+    */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Set the k bloom bits of `key` in `bits` (a power-of-two-word array).
+    * Probe positions come from Kirsch–Mitzenmacher double hashing
+    * (pos_i = h1 + i*h2): two independent mixes stand in for k hash
+    * functions with no loss in the false-positive bound.
+    */
+  def bloomInsert(key: Long, bits: Array[Long], k: Int): Unit = {
+    val mask = (bits.length.toLong << 6) - 1
+    val h1 = mix64(key)
+    val h2 = mix64(key ^ 0x5851f42d4c957f2dL) | 1L
+    var i = 0
+    while (i < k) {
+      val pos = (h1 + i.toLong * h2) & mask
+      bits((pos >>> 6).toInt) |= (1L << (pos & 63))
+      i += 1
+    }
+  }
+
+  /** True iff every one of `key`'s k bloom bits is set: no false
+    * negatives ever; false positives at the standard bloom rate (and
+    * they only ADD candidates — callers re-verify exactly).
+    */
+  def bloomContains(key: Long, bits: Array[Long], k: Int): Boolean = {
+    val mask = (bits.length.toLong << 6) - 1
+    val h1 = mix64(key)
+    val h2 = mix64(key ^ 0x5851f42d4c957f2dL) | 1L
+    var i = 0
+    while (i < k) {
+      val pos = (h1 + i.toLong * h2) & mask
+      if ((bits((pos >>> 6).toInt) & (1L << (pos & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
   /** Flattened deterministic hyperplane matrix (tables × planes × dim,
     * row-major) from the fixed MMIX LCG stream — the single source of
     * truth for [[graft.operators.Similarity]]'s LSH geometry.

@@ -59,4 +59,45 @@ object Decontaminate {
     corpus.join(
       contaminatedIds(corpus, benchmark, idCol, textCol, ngram),
       Seq(idCol), "left_anti")
+
+  /** Same result as [[clean]] — provably, not approximately — via a
+    * bloom pre-filter on the corpus n-gram explosion.
+    *
+    * [[clean]]'s one shuffle is the n-gram semi-join; when the banlist
+    * exceeds the broadcast threshold that join shuffles EVERY corpus
+    * n-gram — at 100 TB, the whole corpus × ngram, the dominant cost of
+    * the stage. Here the banlist's bloom bitmap (2 bytes/gram at the
+    * default 16 bits/key) probes scan-side, so only true collisions plus
+    * the ~0.04% false-positive share reach the shuffle. Exactness:
+    *  - no false negatives (bloom property + both sides hash the same
+    *    string the same way) — every truly contaminated gram survives
+    *    the pre-filter, so no doc is wrongly kept;
+    *  - false positives (bloom or 64-bit hash collisions) still face the
+    *    exact STRING semi-join behind the filter, so no doc is wrongly
+    *    dropped.
+    */
+  def cleanBloom(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      ngram: Int,
+      bitsPerKey: Int = 16): DataFrame = {
+    require(ngram >= 1, s"ngram must be >= 1, got $ngram")
+    val banlist = benchmark
+      .select(explode(TextOps.shingles(TextOps.tokens(col(textCol)), ngram)).as("__g"))
+      .distinct()
+      // two consumers (bloom build's fold + the verify semi-join):
+      // materialize once. Same cache-lifetime contract as JaccardJoin's
+      // shingle persist — entries live until clearCache()/session end
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bloom = Bloom.build(banlist, col("__g"), bitsPerKey)
+    val contaminated = corpus
+      .select(col(idCol), explode(TextOps.shingles(TextOps.tokens(col(textCol)), ngram)).as("__g"))
+      .where(bloom.mightContain(col("__g")))
+      .join(banlist, Seq("__g"), "left_semi")
+      .select(col(idCol))
+      .distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
 }

@@ -471,6 +471,45 @@ class LlmOpsSpec extends SparkSpec {
     assert(sampled.collect().map(_.frame_idx).sorted.toSeq === Seq(0, 1, 2, 3))
   }
 
+  test("bloom kernel: zero false negatives; fp rate near the design point") {
+    import graft.functions.HashRuntime
+    val k = Bloom.probesFor(16)
+    val bits = new Array[Long](Bloom.sizeFor(1000, 16)) // 1000 keys @ 16 b/key
+    val ins = (0L until 1000L).map(i => i * 0x9e3779b97f4a7c15L + 3)
+    ins.foreach(HashRuntime.bloomInsert(_, bits, k))
+    assert(ins.forall(HashRuntime.bloomContains(_, bits, k)), "false negative")
+    val probes = (1L to 20000L).map(i => i * 0x5851f42d4c957f2dL + 1).filterNot(ins.toSet)
+    val fp = probes.count(HashRuntime.bloomContains(_, bits, k)).toDouble / probes.size
+    // design fpp at 16 b/key, k=11 is ~4e-4; the power-of-two round-up
+    // only lowers it. 1% leaves seed-luck headroom without masking a bug
+    assert(fp < 0.01, s"false-positive rate $fp")
+  }
+
+  test("Bloom.build distributes: filter from a 200-partition build == exact membership") {
+    val keys = (0 until 5000).map(i => s"key-$i")
+    val df = keys.toDF("s").repartition(200)
+    val bloom = Bloom.build(df, col("s"))
+    val hits = (0 until 5000).map(i => s"key-$i") ++ (0 until 5000).map(i => s"other-$i")
+    val got = hits.toDF("s").where(bloom.mightContain(col("s")))
+      .as[String].collect().toSet
+    assert(keys.forall(got), "a built key failed the probe (false negative)")
+    val fps = got.count(_.startsWith("other-"))
+    assert(fps < 50, s"$fps false positives out of 5000 (expect ~2 at 16 bits/key)")
+  }
+
+  test("cleanBloom == clean (bloom pre-filter is exact, not approximate)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.where(pmod(col("doc_id"), lit(20L)) =!= 0)
+    val benchmark = docs.where(pmod(col("doc_id"), lit(20L)) === 0)
+    for (n <- Seq(3, 5)) {
+      val plain = Decontaminate.clean(corpus, benchmark, "doc_id", "text", n)
+        .select("doc_id").as[Long].collect().toSet
+      val bloomed = Decontaminate.cleanBloom(corpus, benchmark, "doc_id", "text", n)
+        .select("doc_id").as[Long].collect().toSet
+      assert(bloomed === plain, s"n=$n")
+    }
+  }
+
   test("tokenCount/subtokenCount/fingerprint integer contracts") {
     val df = Seq("alpha be c").toDF("t").select(
       TextOps.tokenCount(TextOps.tokens(col("t"))).as("n"),
