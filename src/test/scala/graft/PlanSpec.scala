@@ -166,4 +166,28 @@ class PlanSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(!plan.toLowerCase.contains("cartesian"), plan)
   }
+
+  test("q57 bloom probe sits on the corpus side BELOW the semi-join (prefilters the shuffle)") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.where(pmod(col("doc_id"), lit(25L)) =!= 0)
+    val benchmark = docs.where(pmod(col("doc_id"), lit(25L)) === 0)
+    val df = Decontaminate.cleanBloom(corpus, benchmark, "doc_id", "text", ngram = 3)
+    val plan = df.queryExecution.optimizedPlan
+    val semis = plan.collect { case j: Join if j.joinType == LeftSemi => j }
+    assert(semis.nonEmpty, s"no semi join in\n$plan")
+    // the bloom filter must survive optimization, on the STREAM (corpus)
+    // side of the semi join — i.e. it prunes rows before the join's
+    // exchange, which is the whole point of the operator
+    val bloomBelow = semis.exists(_.left.collect {
+      case f: Filter if f.condition.exists(_.isInstanceOf[graft.functions.BloomMightContain]) => f
+    }.nonEmpty)
+    assert(bloomBelow, s"bloom probe not below the semi join:\n$plan")
+    // and the probe is codegen-compiled (native expression, not a UDF
+    // boundary): the physical filter lives inside a WholeStageCodegen span
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.toLowerCase.contains("bloommightcontain"), phys.take(2000))
+    assert(!phys.contains("BatchEvalPython") && !phys.toLowerCase.contains("scalaudf"), phys.take(2000))
+  }
 }
