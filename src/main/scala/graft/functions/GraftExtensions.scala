@@ -131,5 +131,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         checkArity("graft_dot", args, 2)
         DotProduct(args.head, args(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      info("graft_bloom_agg",
+        "graft_bloom_agg(hash, numBits, k) - mergeable bloom-bitmap aggregate over bigint " +
+          "keys; numBits a power-of-two literal, k probes. Returns BINARY (little-endian)"),
+      (args: Seq[Expression]) => {
+        checkArity("graft_bloom_agg", args, 3)
+        val numBits = literalArg("graft_bloom_agg", args, 1, "numBits")
+        val k = literalArg("graft_bloom_agg", args, 2, "k")
+        if (numBits < 64 || numBits > (1L << 31) || (numBits & (numBits - 1)) != 0) {
+          fail(s"graft_bloom_agg: numBits must be a power of two in [64, 2^31], got $numBits")
+        }
+        if (k < 1 || k > 32) fail(s"graft_bloom_agg: k must be in [1, 32], got $k")
+        BloomAggregate(args.head, numBits, k.toInt).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      info("graft_bloom_contains",
+        "graft_bloom_contains(hash, bitmap, k) - probe a graft_bloom_agg bitmap; k must " +
+          "match the build's"),
+      (args: Seq[Expression]) => {
+        checkArity("graft_bloom_contains", args, 3)
+        val k = literalArg("graft_bloom_contains", args, 2, "k")
+        if (k < 1 || k > 32) fail(s"graft_bloom_contains: k must be in [1, 32], got $k")
+        BloomContainsBytes(args.head, args(1), k.toInt)
+      }))
   }
 }

@@ -255,6 +255,63 @@ object HashRuntime {
     true
   }
 
+  /** [[bloomContains]] over the little-endian byte serialization of the
+    * bit array (the form the SQL surface passes around as BINARY: bit i
+    * of long word w = bit (i&7) of byte (i>>>3) exactly when words are
+    * laid out little-endian, so byte probing and long probing agree).
+    */
+  def bloomContainsBytes(key: Long, bytes: Array[Byte], k: Int): Boolean = {
+    val len = bytes.length
+    if (len == 0 || (len & (len - 1)) != 0) {
+      throw new IllegalArgumentException(
+        s"bloom bitmap must be a power-of-two byte count, got $len")
+    }
+    val mask = (len.toLong << 3) - 1
+    val h1 = mix64(key)
+    val h2 = mix64(key ^ 0x5851f42d4c957f2dL) | 1L
+    var i = 0
+    while (i < k) {
+      val pos = (h1 + i.toLong * h2) & mask
+      if ((bytes((pos >>> 3).toInt) & (1 << (pos & 7))) == 0) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Little-endian serialization of a bloom word array — the inverse of
+    * [[bloomWordsFromBytes]]; the layout [[bloomContainsBytes]] probes.
+    */
+  def bloomBytesFromWords(words: Array[Long]): Array[Byte] = {
+    val out = new Array[Byte](words.length * 8)
+    var w = 0
+    while (w < words.length) {
+      var j = 0
+      while (j < 8) {
+        out(w * 8 + j) = ((words(w) >>> (j * 8)) & 0xffL).toByte
+        j += 1
+      }
+      w += 1
+    }
+    out
+  }
+
+  def bloomWordsFromBytes(bytes: Array[Byte]): Array[Long] = {
+    require(bytes.length % 8 == 0, s"bloom bitmap bytes must be a multiple of 8, got ${bytes.length}")
+    val out = new Array[Long](bytes.length / 8)
+    var w = 0
+    while (w < out.length) {
+      var acc = 0L
+      var j = 7
+      while (j >= 0) {
+        acc = (acc << 8) | (bytes(w * 8 + j) & 0xffL)
+        j -= 1
+      }
+      out(w) = acc
+      w += 1
+    }
+    out
+  }
+
   /** Flattened deterministic hyperplane matrix (tables × planes × dim,
     * row-major) from the fixed MMIX LCG stream — the single source of
     * truth for [[graft.operators.Similarity]]'s LSH geometry.

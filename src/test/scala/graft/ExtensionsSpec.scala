@@ -116,4 +116,67 @@ class ExtensionsSpec extends AnyFunSuite {
       } finally spark.catalog.dropTempView("ext_args")
     }
   }
+
+  test("graft_bloom_agg + graft_bloom_contains: plan-side decontamination == exact semi-join") {
+    withExtensionSession { spark =>
+      import spark.implicits._
+      // small corpus/banlist with overlap: grams g0..g99 in the corpus,
+      // banlist bans every 7th — the bloom flow must flag EXACTLY those
+      (0 until 100).map(i => (i.toLong, s"g$i")).toDF("id", "g")
+        .createOrReplaceTempView("ext_corpus")
+      (0 until 100 by 7).map(i => s"g$i").toDF("gram")
+        .createOrReplaceTempView("ext_ban")
+      try {
+        val flagged = spark.sql("""
+          SELECT id FROM ext_corpus
+          WHERE graft_bloom_contains(xxhash64(g),
+                  (SELECT graft_bloom_agg(xxhash64(gram), 4096, 11) FROM ext_ban), 11)
+            AND g IN (SELECT gram FROM ext_ban)
+          ORDER BY id""").as[Long].collect().toSeq
+        assert(flagged === (0L until 100L by 7), "bloom+verify flow lost or invented a match")
+        // the bloom alone has NO false negatives: every banned gram passes
+        val pre = spark.sql("""
+          SELECT id FROM ext_corpus
+          WHERE graft_bloom_contains(xxhash64(g),
+                  (SELECT graft_bloom_agg(xxhash64(gram), 4096, 11) FROM ext_ban), 11)""")
+          .as[Long].collect().toSet
+        assert((0L until 100L by 7).forall(pre), "bloom false negative")
+        // the aggregate is mergeable: a 16-partition build == 1-partition
+        val b16 = spark.sql(
+          "SELECT graft_bloom_agg(xxhash64(gram), 4096, 11) FROM (SELECT /*+ REPARTITION(16) */ gram FROM ext_ban)")
+          .head().getAs[Array[Byte]](0)
+        val b1 = spark.sql(
+          "SELECT graft_bloom_agg(xxhash64(gram), 4096, 11) FROM (SELECT /*+ REPARTITION(1) */ gram FROM ext_ban)")
+          .head().getAs[Array[Byte]](0)
+        assert(java.util.Arrays.equals(b16, b1), "bitmap depends on partitioning")
+        // and it agrees with the Scala-side treeAggregate build
+        // (expectedKeys=256 @ 16 bits/key sizes to the same 4096 bits;
+        // probesFor(16) = 11 = the SQL k)
+        val scalaSide = graft.operators.Bloom.build(
+          spark.table("ext_ban"), org.apache.spark.sql.functions.col("gram"),
+          bitsPerKey = 16, expectedKeys = Some(256L))
+        assert(java.util.Arrays.equals(
+          graft.functions.HashRuntime.bloomBytesFromWords(scalaSide.bits), b1),
+          "SQL aggregate and Bloom.build disagree on the same keys")
+        // rejections: non-power-of-two size, non-literal size, bad k, bad types
+        val e1 = intercept[AnalysisException](
+          spark.sql("SELECT graft_bloom_agg(xxhash64(gram), 1000, 11) FROM ext_ban").collect())
+        assert(e1.getMessage.contains("power of two"), e1.getMessage)
+        val e2 = intercept[AnalysisException](
+          spark.sql("SELECT graft_bloom_agg(xxhash64(gram), length(gram), 11) FROM ext_ban").collect())
+        assert(e2.getMessage.contains("must be a literal"), e2.getMessage)
+        val e3 = intercept[AnalysisException](
+          spark.sql("SELECT graft_bloom_contains(xxhash64(g), g, 11) FROM ext_corpus").collect())
+        assert(e3.getMessage.contains("binary") || e3.getMessage.contains("DATATYPE_MISMATCH"),
+          e3.getMessage)
+        val e4 = intercept[AnalysisException](
+          spark.sql("SELECT graft_bloom_agg(gram, 4096, 11) FROM ext_ban").collect())
+        assert(e4.getMessage.contains("bigint") || e4.getMessage.contains("DATATYPE_MISMATCH"),
+          e4.getMessage)
+      } finally {
+        spark.catalog.dropTempView("ext_corpus")
+        spark.catalog.dropTempView("ext_ban")
+      }
+    }
+  }
 }
