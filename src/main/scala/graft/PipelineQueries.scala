@@ -181,5 +181,180 @@ object PipelineQueries {
         SELECT lang, rank, term, tf, df, score FROM r WHERE rank <= 5 ORDER BY lang, rank"""),
       "distinctive terms per language: integer tf/df scoring (tf*1e6 div df), top-5 " +
         "by (score desc, term) — keyword extraction / domain profiling with a " +
-        "bit-reproducible ranking; the df side is vocabulary-sized (broadcastable)"))
+        "bit-reproducible ranking; the df side is vocabulary-sized (broadcastable)"),
+
+    // ------------------------------------------------ bucketed range join
+    Q("q62_range_join",
+      (s, d) => {
+        // incident-window attribution: the 50 highest-value events anchor
+        // ±10-minute windows; count/sum every event landing in any
+        // window. A bare BETWEEN join is a nested loop — RangeJoin's
+        // bucket decomposition makes it a HASH join on the time bucket
+        // (width = the 20-min span, so each window explodes to <= 2 rows)
+        val ev = T.events(s, d)
+        val pts = ev.select(col("event_id").as("p_id"),
+          unix_micros(col("ts")).as("p_us"),
+          col("value").cast("decimal(10,2)").as("p_val"))
+        val win = ev.orderBy(col("value").desc, col("event_id")).limit(50)
+          .select(col("event_id").as("win_id"),
+            (unix_micros(col("ts")) - lit(600000000L)).as("s_us"),
+            (unix_micros(col("ts")) + lit(600000000L)).as("e_us"))
+        RangeJoin.pointInInterval(pts, "p_us", win, "s_us", "e_us",
+            bucketWidth = 1200000001L)
+          .groupBy(col("win_id"), col("s_us"), col("e_us"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("p_val")).cast("double").as("sum_value"))
+          .orderBy(col("win_id"))
+      },
+      Some("""
+        WITH w AS (SELECT event_id AS win_id,
+                          epoch_us(ts) - 600000000 AS s_us,
+                          epoch_us(ts) + 600000000 AS e_us
+                   FROM events ORDER BY value DESC, event_id LIMIT 50)
+        SELECT win_id, s_us, e_us, count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+        FROM w JOIN events e ON epoch_us(e.ts) >= s_us AND epoch_us(e.ts) <= e_us
+        GROUP BY 1, 2, 3 ORDER BY win_id"""),
+      "point-in-interval range join as a bucketed HASH join (RangeJoin): window " +
+        "side explodes to its <= 2 covered time buckets, events keep their single " +
+        "bucket, exact BETWEEN is the join residual — no BroadcastNestedLoopJoin " +
+        "at any interval count, unlike Spark's plan for the bare non-equi join"),
+
+    // ------------------------------------------- edit-distance near-dups
+    Q("q63_fuzzy_pairs",
+      (s, d) => {
+        // character-level near-dup pairs: same source, length band
+        // <= 60, Levenshtein <= 60 — the OCR-noise/small-edit family
+        // token-set similarity under-weights. Blocking is exact (length
+        // band is a lower bound on edit distance), so the result equals
+        // brute force; the verifier is threshold Levenshtein
+        // (O(len*dist), early-exit), never O(len^2)
+        FuzzyJoin.editDistancePairs(T.documents(s, d),
+            idCol = "doc_id", textCol = "text", lenCol = "n_chars",
+            maxDist = 60, blockBy = Seq("source"))
+          .select(col("id_a"), col("id_b"), col("source"), col("dist"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.source AS source,
+               levenshtein(a.text, b.text) AS dist
+        FROM documents a JOIN documents b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+         AND abs(a.n_chars - b.n_chars) <= 60
+        WHERE levenshtein(a.text, b.text) <= 60
+        ORDER BY id_a, id_b"""),
+      "edit-distance fuzzy dedup (FuzzyJoin): exact blocking = source equality + " +
+        "±60 length band as a bucketed range join (edit distance >= length diff), " +
+        "threshold Levenshtein verify on candidates only — identical to brute " +
+        "force, proven by a PropertySpec law"),
+
+    // ------------------------------------------------- vocabulary scrub
+    Q("q64_scrub_tokens",
+      (s, d) => {
+        // normalization/scrub stage: strip ban-listed tokens ('a','the'),
+        // keep an audit count — map-side only, no shuffle; the count
+        // rides the native WordSetCount kernel
+        val toks = docTokens
+        val banned = Seq("a", "the")
+        T.documents(s, d)
+          .select(col("doc_id"),
+            TextOps.wordCount(toks, banned).as("n_removed"),
+            array_join(TextOps.scrubTokens(toks, banned), " ").as("clean_text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+               len(string_split(lower(text), ' '))
+                 - len(list_filter(string_split(lower(text), ' '),
+                                   w -> w NOT IN ('a', 'the'))) AS n_removed,
+               array_to_string(list_filter(string_split(lower(text), ' '),
+                                           w -> w NOT IN ('a', 'the')), ' ') AS clean_text
+        FROM documents ORDER BY doc_id"""),
+      "ban-term scrub with audit count (TextOps.scrubTokens): token filter + " +
+        "rejoin runs scan-side per document — the shape of every normalization " +
+        "pass (stopword strip, sentinel-token PII drop); zero shuffles"),
+
+    // -------------------------------------------------- snapshot diff
+    Q("q65_snapshot_diff",
+      (s, d) => {
+        // two synthetic corpus versions derived deterministically from
+        // the one table (v1 drops doc_id%10=0, v2 drops %13=0 and edits
+        // %7=0), diffed per key: added/removed/changed/same — the audit
+        // stage between two curation runs, and the work-list for
+        // incremental re-embedding (added+changed only)
+        val docs = T.documents(s, d)
+        val v1 = docs.where(pmod(col("doc_id"), lit(10L)) =!= 0)
+          .select(col("doc_id"), col("text"))
+        val v2 = docs.where(pmod(col("doc_id"), lit(13L)) =!= 0)
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(7L)) === 0, reverse(col("text")))
+              .otherwise(col("text")).as("text"))
+        SnapshotDiff.diff(v1, v2, "doc_id", Seq("text"))
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy(col("status"))
+      },
+      Some("""
+        WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+        v2 AS (SELECT doc_id,
+                      CASE WHEN doc_id % 7 = 0 THEN reverse(text) ELSE text END AS text
+               FROM documents WHERE doc_id % 13 <> 0)
+        SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'
+                    WHEN v2.doc_id IS NULL THEN 'removed'
+                    WHEN v1.text <> v2.text THEN 'changed'
+                    ELSE 'same' END AS status,
+               count(*) AS n,
+               min(coalesce(v2.doc_id, v1.doc_id)) AS min_id,
+               max(coalesce(v2.doc_id, v1.doc_id)) AS max_id
+        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        GROUP BY 1 ORDER BY 1"""),
+      "corpus snapshot diff (SnapshotDiff): one FULL OUTER co-partitioned join " +
+        "classifies every key added/removed/changed/same (null-safe compare) — " +
+        "the between-runs audit and the incremental-processing work-list"),
+
+    // -------------------------------------------- interval-overlap join
+    Q("q66_session_overlap",
+      (s, d) => {
+        // cross-user concurrency: which user pairs' sessions (1-day gap,
+        // q37's definition) overlap in time, counted per pair. An
+        // interval×interval overlap join — the bucketed decomposition
+        // keeps it a HASH join with exactly-once pair emission (first
+        // shared bucket), where the bare predicate would nested-loop
+        val sess = T.events(s, d)
+          .groupBy(session_window(col("ts"), "1 day"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("user_id"),
+            Q.epochUs(col("session_window.start")).as("s_us"),
+            (Q.epochUs(col("session_window.end"))).as("e_us"))
+        val a = sess.select(col("user_id").as("user_a"),
+          col("s_us").as("sa_us"), col("e_us").as("ea_us"))
+        val b = sess.select(col("user_id").as("user_b"),
+          col("s_us").as("sb_us"), col("e_us").as("eb_us"))
+        RangeJoin.intervalOverlap(a, "sa_us", "ea_us", b, "sb_us", "eb_us",
+            bucketWidth = 86400000000L, maxBucketsPerInterval = 8192)
+          .where(col("user_a") < col("user_b"))
+          .groupBy(col("user_a"), col("user_b"))
+          .agg(count(lit(1)).as("n_overlaps"))
+          .orderBy(col("n_overlaps").desc, col("user_a"), col("user_b"))
+          .limit(20)
+      },
+      Some("""
+        WITH x AS (SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w >= INTERVAL '1 day'
+                          THEN 1 ELSE 0 END AS new_sess
+                   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        y AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
+              FROM x),
+        sess AS (SELECT user_id, epoch_us(min(ts)) AS s_us,
+                        epoch_us(max(ts)) + 86400000000 AS e_us
+                 FROM y GROUP BY user_id, sess_id)
+        SELECT a.user_id AS user_a, b.user_id AS user_b, count(*) AS n_overlaps
+        FROM sess a JOIN sess b
+          ON a.user_id < b.user_id AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+        GROUP BY 1, 2 ORDER BY n_overlaps DESC, user_a, user_b LIMIT 20"""),
+      "interval-overlap join (RangeJoin.intervalOverlap): session pairs across " +
+        "users overlapping in time, exactly-once via the first-shared-bucket rule " +
+        "— temporal co-occurrence / concurrency analysis as a bucketed HASH join; " +
+        "session end = last event + gap (q37's session semantics, same oracle CTE)"))
 }

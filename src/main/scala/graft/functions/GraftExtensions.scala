@@ -19,6 +19,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `SparkEntry.queries` work under any session; the extension is for
   * SQL-first users.
   *
+  * `spark.sql.extensions` is a STATIC conf: it only takes effect when the
+  * builder creates the SparkContext. Embedding into a JVM whose context
+  * already exists (notebooks, test harnesses) silently skips it — use the
+  * programmatic form there:
+  * `builder.withExtensions(new GraftExtensions().apply(_))`.
+  *
   * Scalar config args (k, seed, n) must be literals: they are baked into
   * the expression at plan time (coefficient/hyperplane tables derive from
   * them), so a non-foldable arg is rejected at analysis with a clear
@@ -122,6 +128,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           fail(s"graft_intersect_size: threshold num/den must be in (0, 1], got $num/$den")
         }
         BoundedIntersectSize(args.head, args(1), num.toInt, den.toInt)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_levenshtein"),
+      info("graft_levenshtein",
+        "graft_levenshtein(a, b, maxDist) - Levenshtein distance over code points if " +
+          "<= maxDist else -1 (banded native kernel; maxDist a non-negative int literal)"),
+      (args: Seq[Expression]) => {
+        checkArity("graft_levenshtein", args, 3)
+        val maxDist = literalArg("graft_levenshtein", args, 2, "maxDist")
+        if (maxDist < 0 || maxDist > Int.MaxValue) {
+          fail(s"graft_levenshtein: maxDist must be a non-negative int, got $maxDist")
+        }
+        BoundedLevenshtein(args.head, args(1), maxDist.toInt)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, IntegerType, LongType, StringType}
 
 /** Native Catalyst expressions for the hash-heavy LLM-data operators.
   *
@@ -217,6 +217,38 @@ case class BoundedIntersectSize(left: Expression, right: Expression, num: Int, d
     copy(left = newLeft, right = newRight)
 }
 
+/** (string, string) -> int: Levenshtein distance if <= maxDist else -1
+  * (the contract of Spark's 3-arg `levenshtein`, which this replaces).
+  * Spark's builtin re-decodes codepoints per DP cell — measured ~25M
+  * cells/s, 30s for the q63 verify stage at sf0.1; the kernel
+  * ([[HashRuntime.boundedLevenshtein]]) decodes once and runs a banded
+  * primitive-int DP (~50x). The hot verify loop of [[graft.operators.FuzzyJoin]].
+  */
+case class BoundedLevenshtein(left: Expression, right: Expression, maxDist: Int)
+    extends BinaryExpression {
+  require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_levenshtein needs two strings, got $l / $r")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashRuntime.boundedLevenshtein(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], maxDist)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.HashRuntime.boundedLevenshtein($a, $b, $maxDist);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BoundedLevenshtein =
+    copy(left = newLeft, right = newRight)
+}
+
 /** bigint (64-bit key hash) -> boolean: bloom-filter membership probe
   * against a fixed bit array (see [[HashRuntime.bloomContains]]). No
   * false negatives; false-positive rate set by the builder's bits/key.
@@ -266,4 +298,7 @@ object HashExprs {
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b), num, den))
   def bloomMightContain(c: Column, bits: Array[Long], k: Int): Column =
     GraftColumnBridge.column(BloomMightContain(GraftColumnBridge.expression(c), bits, k))
+  def boundedLevenshtein(a: Column, b: Column, maxDist: Int): Column =
+    GraftColumnBridge.column(BoundedLevenshtein(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b), maxDist))
 }

@@ -92,6 +92,15 @@ object TextOps {
   /** English-ish stopwords present in the synthetic corpus vocabulary. */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  /** Tokens with every exact match of `banned` removed — the
+    * normalization / scrub stage (stopword strip, ban-term removal,
+    * PII-token drop once an upstream tagger rewrote spans to sentinel
+    * tokens). Map-side only; pair with [[wordCount]] (native) for the
+    * removed-count audit column so the hot counting path stays codegen'd.
+    */
+  def scrubTokens(toks: Column, banned: Seq[String]): Column =
+    filter(toks, w => !w.isin(banned: _*))
+
   /** Quality-score components + composite. Ratios are single double
     * divisions of exactly-derived integer operands; the composite is a
     * fixed-order linear combination — deterministic IEEE arithmetic, so

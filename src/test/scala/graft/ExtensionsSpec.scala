@@ -19,8 +19,17 @@ class ExtensionsSpec extends AnyFunSuite {
     val prior = SparkSession.getActiveSession
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
+    // .config("spark.sql.extensions", ...) is a STATIC conf: when another
+    // suite already created the SparkContext, the builder silently drops
+    // it and no functions register (order-dependent failure). The
+    // programmatic .withExtensions hook binds at SESSION build and works
+    // on a reused context — so the suite passes in any order. Production
+    // spark-submit users set the conf (fresh context); embedded users on
+    // a shared context must use withExtensions, as documented on
+    // GraftExtensions.
     val spark = Engine.configure(
         SparkSession.builder().master("local[2]")
+          .withExtensions(new graft.functions.GraftExtensions().apply(_))
           .config("spark.sql.extensions", "graft.functions.GraftExtensions"),
         shufflePartitions = 2)
       .getOrCreate()
@@ -52,7 +61,9 @@ class ExtensionsSpec extends AnyFunSuite {
                  graft_shingles(split(text, ' '), 2) AS sg,
                  graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
                  graft_word_count(split(text, ' '), array('hello', 'x')) AS wc,
-                 graft_intersect_size(array('a', 'b', 'c'), array('b', 'c', 'd'), 1, 2) AS isz
+                 graft_intersect_size(array('a', 'b', 'c'), array('b', 'c', 'd'), 1, 2) AS isz,
+                 graft_levenshtein(text, 'hallo world', 3) AS lv,
+                 graft_levenshtein(text, 'completely different', 3) AS lv_over
           FROM ext_docs""").head()
         def wh(w: String) = w.foldLeft(7L)((a, c) => (a * 31 + c) % 1000000007L)
         assert(row.getSeq[Long](0) === Seq(wh("hello"), wh("world")))
@@ -69,6 +80,9 @@ class ExtensionsSpec extends AnyFunSuite {
         assert(row.getLong(5) === 1L)
         // {a,b,c} ∩ {b,c,d} = 2, and J = 2/4 reaches 1/2 — exact count
         assert(row.getLong(6) === 2L)
+        // one substitution within threshold; -1 above it
+        assert(row.getInt(7) === 1)
+        assert(row.getInt(8) === -1)
       } finally spark.catalog.dropTempView("ext_docs")
     }
   }
@@ -113,6 +127,17 @@ class ExtensionsSpec extends AnyFunSuite {
         val e9 = intercept[AnalysisException](
           spark.sql("SELECT graft_intersect_size(array('a'), array('a'), k, 2) FROM ext_args").collect())
         assert(e9.getMessage.contains("must be a literal"), e9.getMessage)
+        // levenshtein: negative threshold, non-literal threshold, wrong type
+        val e10 = intercept[AnalysisException](
+          spark.sql("SELECT graft_levenshtein('a', 'b', -1)").collect())
+        assert(e10.getMessage.contains("non-negative"), e10.getMessage)
+        val e11 = intercept[AnalysisException](
+          spark.sql("SELECT graft_levenshtein('a', 'b', k) FROM ext_args").collect())
+        assert(e11.getMessage.contains("must be a literal"), e11.getMessage)
+        val e12 = intercept[AnalysisException](
+          spark.sql("SELECT graft_levenshtein(array('a'), 'b', 1)").collect())
+        assert(e12.getMessage.contains("two strings")
+          || e12.getMessage.contains("DATATYPE_MISMATCH"), e12.getMessage)
       } finally spark.catalog.dropTempView("ext_args")
     }
   }

@@ -176,6 +176,25 @@ class FixtureSpec extends SparkSpec {
     assert(people.where(col("age") === 13).count() === 2)
   }
 
+  // ------------------------------------------------------- SnapshotDiff
+  test("SnapshotDiff classifies added/removed/changed/same with null-safe compare") {
+    import testImplicits._
+    val oldV = Seq[(Long, Option[String])](
+      (1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("gone")), (5L, None))
+      .toDF("id", "txt")
+    val newV = Seq[(Long, Option[String])](
+      (1L, Some("a")),      // same
+      (2L, Some("B")),      // changed
+      (3L, None),           // same — NULL <=> NULL must not read as changed
+      (5L, Some("now")),    // changed — NULL -> value
+      (6L, Some("new")))    // added; 4 removed
+      .toDF("id", "txt")
+    val got = SnapshotDiff.diff(oldV, newV, "id", Seq("txt"))
+      .select("id", "status").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "same", 2L -> "changed", 3L -> "same",
+      4L -> "removed", 5L -> "changed", 6L -> "added"))
+  }
+
   // ------------------------------------------------------------- K1/K4
   test("K1 named sink table + INSERT INTO (batch)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString

@@ -190,4 +190,56 @@ class PlanSpec extends SparkSpec {
     assert(phys.toLowerCase.contains("bloommightcontain"), phys.take(2000))
     assert(!phys.contains("BatchEvalPython") && !phys.toLowerCase.contains("scalaudf"), phys.take(2000))
   }
+
+  test("z-order layout prunes parquet row groups on BOTH filter dimensions") {
+    import graft.sinks.Layout
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_layout").toString
+    // small row groups so stats granularity is meaningful at test scale
+    Layout.zorderWrite(li, "l_partkey", "l_suppkey", s"$dir/z", files = 4, rowGroupBytes = 16L << 10)
+    Layout.sortedWrite(li, "l_partkey", s"$dir/lin", files = 4, rowGroupBytes = 16L << 10)
+
+    val st = li.agg(min("l_partkey"), max("l_partkey"), min("l_suppkey"), max("l_suppkey")).head()
+    val (pLo, pHi) = (st.getLong(0), st.getLong(1))
+    val (sLo, sHi) = (st.getLong(2), st.getLong(3))
+    // ~12% window in each dimension
+    val pred = col("l_partkey").between(pLo, pLo + (pHi - pLo) / 8) &&
+      col("l_suppkey").between(sLo, sLo + (sHi - sLo) / 8)
+
+    def scanRows(path: String): (Long, Long) = {
+      val df = spark.read.parquet(path).where(pred)
+      val matches = df.collect().length.toLong
+      val scan = df.queryExecution.executedPlan.collectLeaves()
+        .find(_.metrics.contains("numOutputRows")).get
+      (scan.metrics("numOutputRows").value, matches)
+    }
+    val (zScan, zMatch) = scanRows(s"$dir/z")
+    val (linScan, linMatch) = scanRows(s"$dir/lin")
+    assert(zMatch === linMatch) // same data, same answer
+    // linear sort prunes on l_partkey only: surviving row groups span the
+    // full l_suppkey domain. The z-order layout must let row-group stats
+    // prune on the second dimension too.
+    assert(zScan < linScan / 2, s"z-order scanned $zScan rows vs linear $linScan")
+    assert(zScan >= zMatch)
+  }
+
+  test("q62 range join plans a HASH join on the bucket — no nested loop") {
+    // the bare BETWEEN predicate would plan BroadcastNestedLoopJoin; the
+    // bucket decomposition must surface an equi-join with the range
+    // predicate as residual
+    val q = SparkEntry.queries("q62_range_join")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q63 fuzzy join blocks on (source, length bucket) — no nested loop") {
+    val q = SparkEntry.queries("q63_fuzzy_pairs")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
 }

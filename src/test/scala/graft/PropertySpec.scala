@@ -128,6 +128,106 @@ class PropertySpec extends SparkSpec {
     assert(got.values.toSet === Set(0L))
   }
 
+  test("law: RangeJoin.pointInInterval == brute force, exactly once (incl. negatives)") {
+    val caseGen: Gen[(List[(Long, Long)], List[(Long, Long, Long)], Long)] = for {
+      pts <- Gen.listOfN(25, Gen.choose(-100L, 100L))
+      ivs <- Gen.listOfN(12, for {
+        s <- Gen.choose(-100L, 100L); span <- Gen.choose(0L, 25L)
+      } yield (s, s + span))
+      w <- Gen.choose(1L, 17L)
+    } yield (pts.zipWithIndex.map { case (p, i) => (i.toLong, p) },
+      ivs.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }, w)
+    samples(caseGen, 8).foreach { case (pts, ivs, w) =>
+      val got = RangeJoin.pointInInterval(
+          pts.toDF("pid", "p"), "p", ivs.toDF("iid", "s", "e"), "s", "e", w)
+        .select("pid", "iid").as[(Long, Long)].collect().toList
+      val want = for {
+        (pid, p) <- pts; (iid, s, e) <- ivs if s <= p && p <= e
+      } yield (pid, iid)
+      assert(got.size === got.toSet.size, s"duplicate pairs: w=$w pts=$pts ivs=$ivs")
+      assert(got.toSet === want.toSet, s"w=$w pts=$pts ivs=$ivs")
+      // left_outer: every point survives; unmatched exactly once with null
+      val left = RangeJoin.pointInInterval(
+          pts.toDF("pid", "p"), "p", ivs.toDF("iid", "s", "e"), "s", "e", w,
+          joinType = "left_outer")
+        .select("pid", "iid").as[(Long, Option[Long])].collect().toList
+      val unmatched = pts.collect {
+        case (pid, p) if !ivs.exists { case (_, s, e) => s <= p && p <= e } => (pid, None)
+      }
+      assert(left.toSet === (want.map { case (p, i) => (p, Some(i)) } ++ unmatched).toSet)
+      assert(left.size === want.size + unmatched.size)
+    }
+  }
+
+  test("law: RangeJoin.intervalOverlap == brute force, exactly once") {
+    val ivGen = Gen.listOfN(14, for {
+      s <- Gen.choose(-60L, 60L); span <- Gen.choose(0L, 20L)
+    } yield (s, s + span))
+    val caseGen = for {
+      l <- ivGen; r <- ivGen; w <- Gen.choose(1L, 13L)
+    } yield (l.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) },
+      r.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }, w)
+    samples(caseGen, 8).foreach { case (l, r, w) =>
+      val got = RangeJoin.intervalOverlap(
+          l.toDF("lid", "ls", "le"), "ls", "le",
+          r.toDF("rid", "rs", "re"), "rs", "re", w)
+        .select("lid", "rid").as[(Long, Long)].collect().toList
+      val want = for {
+        (lid, ls, le) <- l; (rid, rs, re) <- r if ls <= re && rs <= le
+      } yield (lid, rid)
+      assert(got.size === got.toSet.size, s"duplicate pairs: w=$w l=$l r=$r")
+      assert(got.toSet === want.toSet, s"w=$w l=$l r=$r")
+    }
+  }
+
+  test("law: native BoundedLevenshtein == Spark builtin (value and -1 threshold), incl. unicode") {
+    val strGen = for {
+      len <- Gen.choose(0, 14)
+      s <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c', 'é', 'ß', '中')).map(_.mkString)
+    } yield s
+    val caseGen = for { a <- strGen; b <- strGen; d <- Gen.choose(0, 8) } yield (a, b, d)
+    val cases = samples(caseGen, 300)
+    cases.groupBy(_._3).foreach { case (d, cs) =>
+      val df = cs.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      val got = df.select(
+          graft.functions.HashExprs.boundedLevenshtein(col("a"), col("b"), d),
+          levenshtein(col("a"), col("b"), d))
+        .as[(Int, Int)].collect()
+      got.zip(cs).foreach { case ((ours, builtin), c) =>
+        assert(ours === builtin, s"case=$c d=$d")
+      }
+    }
+  }
+
+  test("law: FuzzyJoin.editDistancePairs == brute force Levenshtein") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val caseGen: Gen[(List[(Long, String, String)], Int)] = for {
+      docs <- Gen.listOfN(12, for {
+        len <- Gen.choose(0, 10)
+        t <- Gen.listOfN(len, Gen.oneOf('a', 'b')).map(_.mkString)
+        blk <- Gen.oneOf("x", "y")
+      } yield (t, blk))
+      d <- Gen.choose(0, 4)
+    } yield (docs.zipWithIndex.map { case ((t, blk), i) => (i.toLong, t, blk) }, d)
+    samples(caseGen, 8).foreach { case (docs, maxDist) =>
+      val df = docs.toDF("doc_id", "text", "blk").withColumn("n", length(col("text")))
+      val got = FuzzyJoin.editDistancePairs(df, "doc_id", "text", "n", maxDist, Seq("blk"))
+        .select("id_a", "id_b", "dist").as[(Long, Long, Long)].collect().toList
+      val want = for {
+        (ia, ta, ba) <- docs; (ib, tb, bb) <- docs
+        if ia < ib && ba == bb && lev(ta, tb) <= maxDist
+      } yield (ia, ib, lev(ta, tb).toLong)
+      assert(got.size === got.toSet.size, s"duplicate pairs: d=$maxDist docs=$docs")
+      assert(got.toSet === want.toSet, s"d=$maxDist docs=$docs")
+    }
+  }
+
   test("law: exact dedup is idempotent and keeps one row per key") {
     samples(rowsGen, 6).filter(_.nonEmpty).foreach { rows =>
       val df = rows.toDF("k", "v", "p")
