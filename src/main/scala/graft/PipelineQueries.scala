@@ -356,5 +356,104 @@ object PipelineQueries {
       "interval-overlap join (RangeJoin.intervalOverlap): session pairs across " +
         "users overlapping in time, exactly-once via the first-shared-bucket rule " +
         "— temporal co-occurrence / concurrency analysis as a bucketed HASH join; " +
-        "session end = last event + gap (q37's session semantics, same oracle CTE)"))
+        "session end = last event + gap (q37's session semantics, same oracle CTE)"),
+
+    // ------------------------------------------- fuzzy corpus dedup
+    Q("q67_fuzzy_dedup",
+      (s, d) => {
+        // corpus-level removal over edit distance — the fifth near-dup
+        // family joins the shared keep-lowest-id drop policy (minhash
+        // q34, simhash q50, exact Jaccard, embedding cosine q49). Oracle
+        // is fully SQL: survivors = docs never the higher id of a q63
+        // pair — no pinning
+        FuzzyJoin.dedupCorpus(T.documents(s, d),
+            idCol = "doc_id", textCol = "text", lenCol = "n_chars",
+            maxDist = 60, blockBy = Seq("source"))
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH p AS (SELECT b.doc_id AS id_b
+                   FROM documents a JOIN documents b
+                     ON a.source = b.source AND a.doc_id < b.doc_id
+                    AND abs(a.n_chars - b.n_chars) <= 60
+                   WHERE levenshtein(a.text, b.text) <= 60)
+        SELECT doc_id, lang FROM documents
+        WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.id_b = documents.doc_id)
+        ORDER BY doc_id"""),
+      "edit-distance corpus dedup (FuzzyJoin.dedupCorpus): q63's exact pair stage " +
+        "-> distinct higher ids -> ids-only anti-join — the shared corpus-removal " +
+        "policy now covers all five near-dup families"),
+
+    // ---------------------------------------- dictionary token encoding
+    Q("q68_token_ids",
+      (s, d) => {
+        // the tokenizer stage: text -> token-id sequences against a
+        // corpus-derived dictionary (id = alphabetical rank). The vocab
+        // table is vocabulary-sized (broadcastable at any corpus scale;
+        // the rank window runs on vocab rows, not corpus rows). Output
+        // checksums the ID SEQUENCE (position-weighted integer sum) so
+        // the gate proves order-correct encoding without comparing
+        // arrays
+        val toks = T.documents(s, d)
+          .select(col("doc_id"), posexplode(docTokens).as(Seq("pos", "term")))
+        val vocab = toks.select(col("term")).distinct()
+          .withColumn("id", row_number().over(Window.orderBy(col("term"))).cast("long"))
+        toks.join(broadcast(vocab), Seq("term"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum((col("pos") + 1) * col("id")).as("ids_checksum"),
+            max(col("id")).as("max_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id,
+                          unnest(range(1, len(string_split(lower(text), ' ')) + 1)) AS pos,
+                          unnest(string_split(lower(text), ' ')) AS term
+                   FROM documents),
+        vocab AS (SELECT term, row_number() OVER (ORDER BY term) AS id
+                  FROM (SELECT DISTINCT term FROM t))
+        SELECT doc_id, count(*) AS n_tokens,
+               CAST(sum(pos * id) AS BIGINT) AS ids_checksum, max(id) AS max_id
+        FROM t JOIN vocab USING (term)
+        GROUP BY doc_id ORDER BY doc_id"""),
+      "dictionary token-id encoding (tokenizer stage): corpus-derived vocab " +
+        "(alphabetical rank, vocab-sized -> broadcast join), per-doc id sequence " +
+        "checksummed position-weighted — integer-exact proof the encoding is " +
+        "order-correct; at scale the vocab window runs on vocab rows only"),
+
+    // ------------------------------------------ IDF-weighted term search
+    Q("q69_term_search",
+      (s, d) => {
+        // retrieval scoring: rank docs for a query term set by
+        // tf * (1e9 div df) — IDF weighting in pure integers (no float
+        // log), bit-reproducible. Shape: filter to query terms at the
+        // scan (tiny explode survives), two aggs, vocabulary-sized df
+        // join, top-k with unique tiebreak
+        val query = Seq("spark", "vector", "stream")
+        val hits = T.documents(s, d)
+          .select(col("doc_id"), explode(docTokens).as("term"))
+          .where(col("term").isin(query: _*))
+        val tf = hits.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val dfreq = hits.groupBy(col("term"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        tf.join(broadcast(dfreq), Seq("term"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("tf") * expr("1000000000 div df")).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+                   FROM documents),
+        q AS (SELECT * FROM t WHERE term IN ('spark', 'vector', 'stream')),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM q GROUP BY 1, 2),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM q GROUP BY 1)
+        SELECT doc_id, CAST(sum(tf * (1000000000 // df)) AS BIGINT) AS score
+        FROM tf JOIN df USING (term)
+        GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"""),
+      "IDF-weighted term search: integer tf x (1e9 div df) scoring, top-10 with " +
+        "unique tiebreak — the retrieval/relevance stage (keyword search over a " +
+        "curated corpus) with a bit-reproducible ranking; df side is " +
+        "vocabulary-sized (broadcast)"))
 }

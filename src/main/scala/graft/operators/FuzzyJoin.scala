@@ -99,6 +99,34 @@ object FuzzyJoin {
       col("id_a") < col("id_b"),
       abs(col("__n_a") - col("__n_b")) <= lit(maxDist.toLong)) ++ blockEq).reduce(_ && _)
 
+    joinAndVerify(points, bands, cond, blockBy, maxDist)
+  }
+
+  /** Corpus-level removal under the shared keep-lowest-id policy (the
+    * same drop rule as [[MinHash.dedupCorpus]], [[SimHash.dedupCorpus]],
+    * [[JaccardJoin.dedupCorpus]] and [[Similarity.dedupCorpus]], over
+    * edit distance): drop every doc appearing as the HIGHER id of a
+    * within-threshold pair. Ids-only shuffle for the anti-join; text
+    * never rides past the pair stage.
+    */
+  def dedupCorpus(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      lenCol: String,
+      maxDist: Int,
+      blockBy: Seq[String]): DataFrame = {
+    val drop = editDistancePairs(docs, idCol, textCol, lenCol, maxDist, blockBy)
+      .select(col("id_b").as(idCol)).distinct()
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
+  private def joinAndVerify(
+      points: DataFrame,
+      bands: DataFrame,
+      cond: org.apache.spark.sql.Column,
+      blockBy: Seq[String],
+      maxDist: Int): DataFrame = {
     points.join(bands, cond, "inner")
       // native banded kernel (codepoint-decode once, primitive-int DP):
       // Spark's builtin threshold levenshtein measured ~50x slower here

@@ -225,6 +225,11 @@ class PropertySpec extends SparkSpec {
       } yield (ia, ib, lev(ta, tb).toLong)
       assert(got.size === got.toSet.size, s"duplicate pairs: d=$maxDist docs=$docs")
       assert(got.toSet === want.toSet, s"d=$maxDist docs=$docs")
+      // corpus dedup follows the shared drop rule: higher id of any pair
+      val dropped = want.map(_._2).toSet
+      val survivors = FuzzyJoin.dedupCorpus(df, "doc_id", "text", "n", maxDist, Seq("blk"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(survivors === docs.map(_._1).toSet.diff(dropped), s"d=$maxDist docs=$docs")
     }
   }
 
