@@ -455,5 +455,81 @@ object PipelineQueries {
       "IDF-weighted term search: integer tf x (1e9 div df) scoring, top-10 with " +
         "unique tiebreak — the retrieval/relevance stage (keyword search over a " +
         "curated corpus) with a bit-reproducible ranking; df side is " +
-        "vocabulary-sized (broadcast)"))
+        "vocabulary-sized (broadcast)"),
+
+    // ---------------------------------------------- cumulate window TVF
+    Q("q70_cumulate_window",
+      (s, d) => {
+        // Flink's CUMULATE TVF (the third window TVF next to
+        // tumble/hop/session — q04/q36/q37): 1-hour max window emitted
+        // cumulatively every 15 minutes; an event lands in every window
+        // of its hour that ENDS after it. Spark has no cumulate — the
+        // explode-of-steps decomposition is exact and map-side (<= 4
+        // rows per event), then one agg shuffle; bucket arithmetic is
+        // integer floor-division (never double rounding)
+        val step = 900000000L
+        val maxSize = 3600000000L
+        val t = unix_micros(col("ts"))
+        val base = (t - pmod(t, lit(maxSize))).as("win_start_us")
+        val kmin = RangeJoin.fdiv(pmod(t, lit(maxSize)), step) + lit(1L)
+        T.events(s, d)
+          .select(col("event_type"), Q.dec2s(col("value")).as("v"),
+            base, explode(sequence(kmin, lit(maxSize / step))).as("k"))
+          .select(col("event_type"), col("v"), col("win_start_us"),
+            (col("win_start_us") + col("k") * lit(step)).as("win_end_us"))
+          .groupBy(col("event_type"), col("win_start_us"), col("win_end_us"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).cast("double").as("sum_value"))
+          .orderBy(col("event_type"), col("win_start_us"), col("win_end_us"))
+      },
+      Some("""
+        WITH e AS (SELECT event_type, epoch_us(ts) AS t, value FROM events),
+        c AS (SELECT event_type, value,
+                     t - (t % 3600000000) AS base,
+                     unnest(range((t % 3600000000) // 900000000 + 1, 5)) AS k
+              FROM e)
+        SELECT event_type, base AS win_start_us, base + k * 900000000 AS win_end_us,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+        FROM c GROUP BY 1, 2, 3
+        ORDER BY event_type, win_start_us, win_end_us"""),
+      "CUMULATE window TVF (Flink's third window family, absent in Spark): 1h max " +
+        "window cumulatively emitted every 15min via an exact explode-of-steps " +
+        "decomposition — map-side expansion (<= 4 rows/event), one agg shuffle; " +
+        "completes tumble (q04) / hop (q36) / session (q37)"),
+
+    // -------------------------------------------------- funnel detection
+    Q("q71_funnel",
+      (s, d) => {
+        // sequential-pattern (CEP-lite) detection: clicks followed by a
+        // same-user purchase within 1 hour. Equi-join on user with the
+        // time window as residual — partitionable at any user count;
+        // LEFT SEMI keeps each converting click once (no distinct pass)
+        val e = T.events(s, d).select(col("user_id"), col("event_type"),
+          col("event_id"), unix_micros(col("ts")).as("t"))
+        val clicks = e.where(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"), col("t").as("tc"))
+        val purchases = e.where(col("event_type") === "purchase")
+          .select(col("user_id").as("pu"), col("t").as("tp"))
+        clicks.join(purchases,
+            clicks("user_id") === purchases("pu") &&
+              col("tp") > col("tc") && col("tp") <= col("tc") + lit(3600000000L),
+            "left_semi")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_conversions"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+                   WHERE event_type = 'click'),
+        p AS (SELECT user_id, epoch_us(ts) AS t FROM events
+              WHERE event_type = 'purchase'),
+        conv AS (SELECT DISTINCT c.user_id, c.event_id
+                 FROM c JOIN p ON c.user_id = p.user_id
+                              AND p.t > c.t AND p.t <= c.t + 3600000000)
+        SELECT user_id, count(*) AS n_conversions
+        FROM conv GROUP BY 1 ORDER BY user_id"""),
+      "funnel / sequential-pattern detection (CEP-lite): click -> purchase within " +
+        "1h per user as a user-equi join with time-range residual + LEFT SEMI (each " +
+        "converting click counted once, no distinct shuffle) — the " +
+        "behavioral-analytics stage over event streams"))
 }

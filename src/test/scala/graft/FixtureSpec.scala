@@ -195,6 +195,33 @@ class FixtureSpec extends SparkSpec {
       4L -> "removed", 5L -> "changed", 6L -> "added"))
   }
 
+  // --------------------------------------------------------- RangeJoin
+  test("RangeJoin rejects invalid and over-wide intervals loudly (no silent truncation)") {
+    import testImplicits._
+    val pts = Seq((1L, 5L)).toDF("pid", "p")
+    // s > e: must fail the run, not return an empty/partial result
+    val inverted = Seq((1L, 10L, 2L)).toDF("iid", "s", "e")
+    val e1 = intercept[Exception] {
+      RangeJoin.pointInInterval(pts, "p", inverted, "s", "e", 10L).collect()
+    }
+    assert(stackMessages(e1).contains("interval invalid or wider"), stackMessages(e1))
+    // wider than maxBucketsPerInterval buckets: explode would balloon —
+    // fail loudly instead of quietly producing a huge plan
+    val wide = Seq((1L, 0L, 100000L)).toDF("iid", "s", "e")
+    val e2 = intercept[Exception] {
+      RangeJoin.pointInInterval(pts, "p", wide, "s", "e", 1L,
+        maxBucketsPerInterval = 16).collect()
+    }
+    assert(stackMessages(e2).contains("interval invalid or wider"), stackMessages(e2))
+  }
+
+  private def stackMessages(t: Throwable): String = {
+    val sb = new StringBuilder
+    var cur: Throwable = t
+    while (cur != null) { sb.append(cur.getMessage).append(" | "); cur = cur.getCause }
+    sb.toString
+  }
+
   // ------------------------------------------------------------- K1/K4
   test("K1 named sink table + INSERT INTO (batch)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
