@@ -327,6 +327,10 @@ object PipelineQueries {
           .select(col("user_id"),
             Q.epochUs(col("session_window.start")).as("s_us"),
             (Q.epochUs(col("session_window.end"))).as("e_us"))
+          // both overlap-join sides read this frame; without the persist
+          // the scan + session_window agg runs twice (same convention as
+          // JaccardJoin's shingle projection — lazy, CacheManager-deduped)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val a = sess.select(col("user_id").as("user_a"),
           col("s_us").as("sa_us"), col("e_us").as("ea_us"))
         val b = sess.select(col("user_id").as("user_b"),

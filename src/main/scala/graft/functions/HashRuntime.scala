@@ -208,6 +208,30 @@ object HashRuntime {
     val m = y.length
     if (m - n > maxDist) return -1
     if (n == 0) return m // m - n <= maxDist already checked
+    // bag-distance lower bound before the DP: project code points into
+    // 128 bins (a projection only merges counts, so the bound survives
+    // it) and diff the histograms. Each edit op moves at most one unit
+    // in one bin, so edit >= max(surplus, deficit); when that already
+    // exceeds maxDist the O(min·maxDist) band can never come back under
+    // it. O(n+m+128) — on random near-length candidate pairs (the fuzzy
+    // join's survivors of the length filter) this kills the vast
+    // majority of DP invocations.
+    locally {
+      val hist = new Array[Int](128)
+      var i0 = 0
+      while (i0 < n) { hist(x(i0) & 127) += 1; i0 += 1 }
+      i0 = 0
+      while (i0 < m) { hist(y(i0) & 127) -= 1; i0 += 1 }
+      var plus = 0
+      var minus = 0
+      i0 = 0
+      while (i0 < 128) {
+        val d = hist(i0)
+        if (d > 0) plus += d else minus -= d
+        i0 += 1
+      }
+      if ((if (plus > minus) plus else minus) > maxDist) return -1
+    }
     val Inf = Int.MaxValue / 2
     var prev = new Array[Int](n + 1)
     var cur = new Array[Int](n + 1)
