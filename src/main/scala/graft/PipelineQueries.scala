@@ -535,5 +535,165 @@ object PipelineQueries {
       "funnel / sequential-pattern detection (CEP-lite): click -> purchase within " +
         "1h per user as a user-equi join with time-range residual + LEFT SEMI (each " +
         "converting click counted once, no distinct shuffle) — the " +
-        "behavioral-analytics stage over event streams"))
+        "behavioral-analytics stage over event streams"),
+
+    // ---------------------------------------------------- heavy hitters
+    Q("q72_heavy_hitters",
+      (s, d) => {
+        // values in > 1/5 of rows, EXACT counts, without a full-domain
+        // groupBy shuffle: Misra–Gries (k=4 counters) candidate pass —
+        // map-side mergeable buffers, guarantee covers every value above
+        // n/5 — then an exact broadcast-semi recount of the ≤4
+        // candidates. 5 event types at ~20% each sit right at the
+        // guarantee boundary, so the sketch's decrement machinery is
+        // genuinely exercised; the oracle is the full groupBy answer
+        HeavyHitters.exact(T.events(s, d), "event_type", k = 4)
+          .withColumnRenamed("v", "event_type")
+      },
+      Some("""
+        SELECT event_type, count(*) AS cnt FROM events
+        WHERE event_type IS NOT NULL
+        GROUP BY 1
+        HAVING count(*) * 5 > (SELECT count(*) FROM events WHERE event_type IS NOT NULL)
+        ORDER BY event_type"""),
+      "exact heavy hitters (> n/5) via Misra-Gries candidates + exact recount: the " +
+        "sketch pass shuffles only <=k-entry mergeable buffers (never the value " +
+        "domain), the recount shuffles only candidate-matching rows — equals the " +
+        "full groupBy answer, which is exactly what the oracle computes"),
+
+    // ------------------------------------------------------ RAG chunking
+    Q("q73_doc_chunks",
+      (s, d) => {
+        // context-assembly chunking: 64-token windows every 48 tokens
+        // (16-token overlap). Map-side explode bounded by doc length;
+        // each chunk's position-weighted word-hash checksum proves the
+        // window content and order to the oracle without shipping arrays
+        Chunks.tokenWindows(T.documents(s, d), "doc_id", "text", chunkSize = 64, stride = 48)
+          .orderBy(col("doc_id"), col("chunk_ix"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        c AS (SELECT doc_id, w, unnest(range(0, (len(w)-1)//48 + 1)) AS k FROM t),
+        s AS (SELECT doc_id, k AS chunk_ix, list_slice(w, k*48+1, k*48+64) AS cw FROM c),
+        h AS (SELECT doc_id, chunk_ix, cw,
+                     list_transform(cw, x ->
+                       list_reduce(list_prepend(CAST(7 AS BIGINT),
+                         list_transform(range(1, length(x)+1), i -> CAST(ascii(substr(x, i, 1)) AS BIGINT))),
+                         (a, c) -> (a*31 + c) % 1000000007)) AS wh
+              FROM s)
+        SELECT doc_id, chunk_ix, CAST(len(cw) AS BIGINT) AS n_tok,
+               CAST(list_sum(list_transform(range(1, len(wh)+1), i -> i * wh[i])) AS BIGINT) AS checksum
+        FROM h ORDER BY doc_id, chunk_ix"""),
+      "RAG chunking (Chunks.tokenWindows): 64-token windows, stride 48 — map-side " +
+        "explode bounded by doc length (no shuffle, streams with the scan); the " +
+        "position-weighted word-hash checksum proves order-correct windowing"),
+
+    // ------------------------------------------------------ SCD2 history
+    Q("q74_scd2_history",
+      (s, d) => {
+        // type-2 dimension history of each user's event_type state:
+        // collapse consecutive duplicates, close intervals with the next
+        // change's ts. One shuffle (user); both window passes share the
+        // (user, ts, event_id) sort, so Catalyst plans one Exchange
+        val h = Scd2.history(T.events(s, d), Seq("user_id"),
+          Seq(col("ts"), col("event_id")), stateCol = "event_type", tsCol = "ts")
+        h.select(col("user_id"), col("state"),
+            Q.epochUs(col("effective_from")).as("from_us"),
+            Q.epochUs(col("effective_to")).as("to_us"),
+            col("is_current"))
+          .orderBy(col("user_id"), col("from_us"))
+      },
+      Some("""
+        WITH o AS (SELECT user_id, event_type, ts, event_id,
+                          lag({'s': event_type}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                   FROM events),
+        ch AS (SELECT user_id, event_type AS state, ts, event_id
+               FROM o WHERE prev IS NULL OR prev.s IS DISTINCT FROM event_type),
+        iv AS (SELECT user_id, state, ts AS f,
+                      lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+               FROM ch)
+        SELECT user_id, state, epoch_us(f) AS from_us, epoch_us(t) AS to_us,
+               t IS NULL AS is_current
+        FROM iv ORDER BY user_id, from_us"""),
+      "SCD2 history building (Scd2.history): change-event stream -> per-key " +
+        "[effective_from, effective_to) state intervals, consecutive duplicates " +
+        "collapsed, open interval flagged current — the versioned-dimension " +
+        "warehouse pattern; one shuffle, shared window sort"),
+
+    // ------------------------------------------------------ data profiling
+    Q("q75_profile",
+      (s, d) => {
+        // dataset-audit profiling: per-column non-null + EXACT distinct
+        // counts in one pass (Expand + partial agg — the shuffle carries
+        // per-column partial distinct sets, never rows). Swap HLL++ in
+        // for audit-tolerant high-card columns (q47's exhibit)
+        Profile.summarize(T.orders(s, d),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"))
+      },
+      Some("""
+        SELECT 'o_orderkey' AS column_name, count(o_orderkey) AS n_nonnull, count(DISTINCT o_orderkey) AS n_distinct FROM orders
+        UNION ALL SELECT 'o_custkey', count(o_custkey), count(DISTINCT o_custkey) FROM orders
+        UNION ALL SELECT 'o_orderstatus', count(o_orderstatus), count(DISTINCT o_orderstatus) FROM orders
+        UNION ALL SELECT 'o_totalprice', count(o_totalprice), count(DISTINCT o_totalprice) FROM orders
+        UNION ALL SELECT 'o_orderdate', count(o_orderdate), count(DISTINCT o_orderdate) FROM orders
+        UNION ALL SELECT 'o_orderpriority', count(o_orderpriority), count(DISTINCT o_orderpriority) FROM orders
+        ORDER BY column_name"""),
+      "column profiling (Profile.summarize): per-column non-null + exact distinct " +
+        "counts in ONE pass via Expand + partial aggregation, transposed map-side " +
+        "to a long-format stats table — the corpus-admission audit stage"),
+
+    // ------------------------------------------------------------- pivot
+    Q("q76_pivot",
+      (s, d) => {
+        // relational pivot: revenue by order-year x order-status. Pivot
+        // values are passed EXPLICITLY — at scale this skips the extra
+        // distinct-collect pass Spark otherwise runs to discover them,
+        // and makes the output schema deterministic
+        T.orders(s, d)
+          .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(sum(Q.dec2(col("o_totalprice"))).cast("double"))
+          .orderBy(col("yr"))
+      },
+      Some("""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS "F",
+               CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS "O",
+               CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS "P",
+        FROM orders GROUP BY 1 ORDER BY yr"""),
+      "pivot (wide aggregation): order-year x order-status revenue matrix with " +
+        "EXPLICIT pivot values (no discovery pass, deterministic schema); decimal " +
+        "sums cast to double only in the final projection"),
+
+    // ------------------------------------------- deterministic group sample
+    Q("q77_group_sample",
+      (s, d) => {
+        // exactly-k-per-stratum sampling: 20 docs per language chosen by
+        // content-hash order (stable across runs/engines/layouts, like
+        // q45/q60's split mechanism; doc_id breaks hash ties). The
+        // rank window runs per language partition — at 100 TB this is
+        // the per-stratum top-k shape (bounded state per group), not a
+        // global sort
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(TextOps.polyHash(col("text")), col("doc_id"))
+        T.documents(s, d)
+          .select(col("lang"), col("doc_id"),
+            row_number().over(w).cast("long").as("rk"))
+          .where(col("rk") <= 20)
+          .orderBy(col("lang"), col("rk"))
+      },
+      Some("""
+        WITH h AS (SELECT lang, doc_id,
+            list_reduce(list_prepend(CAST(7 AS BIGINT),
+              list_transform(range(1, length(text)+1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+              (a, c) -> (a*31 + c) % 1000000007) AS hk
+          FROM documents),
+        r AS (SELECT lang, doc_id,
+                     row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rk
+              FROM h)
+        SELECT lang, doc_id, rk FROM r WHERE rk <= 20 ORDER BY lang, rk"""),
+      "deterministic per-stratum k-sample: exactly 20 docs per language by " +
+        "content-hash order with unique tiebreak — reproducible eval-set carving " +
+        "(never rand()); per-group bounded-state top-k, no global sort"))
 }

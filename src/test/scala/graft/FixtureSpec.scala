@@ -222,6 +222,21 @@ class FixtureSpec extends SparkSpec {
     sb.toString
   }
 
+  test("Profile.summarize: null-aware counts, exact distincts, one row per column") {
+    import testImplicits._
+    val df = Seq(
+      (Some(1), Some("a")), (Some(1), None), (Some(2), Some("b")),
+      (None, Some("b")), (None, None)).toDF("x", "y")
+    val got = Profile.summarize(df, Seq("x", "y"))
+      .as[(String, Long, Long)].collect().toSeq
+    // count() and count(DISTINCT) both skip NULLs — the SQL contract the
+    // q75 oracle relies on
+    assert(got === Seq(("x", 3L, 2L), ("y", 3L, 2L)))
+    intercept[IllegalArgumentException] {
+      Profile.summarize(df, Seq("x", "nope"))
+    }
+  }
+
   // ------------------------------------------------------------- K1/K4
   test("K1 named sink table + INSERT INTO (batch)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString

@@ -523,4 +523,51 @@ class LlmOpsSpec extends SparkSpec {
     val expected = Seq("alpha", "be", "c").map(wh).foldLeft(7L)((a, h) => (a * 1000003L + h) % 1000000007L)
     assert(fp === expected)
   }
+
+  test("Chunks.tokenWindows: window boundaries, overlap, and checksum contract") {
+    def wh(w: String) = w.foldLeft(7L)((a, c) => (a * 31 + c) % 1000000007L)
+    val words = (1 to 100).map(i => s"w$i")
+    val df = Seq((1L, words.mkString(" ")), (2L, "solo")).toDF("doc_id", "text")
+    val got = Chunks.tokenWindows(df, "doc_id", "text", chunkSize = 64, stride = 48)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // doc 1: 100 tokens -> chunks start at 1, 49, 97 with sizes 64, 52, 4
+    val wantSizes = Seq((1L, 0L, 64), (1L, 1L, 52), (1L, 2L, 4), (2L, 0L, 1))
+    assert(got.map(r => (r._1, r._2, r._3.toInt)).toSeq === wantSizes)
+    // checksum = sum (i+1) * polyhash(word_i) within each chunk
+    def ck(ws: Seq[String]) = ws.zipWithIndex.map { case (w, i) => (i + 1L) * wh(w) }.sum
+    val wantCks = Seq(ck(words.slice(0, 64)), ck(words.slice(48, 100)),
+      ck(words.slice(96, 100)), ck(Seq("solo")))
+    assert(got.map(_._4).toSeq === wantCks)
+    // every token is covered: union of [start, start+size) == doc length
+    assert(got.filter(_._1 == 1L).map(_._3).sum >= 100)
+  }
+
+  test("Scd2.history: run collapse, interval chaining, current flag, NULL states") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    val rows = Seq(
+      (1L, 1L, ts(0), "a"), (1L, 2L, ts(1), "a"), (1L, 3L, ts(2), "b"),
+      (1L, 4L, ts(3), "b"), (1L, 5L, ts(4), "a"),
+      (2L, 6L, ts(0), null.asInstanceOf[String]), (2L, 7L, ts(1), "x"))
+    val df = rows.toDF("user_id", "event_id", "ts", "event_type")
+    val got = Scd2.history(df, Seq("user_id"), Seq(col("ts"), col("event_id")),
+        "event_type", "ts")
+      .select(col("user_id"), col("state"), col("effective_from"),
+        col("effective_to"), col("is_current"))
+      .as[(Long, Option[String], java.sql.Timestamp, Option[java.sql.Timestamp], Boolean)]
+      .collect().sortBy(r => (r._1, r._3.getTime))
+    assert(got.map(r => (r._1, r._2, r._3, r._4.orNull, r._5)).toSeq === Seq(
+      (1L, Some("a"), ts(0), ts(2), false),
+      (1L, Some("b"), ts(2), ts(4), false),
+      (1L, Some("a"), ts(4), null, true),
+      (2L, None, ts(0), ts(1), false),
+      (2L, Some("x"), ts(1), null, true)))
+    // intervals chain: each effective_to equals the next effective_from
+    got.groupBy(_._1).foreach { case (_, ivs) =>
+      ivs.sliding(2).foreach {
+        case Array(p, n) => assert(p._4.contains(n._3))
+        case _ => ()
+      }
+    }
+  }
 }

@@ -242,4 +242,25 @@ class PropertySpec extends SparkSpec {
       assert(once.collect().toSet === twice.collect().toSet)
     }
   }
+
+  test("law: HeavyHitters.exact == full groupBy HAVING cnt*(k+1) > n, any partitioning") {
+    // skewed generator: zipf-ish weights over a 12-value domain so some
+    // runs have hitters above 1/(k+1) and others don't; k varied so the
+    // MG capacity is sometimes below and sometimes above the domain size
+    val skewGen: Gen[List[String]] = Gen.listOfN(400,
+      Gen.frequency((1 to 12).map(i => (i * i, Gen.const(s"v$i"))): _*))
+    for (k <- Seq(2, 4, 8, 20); rows <- samples(skewGen, 3)) {
+      val counts = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = rows.size.toLong
+      val want = counts.filter { case (_, c) => c * (k + 1) > n }.toSeq.sortBy(_._1)
+      // partitioning independence: the mergeable-summary bound must hold
+      // for any split of the stream across partitions
+      for (parts <- Seq(1, 7)) {
+        val df = rows.toDF("ev").repartition(parts)
+        val got = HeavyHitters.exact(df, "ev", k)
+          .as[(String, Long)].collect().toSeq
+        assert(got === want, s"k=$k parts=$parts counts=$counts")
+      }
+    }
+  }
 }
