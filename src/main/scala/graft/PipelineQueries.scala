@@ -695,5 +695,124 @@ object PipelineQueries {
         SELECT lang, doc_id, rk FROM r WHERE rk <= 20 ORDER BY lang, rk"""),
       "deterministic per-stratum k-sample: exactly 20 docs per language by " +
         "content-hash order with unique tiebreak — reproducible eval-set carving " +
-        "(never rand()); per-group bounded-state top-k, no global sort"))
+        "(never rand()); per-group bounded-state top-k, no global sort"),
+
+    // ---------------------------------------------- bigram collocations
+    Q("q78_collocations",
+      (s, d) => {
+        // collocation mining: bigrams ranked by an all-integer PMI proxy
+        // c12*N*1000 div (c1*c2) — log is monotone, so the ranking
+        // equals PMI ranking (up to integer truncation, which the
+        // tiebreak pins). Bigram extraction keeps MULTIPLICITY (unlike
+        // the distinct shingles of the near-dup family); unigram counts
+        // are vocabulary-sized -> both stat joins broadcast
+        val bigrams = slice(
+          zip_with(col("__w"), slice(col("__w"), 2, 1000000),
+            (a, b) => concat(a, lit(" "), b)),
+          lit(1), greatest(size(col("__w")) - 1, lit(0)))
+        val toks = T.documents(s, d).select(docTokens.as("__w"))
+        val big = toks.select(explode(bigrams).as("bg"))
+          .select(col("bg"), split(col("bg"), " ").getItem(0).as("w1"),
+            split(col("bg"), " ").getItem(1).as("w2"))
+        val c12 = big.groupBy(col("bg"), col("w1"), col("w2"))
+          .agg(count(lit(1)).as("c12"))
+          .withColumn("__k", lit(1))
+        val uni = toks.select(explode(col("__w")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val n = big.agg(count(lit(1)).as("n")).withColumn("__k", lit(1))
+        c12
+          .join(broadcast(n), Seq("__k"))
+          .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), Seq("w1"))
+          .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), Seq("w2"))
+          .where(col("c12") >= 20)
+          .select(col("bg"), col("c12"),
+            expr("c12 * n * 1000 div (c1 * c2)").as("pmi_score"))
+          .orderBy(col("pmi_score").desc, col("bg"))
+          .limit(20)
+      },
+      Some("""
+        WITH t AS (SELECT string_split(lower(text), ' ') AS w FROM documents),
+        bg AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+               FROM t),
+        c12 AS (SELECT bg, string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
+                       count(*) AS c12 FROM bg GROUP BY 1, 2, 3),
+        uni AS (SELECT unnest(w) AS wd FROM t),
+        c1 AS (SELECT wd, count(*) AS c FROM uni GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM bg)
+        SELECT bg, c12, c12 * n.n * 1000 // (a.c * b.c) AS pmi_score
+        FROM c12
+        JOIN c1 a ON c12.w1 = a.wd
+        JOIN c1 b ON c12.w2 = b.wd
+        CROSS JOIN n
+        WHERE c12 >= 20
+        ORDER BY pmi_score DESC, bg LIMIT 20"""),
+      "bigram collocation mining: all-integer PMI-proxy ranking (log-monotone, " +
+        "bit-reproducible), bigrams with multiplicity via a map-side zip — the " +
+        "phrase/collocation-discovery stage; unigram and total stats are " +
+        "vocabulary-sized broadcasts, one bigram-count shuffle"),
+
+    // ------------------------------------------------ boolean retrieval
+    Q("q79_bool_search",
+      (s, d) => {
+        // conjunctive + negated boolean retrieval entirely SCAN-SIDE:
+        // native WordSetCount probes (codegen'd hash-set, q26's kernel)
+        // as filters — no explode, no shuffle, no inverted index; the
+        // 100 TB shape when the predicate vocabulary is tiny. For large
+        // query sets, build the q69 inverted-index route instead
+        val toks = docTokens
+        T.documents(s, d)
+          .where(TextOps.wordCount(toks, Seq("spark")) > 0 &&
+            TextOps.wordCount(toks, Seq("vector")) > 0 &&
+            TextOps.wordCount(toks, Seq("slow")) === 0)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, lang, n_chars, string_split(lower(text), ' ') AS w
+                   FROM documents)
+        SELECT doc_id, lang, n_chars FROM t
+        WHERE list_contains(w, 'spark') AND list_contains(w, 'vector')
+          AND NOT list_contains(w, 'slow')
+        ORDER BY doc_id"""),
+      "boolean retrieval (AND + NOT) as scan-side native set probes: zero shuffle, " +
+        "zero explode — predicate pushdown keeps the whole query inside the parquet " +
+        "scan's codegen stage; the inverted-index route (q69) takes over when the " +
+        "query vocabulary grows"),
+
+    // ---------------------------------------- embedding int8 quantization
+    Q("q80_int8_quantize",
+      (s, d) => {
+        // scalar int8 quantization of the embedding column (the storage/
+        // serving compression stage): q_i = floor(x*127/maxabs + 0.5),
+        // all in double with FIXED evaluation order so both engines
+        // produce identical codes; zero-vector guarded. Map-side only;
+        // the position-weighted code checksum pins content and order
+        val v = col("embedding").cast("array<double>")
+        val maxabs = array_max(transform(v, x => abs(x)))
+        T.embeddings(s, d)
+          .select(col("vec_id"), v.as("__v"), maxabs.as("__m"))
+          .select(col("vec_id"), col("__m").as("max_abs"),
+            transform(col("__v"), x =>
+              when(col("__m") === 0.0d, lit(0L))
+                .otherwise(floor(x * lit(127.0d) / col("__m") + lit(0.5d)).cast("long"))).as("__q"))
+          .select(col("vec_id"), col("max_abs"),
+            Chunks.posWeightedSum(col("__q")).as("code_checksum"),
+            aggregate(col("__q"), lit(0L), (a, q) => a + abs(q)).as("code_l1"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM e),
+        q AS (SELECT vec_id, ma, list_transform(v, x ->
+                CASE WHEN ma = 0 THEN CAST(0 AS BIGINT)
+                     ELSE CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT) END) AS qs
+              FROM m)
+        SELECT vec_id, ma AS max_abs,
+               CAST(list_sum(list_transform(range(1, len(qs)+1), i -> i * qs[i])) AS BIGINT) AS code_checksum,
+               CAST(list_sum(list_transform(qs, x -> abs(x))) AS BIGINT) AS code_l1
+        FROM q ORDER BY vec_id"""),
+      "int8 scalar quantization of embeddings: per-vector max-abs scale, " +
+        "floor(x*127/maxabs + 0.5) codes with fixed double evaluation order " +
+        "(bit-identical across engines), zero-vector guard — the vector " +
+        "compression stage before ANN serving; map-side only"))
 }
