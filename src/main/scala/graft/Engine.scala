@@ -36,7 +36,12 @@ object Engine {
       b: SparkSession.Builder,
       shufflePartitions: Int = 32,
       rocksDbState: Boolean = false): SparkSession.Builder = {
-    val base = b.config("spark.sql.session.timeZone", "UTC")
+    // programmatic extension injection: binds at SESSION build (works on
+    // a reused SparkContext, unlike the static spark.sql.extensions
+    // conf), so every graft session has the SQL functions and the
+    // RangeJoinRewrite optimizer rule without caller ceremony
+    val base = b.withExtensions(new graft.functions.GraftExtensions().apply(_))
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -814,5 +814,37 @@ object PipelineQueries {
       "int8 scalar quantization of embeddings: per-vector max-abs scale, " +
         "floor(x*127/maxabs + 0.5) codes with fixed double evaluation order " +
         "(bit-identical across engines), zero-vector guard — the vector " +
-        "compression stage before ANN serving; map-side only"))
+        "compression stage before ANN serving; map-side only"),
+
+    // ----------------------------------------- SQL range join (auto-rewrite)
+    Q("q81_sql_range_join",
+      (s, d) => {
+        // a USER-written bare SQL range join — no equi key, the shape
+        // Spark plans as BroadcastNestedLoopJoin (and hard-fails once
+        // neither side broadcasts). The RangeJoinRewrite optimizer rule
+        // (injected by Engine.configure) rewrites it to the bucketed
+        // HASH join automatically; results are identical by construction
+        // and this oracle proves it. Library-API twin: q62
+        T.registerAll(s, d)
+        s.sql("""
+          WITH inc AS (SELECT event_id AS inc_id, unix_micros(ts) AS s,
+                              unix_micros(ts) + 300000000 AS e
+                       FROM events WHERE event_type = 'error' AND event_id % 40 = 0),
+          pts AS (SELECT event_id, unix_micros(ts) AS p FROM events)
+          SELECT inc_id, count(*) AS n_events
+          FROM pts JOIN inc ON p >= s AND p <= e
+          GROUP BY inc_id ORDER BY inc_id""")
+      },
+      Some("""
+        WITH inc AS (SELECT event_id AS inc_id, epoch_us(ts) AS s,
+                            epoch_us(ts) + 300000000 AS e
+                     FROM events WHERE event_type = 'error' AND event_id % 40 = 0),
+        pts AS (SELECT event_id, epoch_us(ts) AS p FROM events)
+        SELECT inc_id, count(*) AS n_events
+        FROM pts JOIN inc ON p >= s AND p <= e
+        GROUP BY inc_id ORDER BY inc_id"""),
+      "bare SQL range join (no equi key) through the RangeJoinRewrite optimizer " +
+        "rule: the BroadcastNestedLoopJoin Spark would plan becomes a bucketed " +
+        "HASH join transparently — same result (this oracle), cluster-safe plan; " +
+        "the explicit-API twin is q62"))
 }

@@ -53,6 +53,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rule: pure range joins (no equi keys) auto-rewritten to
+    // the bucketed hash-join decomposition — see RangeJoinRewrite's doc
+    // for eligibility, configs, and the exactness argument
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     ext.injectFunction((
       FunctionIdentifier("graft_poly_hash_array"),
       info("graft_poly_hash_array",

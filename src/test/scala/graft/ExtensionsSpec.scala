@@ -204,4 +204,58 @@ class ExtensionsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("RangeJoinRewrite: pure range join plans as hash join, equals nested loop exactly") {
+    withExtensionSession { spark =>
+      import spark.implicits._
+      val rnd = new scala.util.Random(11)
+      val pts = (1 to 400).map(i => (i.toLong, rnd.nextLong(2000) - 1000)).toDF("pid", "p")
+      val ivs = (1 to 80).map { i =>
+        val s = rnd.nextLong(2000) - 1000
+        (i.toLong, s, s + rnd.nextLong(300))
+      }.toDF("iid", "s", "e")
+      pts.createOrReplaceTempView("rjr_pts")
+      ivs.createOrReplaceTempView("rjr_ivs")
+      try {
+        spark.conf.set(graft.plans.RangeJoinRewrite.WidthKey, "128")
+        val sql = "SELECT pid, iid FROM rjr_pts JOIN rjr_ivs ON p >= s AND p <= e"
+
+        spark.conf.set(graft.plans.RangeJoinRewrite.EnabledKey, "false")
+        val bnl = spark.sql(sql)
+        assert(bnl.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+          "baseline should be the nested loop the rule exists to kill")
+        val want = bnl.as[(Long, Long)].collect().toSet
+
+        spark.conf.set(graft.plans.RangeJoinRewrite.EnabledKey, "true")
+        val rewritten = spark.sql(sql)
+        val physical = rewritten.queryExecution.executedPlan.toString
+        assert(!physical.contains("BroadcastNestedLoopJoin"), physical)
+        assert(physical.contains("Generate explode"), physical)
+        val got = rewritten.as[(Long, Long)].collect()
+        assert(got.length === got.toSet.size, "duplicate pairs from bucket explode")
+        assert(got.toSet === want)
+
+        // strict bounds rewrite too, and stay exact
+        val strict = "SELECT pid, iid FROM rjr_pts JOIN rjr_ivs ON p > s AND p < e"
+        spark.conf.set(graft.plans.RangeJoinRewrite.EnabledKey, "false")
+        val wantStrict = spark.sql(strict).as[(Long, Long)].collect().toSet
+        spark.conf.set(graft.plans.RangeJoinRewrite.EnabledKey, "true")
+        val gotStrict = spark.sql(strict)
+        assert(!gotStrict.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+        assert(gotStrict.as[(Long, Long)].collect().toSet === wantStrict)
+
+        // an equi key makes the join ineligible: Spark's own hash join
+        // already handles it, and no explode should appear
+        val equi = spark.sql(
+          "SELECT pid, iid FROM rjr_pts JOIN rjr_ivs ON pid = iid AND p >= s AND p <= e")
+        val equiPlan = equi.queryExecution.executedPlan.toString
+        assert(!equiPlan.contains("Generate explode"), equiPlan)
+      } finally {
+        spark.conf.unset(graft.plans.RangeJoinRewrite.EnabledKey)
+        spark.conf.unset(graft.plans.RangeJoinRewrite.WidthKey)
+        spark.catalog.dropTempView("rjr_pts")
+        spark.catalog.dropTempView("rjr_ivs")
+      }
+    }
+  }
 }

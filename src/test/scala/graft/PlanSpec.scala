@@ -242,4 +242,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
   }
+
+  test("q81 bare SQL range join is auto-rewritten — hash join + explode, no nested loop") {
+    // RangeJoinRewrite (injected by Engine.configure) must turn the
+    // user's BETWEEN-style join into the bucketed decomposition
+    val q = SparkEntry.queries("q81_sql_range_join")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Generate explode"), plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
 }
