@@ -253,4 +253,26 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Generate explode"), plan)
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
   }
+
+  test("GLOBAL GUARD: no nested-loop or cartesian join in ANY registry query plan") {
+    // every registry plan must be cluster-safe; the only tolerated
+    // nested loops are the documented k-vs-n broadcast scorings where
+    // one side is a constant-sized codebook/probe set
+    val intentional = Map(
+      "q24_ann_topk" -> "brute-force baseline: probes broadcast by design",
+      "q33_ann_lsh" -> "probe set broadcast against bucketed candidates",
+      "q42_ann_ivf" -> "centroid codebook scoring (k rows) broadcast",
+      // constant-key scalar attaches: Catalyst folds the lit(1)=lit(1)
+      // equality away, leaving a broadcast of a PROVABLY 1-row side —
+      // the safe way to attach a global total without collect()
+      "q72_heavy_hitters" -> "1-row total+candidate summary broadcast",
+      "q78_collocations" -> "1-row bigram-total broadcast")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      val bad = plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct")
+      if (bad && !intentional.contains(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"cluster-unsafe join shapes in: ${offenders.mkString(", ")}")
+  }
 }
