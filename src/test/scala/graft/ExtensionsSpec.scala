@@ -250,11 +250,33 @@ class ExtensionsSpec extends AnyFunSuite {
           "SELECT pid, iid FROM rjr_pts JOIN rjr_ivs ON pid = iid AND p >= s AND p <= e")
         val equiPlan = equi.queryExecution.executedPlan.toString
         assert(!equiPlan.contains("Generate explode"), equiPlan)
+
+        // interval-overlap joins rewrite too: both sides explode,
+        // first-shared-bucket keeps each pair exactly once
+        val rnd2 = new scala.util.Random(13)
+        val ivs2 = (1 to 90).map { i =>
+          val s = rnd2.nextLong(2000) - 1000
+          (i + 1000L, s, s + rnd2.nextLong(250))
+        }.toDF("jid", "s2", "e2")
+        ivs2.createOrReplaceTempView("rjr_ivs2")
+        val over = "SELECT iid, jid FROM rjr_ivs JOIN rjr_ivs2 ON s <= e2 AND s2 <= e"
+        spark.conf.set(graft.plans.RangeJoinRewrite.EnabledKey, "false")
+        val wantOver = spark.sql(over).as[(Long, Long)].collect().toSet
+        spark.conf.set(graft.plans.RangeJoinRewrite.EnabledKey, "true")
+        val gotOverDf = spark.sql(over)
+        val overPlan = gotOverDf.queryExecution.executedPlan.toString
+        assert(!overPlan.contains("BroadcastNestedLoopJoin"), overPlan)
+        assert(overPlan.contains("Generate explode"), overPlan)
+        val gotOver = gotOverDf.as[(Long, Long)].collect()
+        assert(gotOver.length === gotOver.toSet.size,
+          "duplicate overlap pairs from double explode")
+        assert(gotOver.toSet === wantOver)
       } finally {
         spark.conf.unset(graft.plans.RangeJoinRewrite.EnabledKey)
         spark.conf.unset(graft.plans.RangeJoinRewrite.WidthKey)
         spark.catalog.dropTempView("rjr_pts")
         spark.catalog.dropTempView("rjr_ivs")
+        spark.catalog.dropTempView("rjr_ivs2")
       }
     }
   }
