@@ -98,4 +98,28 @@ object Bloom {
       })
     Filter(bits, k)
   }
+
+  /** Persist a built filter as a one-row parquet table (little-endian
+    * bitmap bytes + probe count) — the build-once/query-many shape the
+    * persisted minhash/IVF indexes already follow: build the banlist
+    * bitmap in the ingest pipeline, probe it from every downstream job
+    * without re-scanning the banlist.
+    */
+  def write(spark: org.apache.spark.sql.SparkSession, path: String, filter: Filter): Unit = {
+    import spark.implicits._
+    Seq((HashRuntime.bloomBytesFromWords(filter.bits), filter.k))
+      .toDF("bits", "k")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a filter written by [[write]]. The driver reads ONE bounded
+    * row (the bitmap — same size it held at build time), never keys.
+    */
+  def read(spark: org.apache.spark.sql.SparkSession, path: String): Filter = {
+    val row = spark.read.parquet(path).select("bits", "k").head()
+    val bytes = row.getAs[Array[Byte]](0)
+    require(bytes.length % 8 == 0 && java.lang.Long.bitCount(bytes.length / 8L) == 1,
+      s"corrupt bloom table at $path: ${bytes.length} bytes is not a power-of-two word count")
+    Filter(HashRuntime.bloomWordsFromBytes(bytes), row.getInt(1))
+  }
 }

@@ -510,6 +510,22 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("Bloom.write/read roundtrip: persisted filter probes identically") {
+    val keys = (1 to 500).map(i => s"key_$i").toDF("key")
+    val built = Bloom.build(keys, col("key"), bitsPerKey = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    Bloom.write(spark, dir, built)
+    val loaded = Bloom.read(spark, dir)
+    assert(loaded.k === built.k)
+    assert(loaded.bits.toSeq === built.bits.toSeq)
+    // probe equality over members and non-members through BOTH filters
+    val probes = ((1 to 500).map(i => s"key_$i") ++ (1 to 500).map(i => s"other_$i")).toDF("key")
+    val a = probes.where(built.mightContain(col("key"))).as[String].collect().toSet
+    val b = probes.where(loaded.mightContain(col("key"))).as[String].collect().toSet
+    assert(a === b)
+    assert((1 to 500).map(i => s"key_$i").toSet.subsetOf(a), "false negative after roundtrip")
+  }
+
   test("tokenCount/subtokenCount/fingerprint integer contracts") {
     val df = Seq("alpha be c").toDF("t").select(
       TextOps.tokenCount(TextOps.tokens(col("t"))).as("n"),
