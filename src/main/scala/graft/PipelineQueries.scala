@@ -846,5 +846,60 @@ object PipelineQueries {
       "bare SQL range join (no equi key) through the RangeJoinRewrite optimizer " +
         "rule: the BroadcastNestedLoopJoin Spark would plan becomes a bucketed " +
         "HASH join transparently — same result (this oracle), cluster-safe plan; " +
-        "the explicit-API twin is q62"))
+        "the explicit-API twin is q62"),
+
+    // ------------------------------------------ boilerplate chunk scrub
+    Q("q82_boilerplate_scrub",
+      (s, d) => {
+        // CCNet-style shared-passage removal: chunks occurring in >= 2
+        // docs (here: the corpus's duplicated documents) are deleted
+        // from every doc, and the residual text reassembled in order
+        Boilerplate.scrubFrequentChunks(T.documents(s, d), "doc_id", "text",
+          chunkTokens = 4, maxFreq = 2)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        c AS (SELECT doc_id, (len(w)+3)//4 AS n_chunks, i AS ix,
+                     array_to_string(w[(i*4+1):(i*4+4)], ' ') AS chunk
+              FROM t, unnest(range(0, (len(w)+3)//4)) AS u(i)),
+        freq AS (SELECT chunk FROM c GROUP BY chunk HAVING count(*) >= 2)
+        SELECT doc_id, max(n_chunks) AS n_chunks, count(*) AS kept_chunks,
+               string_agg(chunk, ' ' ORDER BY ix) AS cleaned_text
+        FROM c ANTI JOIN freq USING (chunk)
+        GROUP BY doc_id ORDER BY doc_id"""),
+      "corpus boilerplate scrub (CCNet shared-paragraph removal on 4-token " +
+        "chunks): one global chunk-frequency agg, anti-join against the frequent " +
+        "set (AQE-broadcast when small), per-doc ordered reassembly — deletes " +
+        "duplicated passages from every document, not just duplicate docs"),
+
+    // -------------------------------------- unigram LM quality scoring
+    Q("q83_unigram_score",
+      (s, d) => {
+        // KenLM-style corpus-frequency scoring in exact integers: global
+        // unigram counts (vocab-sized result -> AQE broadcasts the join
+        // back), per-doc sum/min of token frequencies, one final double
+        // division for the mean. Low avg_tf = rare-token-heavy doc — the
+        // filter signal LM-perplexity scoring approximates
+        val tok = T.documents(s, d)
+          .select(col("doc_id"), explode(docTokens).as("tok"))
+        val tf = tok.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+        tok.join(tf, Seq("tok"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("ntok"), sum(col("tf")).as("sum_tf"),
+            min(col("tf")).as("min_tf"))
+          .withColumn("avg_tf", col("sum_tf").cast("double") / col("ntok").cast("double"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        f AS (SELECT tok, count(*) AS tf FROM t GROUP BY tok)
+        SELECT doc_id, count(*) AS ntok, CAST(sum(tf) AS BIGINT) AS sum_tf,
+               min(tf) AS min_tf,
+               CAST(sum(tf) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tf
+        FROM t JOIN f USING (tok) GROUP BY doc_id ORDER BY doc_id"""),
+      "unigram-LM quality score in exact integers: corpus token frequencies " +
+        "joined back per token occurrence (vocab-sized -> broadcast), per-doc " +
+        "sum/min/mean frequency — the KenLM-perplexity-style rarity signal " +
+        "pretraining filters threshold on, with one deterministic double division"))
 }

@@ -586,4 +586,33 @@ class LlmOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("Boilerplate.scrubFrequentChunks: shared chunks deleted everywhere, order kept") {
+    // 2-token chunks; "nav bar" is the planted boilerplate in docs 1-3.
+    // doc 3 is ALL boilerplate -> disappears; doc 4 shares nothing
+    val docs = Seq(
+      (1L, "nav bar alpha beta gamma delta"),
+      (2L, "nav bar epsilon zeta"),
+      (3L, "nav bar"),
+      (4L, "eta theta iota kappa")).toDF("doc_id", "text")
+    val got = Boilerplate.scrubFrequentChunks(docs, "doc_id", "text",
+        chunkTokens = 2, maxFreq = 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 3L, 2L, "alpha beta gamma delta"),
+      (2L, 2L, 1L, "epsilon zeta"),
+      (4L, 2L, 2L, "eta theta iota kappa")))
+    // threshold respected: raising maxFreq above the boilerplate's
+    // frequency (3) keeps everything
+    val loose = Boilerplate.scrubFrequentChunks(docs, "doc_id", "text",
+        chunkTokens = 2, maxFreq = 4)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(loose.map(r => (r._1, r._4)).toSeq === Seq(
+      (1L, "nav bar alpha beta gamma delta"),
+      (2L, "nav bar epsilon zeta"),
+      (3L, "nav bar"),
+      (4L, "eta theta iota kappa")))
+    // short last chunk is its own segment: "delta" alone would pair with
+    // nothing; doc 1 keeps 2 of 3 chunks (count above pins this)
+  }
 }
