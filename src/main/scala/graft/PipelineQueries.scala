@@ -901,5 +901,41 @@ object PipelineQueries {
       "unigram-LM quality score in exact integers: corpus token frequencies " +
         "joined back per token occurrence (vocab-sized -> broadcast), per-doc " +
         "sum/min/mean frequency — the KenLM-perplexity-style rarity signal " +
-        "pretraining filters threshold on, with one deterministic double division"))
+        "pretraining filters threshold on, with one deterministic double division"),
+
+    // ------------------------------------------------- semantic dedup
+    Q("q84_semantic_dedup",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        SemDedup.dedupCorpus(e, "vec_id", "v", threshold = 0.4, stride = 16)
+          .select(col("vec_id"))
+          .orderBy(col("vec_id"))
+      },
+      // oracle replays the whole pipeline: stride-seeded centroids,
+      // argmax-cosine assignment (ties -> larger centroid id, the
+      // max(struct) rule), intra-cluster pairs, drop-higher-id. Exact
+      // double equality of the cosines across engines is the q30/q49
+      // precedent (identical sequential dot/norm arithmetic)
+      Some("""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
+        c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % 16 = 0),
+        a AS (SELECT vec_id, cid,
+                list_sum(list_transform(list_zip(v, cv), z -> z[1]*z[2])) / (nrm * cn) AS cc
+              FROM n CROSS JOIN c
+              QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid DESC) = 1),
+        drop AS (SELECT DISTINCT ab.vec_id
+                 FROM a aa JOIN a ab ON aa.cid = ab.cid AND aa.vec_id < ab.vec_id
+                 JOIN n na ON na.vec_id = aa.vec_id
+                 JOIN n nb ON nb.vec_id = ab.vec_id
+                 WHERE list_sum(list_transform(list_zip(na.v, nb.v), z -> z[1]*z[2]))
+                         / (na.nrm * nb.nrm) >= 0.4)
+        SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT vec_id FROM drop)
+        ORDER BY vec_id"""),
+      "SemDeDup (cluster-then-compare semantic dedup, arXiv:2303.09540): " +
+        "stride-seeded coarse clusters, ids-only intra-cluster pair join, exact " +
+        "cosine verify, keep-lowest-id — near-dup scope deliberately bounded to " +
+        "cluster members (489 survivors here vs q49's 447 global), candidate " +
+        "volume Σ|cluster|² with AQE splitting dense clusters"))
 }

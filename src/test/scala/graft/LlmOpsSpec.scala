@@ -615,4 +615,22 @@ class LlmOpsSpec extends SparkSpec {
     // short last chunk is its own segment: "delta" alone would pair with
     // nothing; doc 1 keeps 2 of 3 chunks (count above pins this)
   }
+
+  test("SemDedup.dedupCorpus: in-cluster near-dups die, cross-cluster near-dups survive") {
+    // stride 3 -> centroid seeds are ids 0 and 3. Cluster A ~ (1,0):
+    // {0, 1, 5}; cluster B ~ (0,1): {2, 3, 4}. In-cluster near-dups:
+    // (0,1) and (3,4) -> higher ids 1, 4 dropped. (2,5) is a ~0.9999
+    // cosine pair SPLIT ACROSS clusters -> both survive: the defining
+    // SemDeDup scope bound (global dedup would kill 5)
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0)),
+      (1L, Seq(0.999, 0.045)),
+      (2L, Seq(0.7, 0.714)),
+      (3L, Seq(0.0, 1.0)),
+      (4L, Seq(0.02, 0.9998)),
+      (5L, Seq(0.714, 0.7))).toDF("vec_id", "v")
+    val got = SemDedup.dedupCorpus(vecs, "vec_id", "v", threshold = 0.95, stride = 3)
+      .select(col("vec_id")).as[Long].collect().sorted
+    assert(got.toSeq === Seq(0L, 2L, 3L, 5L))
+  }
 }
