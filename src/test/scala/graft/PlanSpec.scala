@@ -262,6 +262,7 @@ class PlanSpec extends SparkSpec {
       "q24_ann_topk" -> "brute-force baseline: probes broadcast by design",
       "q33_ann_lsh" -> "probe set broadcast against bucketed candidates",
       "q42_ann_ivf" -> "centroid codebook scoring (k rows) broadcast",
+      "q84_semantic_dedup" -> "centroid codebook scoring (k rows) broadcast (SemDeDup assignment)",
       // constant-key scalar attaches: Catalyst folds the lit(1)=lit(1)
       // equality away, leaving a broadcast of a PROVABLY 1-row side —
       // the safe way to attach a global total without collect()
