@@ -920,7 +920,8 @@ object PipelineQueries {
       Some("""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
-        c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % 16 = 0),
+        c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
+              WHERE vec_id % 16 = 0 AND nrm > 0),
         a AS (SELECT vec_id, cid,
                 list_sum(list_transform(list_zip(v, cv), z -> z[1]*z[2])) / (nrm * cn) AS cc
               FROM n CROSS JOIN c

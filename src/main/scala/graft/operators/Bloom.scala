@@ -120,6 +120,11 @@ object Bloom {
     val bytes = row.getAs[Array[Byte]](0)
     require(bytes.length % 8 == 0 && java.lang.Long.bitCount(bytes.length / 8L) == 1,
       s"corrupt bloom table at $path: ${bytes.length} bytes is not a power-of-two word count")
-    Filter(HashRuntime.bloomWordsFromBytes(bytes), row.getInt(1))
+    val k = row.getInt(1)
+    // k <= 0 would make every probe vacuously true (the probe loop never
+    // runs) — a corrupt table must fail loudly, not pass the whole corpus
+    require(k >= 1 && k <= 64,
+      s"corrupt bloom table at $path: probe count k=$k outside [1, 64] (probesFor caps at 32)")
+    Filter(HashRuntime.bloomWordsFromBytes(bytes), k)
   }
 }

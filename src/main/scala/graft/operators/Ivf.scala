@@ -49,10 +49,17 @@ object Ivf {
   private def cos(v1: Column, n1: Column, v2: Column, n2: Column): Column =
     VecExprs.dot(v1, v2) / (n1 * n2)
 
+  /** Project (id, vec, norm), DROPPING zero-norm vectors: they cannot be
+    * cosine-ranked, and under ANSI mode (Spark 4 default) their zero
+    * divisor doesn't even degrade to NaN — it throws DIVIDE_BY_ZERO and
+    * kills the whole job. Excluded rows simply never enter the index /
+    * probe set (and so survive dedup trivially via the final anti-join).
+    */
   private def withNorm(df: DataFrame, idCol: String, vecCol: String,
       id: String, vec: String, nrm: String): DataFrame =
     df.select(col(idCol).as(id), col(vecCol).as(vec),
       sqrt(VecExprs.dot(col(vecCol), col(vecCol))).as(nrm))
+      .where(col(nrm) > 0)
 
   /** Deterministic coarse centroids: corpus vectors whose id ≡ 0 mod
     * `stride` seed the quantizer; `refine` Lloyd iterations then
@@ -61,9 +68,11 @@ object Ivf {
     *
     * Every seed centroid IS a corpus vector, so its own list is never
     * empty (a vector's cosine to itself is maximal) — no empty-list
-    * respawn logic needed. A refined centroid that degenerates to the
-    * zero vector (exactly cancelling members) is dropped: it cannot be
-    * cosine-ranked.
+    * respawn logic needed. Zero-norm vectors are dropped at every stage
+    * (seeds and members by [[withNorm]]; a refined centroid that
+    * degenerates to zero via exactly cancelling members by the fold's
+    * own filter): they cannot be cosine-ranked, and under ANSI mode
+    * their zero divisor throws rather than degrading to NaN.
     */
   def centroids(
       corpus: DataFrame,

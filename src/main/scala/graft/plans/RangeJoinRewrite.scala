@@ -148,9 +148,23 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet)))
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (conf.getConfString(EnabledKey, "true") != "true") return plan
-    val width = conf.getConfString(WidthKey, DefaultWidth.toString).toLong
-    require(width > 0, s"$WidthKey must be > 0, got $width")
+    // kill switch: only an explicit (case-insensitive) "false" disables —
+    // any other value keeps the default-on behavior and never throws, so
+    // a typo'd conf can't take down unrelated queries
+    if (conf.getConfString(EnabledKey, "true").trim.equalsIgnoreCase("false")) return plan
+    // width is parsed ONLY when an eligible join is actually found: a
+    // malformed value must fail the query that needs the rewrite (loud,
+    // actionable), not every plan in the session
+    lazy val width: Long = {
+      val raw = conf.getConfString(WidthKey, DefaultWidth.toString)
+      val w = try raw.trim.toLong catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$WidthKey must be a positive long (epoch-micros), got '$raw'")
+      }
+      require(w > 0, s"$WidthKey must be > 0, got $w")
+      w
+    }
 
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), _) if j.resolved =>

@@ -26,7 +26,10 @@ class ExtensionsSpec extends AnyFunSuite {
     // on a reused context — so the suite passes in any order. Production
     // spark-submit users set the conf (fresh context); embedded users on
     // a shared context must use withExtensions, as documented on
-    // GraftExtensions.
+    // GraftExtensions. (Engine.configure injects the extensions a third
+    // time — the point here is that EACH path works; registration is
+    // idempotent-by-replacement and RangeJoinRewrite is a fixed point,
+    // so the overlap is harmless.)
     val spark = Engine.configure(
         SparkSession.builder().master("local[2]")
           .withExtensions(new graft.functions.GraftExtensions().apply(_))

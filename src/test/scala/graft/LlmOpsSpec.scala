@@ -633,4 +633,25 @@ class LlmOpsSpec extends SparkSpec {
       .select(col("vec_id")).as[Long].collect().sorted
     assert(got.toSeq === Seq(0L, 2L, 3L, 5L))
   }
+
+  test("SemDedup: a zero-vector stride seed is dropped, not a corpus-swallowing centroid") {
+    // id 0 is a stride seed with zero norm. Unguarded, its NaN cosines
+    // (NaN sorts greatest in max(struct)) would claim EVERY vector into
+    // one degenerate cluster — collapsing the (2,5) cross-cluster pair
+    // into one cluster and killing 5. With the seed guard the real
+    // centroids are {3:(1,0), 6:(0,1)}; 2 and 5 land in different
+    // clusters and both survive; in-cluster near-dups (1,3), (4,6)
+    // still drop their higher ids
+    val vecs = Seq(
+      (0L, Seq(0.0, 0.0)),
+      (1L, Seq(0.999, 0.045)),
+      (2L, Seq(0.7, 0.714)),
+      (3L, Seq(1.0, 0.0)),
+      (4L, Seq(0.02, 0.9998)),
+      (5L, Seq(0.714, 0.7)),
+      (6L, Seq(0.0, 1.0))).toDF("vec_id", "v")
+    val got = SemDedup.dedupCorpus(vecs, "vec_id", "v", threshold = 0.95, stride = 3)
+      .select(col("vec_id")).as[Long].collect().sorted
+    assert(got.toSeq === Seq(0L, 1L, 2L, 4L, 5L))
+  }
 }
