@@ -63,11 +63,15 @@ object Similarity {
     df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
 
   /** (id, vec, norm) projection, norms computed once per row — never per
-    * candidate pair.
+    * candidate pair. Zero-norm vectors are DROPPED (same contract as
+    * Ivf.withNorm): cosine is undefined on them, and under ANSI mode the
+    * zero divisor throws DIVIDE_BY_ZERO rather than degrading to NaN —
+    * they never enter pair/top-k results and survive dedup trivially.
     */
   private def withNorm(df: DataFrame, idCol: String, vecCol: String,
       id: String, vec: String, nrm: String): DataFrame =
     df.select(col(idCol).as(id), col(vecCol).as(vec), norm(col(vecCol)).as(nrm))
+      .where(col(nrm) > 0)
 
   /** (id, table, sig) LSH bucket rows — ids only, one row per table; the
     * vector is dropped before the explode so the bucket join shuffles
