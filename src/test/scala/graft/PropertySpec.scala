@@ -263,4 +263,75 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("law: Boilerplate.scrubFrequentChunks == in-memory reference on random corpora") {
+    // low vocabulary makes chunk collisions common (the interesting
+    // regime); chunk size 1 degenerates to token-frequency scrub, size
+    // >= doc length to whole-doc dedup — both must still hold
+    val gen: Gen[(List[String], Int, Int)] = for {
+      vocab <- Gen.choose(2, 4)
+      nDocs <- Gen.choose(1, 12)
+      docs <- Gen.listOfN(nDocs, Gen.choose(0, 10).flatMap(len =>
+        Gen.listOfN(len, Gen.choose(0, vocab - 1).map(i => s"w$i")).map(_.mkString(" "))))
+      ck <- Gen.choose(1, 4)
+      mf <- Gen.choose(2, 4)
+    } yield (docs, ck, mf)
+    samples(gen, 10).foreach { case (texts, ck, mf) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Boilerplate.scrubFrequentChunks(docs.toDF("doc_id", "text"),
+          "doc_id", "text", chunkTokens = ck, maxFreq = mf)
+        .select("doc_id", "n_chunks", "kept_chunks", "cleaned_text")
+        .as[(Long, Long, Long, String)].collect().toSet
+      // reference: split(lower, " ") semantics — empty text is one ""
+      // token, short last chunk is its own segment
+      def chunks(t: String): Seq[String] =
+        t.toLowerCase.split(" ", -1).toSeq.grouped(ck).map(_.mkString(" ")).toSeq
+      val freq = docs.flatMap { case (_, t) => chunks(t) }
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val want = docs.flatMap { case (id, t) =>
+        val cs = chunks(t)
+        val kept = cs.filter(c => freq(c) < mf)
+        if (kept.isEmpty) None
+        else Some((id, cs.size.toLong, kept.size.toLong, kept.mkString(" ")))
+      }.toSet
+      assert(got === want, s"ck=$ck mf=$mf docs=$texts")
+    }
+  }
+
+  test("law: SemDedup.dedupCorpus == in-memory cluster-then-compare reference") {
+    // integer-grid vectors make exact duplicates (cos = 1) common; the
+    // reference mirrors the engine's arithmetic order exactly (sequential
+    // dot fold, lexicographic (cos, cid) argmax, zero-norm exclusion)
+    val gen: Gen[(List[List[Double]], Int, Double)] = for {
+      nVec <- Gen.choose(1, 14)
+      dim <- Gen.choose(2, 3)
+      vecs <- Gen.listOfN(nVec, Gen.listOfN(dim, Gen.choose(-4, 4).map(_.toDouble)))
+      stride <- Gen.choose(2, 5)
+      thr <- Gen.oneOf(0.3, 0.6, 0.9)
+    } yield (vecs, stride, thr)
+    samples(gen, 10).foreach { case (vs, stride, thr) =>
+      val rows = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val got = SemDedup.dedupCorpus(rows.toDF("vec_id", "v"), "vec_id", "v", thr, stride)
+        .select("vec_id").as[Long].collect().toSet
+      def dot(a: Seq[Double], b: Seq[Double]): Double =
+        a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+      def nrm(a: Seq[Double]): Double = math.sqrt(dot(a, a))
+      val cents = rows.filter { case (id, v) => id % stride == 0 && nrm(v) > 0 }
+      val ranked = rows.filter { case (_, v) => nrm(v) > 0 }
+      val drop: Set[Long] =
+        if (cents.isEmpty) Set.empty
+        else {
+          val asg = ranked.map { case (id, v) =>
+            id -> cents.map { case (cid, cv) => (dot(v, cv) / (nrm(v) * nrm(cv)), cid) }.max._2
+          }.toMap
+          (for {
+            (a, va) <- ranked; (b, vb) <- ranked
+            if a < b && asg(a) == asg(b)
+            if dot(va, vb) / (nrm(va) * nrm(vb)) >= thr
+          } yield b).toSet
+        }
+      val want = rows.map(_._1).toSet -- drop
+      assert(got === want, s"stride=$stride thr=$thr vecs=$vs")
+    }
+  }
 }
