@@ -60,16 +60,22 @@ object PipelineQueries {
         // path string (first 40 hops). collect_list is unordered by
         // contract — array_sort on (ts, event_id, ...) restores a TOTAL
         // deterministic order (event_id is unique, so ties can't float).
-        // One shuffle (groupBy user); per-user state is bounded by the
-        // slice, the 100 TB shape for session/trajectory building
+        // State really IS bounded by the cap: rank-filter BEFORE the
+        // collect (collect_list skips the nulls the `when` emits past
+        // rank 40), so a hot user's agg buffer holds <= 40 structs — a
+        // post-agg slice would materialize the full event list per user
+        // first. The window shares the groupBy's hash partitioning:
+        // still ONE shuffle, the 100 TB shape for trajectory building
+        val rn = row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id")))
         val path = array_join(
-          slice(
-            transform(
-              array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
-              x => x.getField("event_type")),
-            1, 40),
+          transform(
+            array_sort(collect_list(when(col("__rn") <= 40,
+              struct(col("ts"), col("event_id"), col("event_type"))))),
+            x => x.getField("event_type")),
           ">")
         T.events(s, d)
+          .withColumn("__rn", rn)
           .groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_events"), path.as("path"))
           .orderBy(col("user_id"))
@@ -154,10 +160,13 @@ object PipelineQueries {
         // within the language scaled against corpus doc-freq via integer
         // division (tf*1e6 div df) — no float idf, so the ranking is
         // bit-reproducible in any engine. Two aggs + one join on term
-        // (df table is vocabulary-sized -> broadcast at any corpus scale)
+        // (df table is vocabulary-sized -> broadcast at any corpus
+        // scale). perDoc feeds BOTH aggs: persist, or the scan+explode
+        // runs twice (the q55 rule)
         val perDoc = T.documents(s, d)
           .select(col("lang"), col("doc_id"),
             explode(array_distinct(docTokens)).as("term"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val tfLang = perDoc.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("tf"))
         val dfAll = perDoc.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val rk = row_number().over(
@@ -399,8 +408,11 @@ object PipelineQueries {
         // checksums the ID SEQUENCE (position-weighted integer sum) so
         // the gate proves order-correct encoding without comparing
         // arrays
+        // toks feeds the vocab build AND the encode join: persist, or
+        // the scan+explode stage runs twice (the q55 rule)
         val toks = T.documents(s, d)
           .select(col("doc_id"), posexplode(docTokens).as(Seq("pos", "term")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val vocab = toks.select(col("term")).distinct()
           .withColumn("id", row_number().over(Window.orderBy(col("term"))).cast("long"))
         toks.join(broadcast(vocab), Seq("term"))
@@ -435,9 +447,12 @@ object PipelineQueries {
         // scan (tiny explode survives), two aggs, vocabulary-sized df
         // join, top-k with unique tiebreak
         val query = Seq("spark", "vector", "stream")
+        // hits feeds BOTH aggs below: persist the (tiny, post-filter)
+        // projection so the corpus scan runs once
         val hits = T.documents(s, d)
           .select(col("doc_id"), explode(docTokens).as("term"))
           .where(col("term").isin(query: _*))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val tf = hits.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
         val dfreq = hits.groupBy(col("term"))
           .agg(countDistinct(col("doc_id")).as("df"))
@@ -710,7 +725,12 @@ object PipelineQueries {
           zip_with(col("__w"), slice(col("__w"), 2, 1000000),
             (a, b) => concat(a, lit(" "), b)),
           lit(1), greatest(size(col("__w")) - 1, lit(0)))
+        // toks feeds the bigram explode (twice: c12 + the total) AND the
+        // unigram counts: persist the token arrays so the corpus is
+        // scanned+tokenized once — the re-explodes off the cache are the
+        // cheap part
         val toks = T.documents(s, d).select(docTokens.as("__w"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val big = toks.select(explode(bigrams).as("bg"))
           .select(col("bg"), split(col("bg"), " ").getItem(0).as("w1"),
             split(col("bg"), " ").getItem(1).as("w2"))

@@ -208,6 +208,11 @@ object HashRuntime {
     val m = y.length
     if (m - n > maxDist) return -1
     if (n == 0) return m // m - n <= maxDist already checked
+    // clamp the threshold to the longer length: any distance is <= m, and
+    // an unclamped huge maxDist (the SQL surface allows Int.MaxValue)
+    // overflows `j + maxDist` below — the band would collapse and the
+    // function would return Inf as a "distance" instead of the true value
+    val md = if (maxDist > m) m else maxDist
     // bag-distance lower bound before the DP: project code points into
     // 128 bins (a projection only merges counts, so the bound survives
     // it) and diff the histograms. Each edit op moves at most one unit
@@ -230,20 +235,20 @@ object HashRuntime {
         if (d > 0) plus += d else minus -= d
         i0 += 1
       }
-      if ((if (plus > minus) plus else minus) > maxDist) return -1
+      if ((if (plus > minus) plus else minus) > md) return -1
     }
     val Inf = Int.MaxValue / 2
     var prev = new Array[Int](n + 1)
     var cur = new Array[Int](n + 1)
     java.util.Arrays.fill(prev, Inf)
     var i = 0
-    while (i <= math.min(n, maxDist)) { prev(i) = i; i += 1 }
+    while (i <= math.min(n, md)) { prev(i) = i; i += 1 }
     var j = 1
     while (j <= m) {
       java.util.Arrays.fill(cur, Inf)
-      val from = math.max(1, j - maxDist)
-      val to = math.min(n, j + maxDist)
-      if (j <= maxDist) cur(0) = j
+      val from = math.max(1, j - md)
+      val to = math.min(n, j + md)
+      if (j <= md) cur(0) = j
       var rowMin = cur(0)
       val yc = y(j - 1)
       i = from
@@ -257,11 +262,11 @@ object HashRuntime {
         if (v < rowMin) rowMin = v
         i += 1
       }
-      if (rowMin > maxDist) return -1
+      if (rowMin > md) return -1
       val t = prev; prev = cur; cur = t
       j += 1
     }
-    if (prev(n) > maxDist) -1 else prev(n)
+    if (prev(n) > md) -1 else prev(n)
   }
 
   /** In-order dot product of two double arrays: sequential left fold of

@@ -45,10 +45,14 @@ object Bloom {
   final case class Filter(bits: Array[Long], k: Int) {
     /** True for every key that was inserted; false positives at the
       * configured rate, never false negatives. Null keys probe as null
-      * (filtered out by `where`, matching join semantics on null keys).
+      * (filtered out by `where`, matching join semantics on null keys) —
+      * guarded explicitly here, because `xxhash64` itself maps null to
+      * the seed constant, which would otherwise let a null probe "match"
+      * a build side that contained nulls.
       */
     def mightContain(key: Column): Column =
-      HashExprs.bloomMightContain(xxhash64(key), bits, k)
+      when(key.isNull, lit(null).cast("boolean"))
+        .otherwise(HashExprs.bloomMightContain(xxhash64(key), bits, k))
 
     def sizeBytes: Long = bits.length.toLong * 8
   }
@@ -82,7 +86,11 @@ object Bloom {
       key: Column,
       bitsPerKey: Int = 16,
       expectedKeys: Option[Long] = None): Filter = {
-    val keyed = df.select(xxhash64(key).as("__h"))
+    // null keys never enter the bitmap (join semantics: NULL matches
+    // nothing) — without the filter, xxhash64's null-to-seed-constant
+    // mapping would insert a phantom key every null probe then "finds"
+    val keyed = df.select(key.as("__k")).where(col("__k").isNotNull)
+      .select(xxhash64(col("__k")).as("__h"))
     val n = expectedKeys.getOrElse(keyed.count())
     val words = sizeFor(n, bitsPerKey)
     val k = probesFor(bitsPerKey)

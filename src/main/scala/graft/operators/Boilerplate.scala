@@ -44,7 +44,10 @@ object Boilerplate {
     // even empty text tokenizes to [""]), short last chunk kept
     val nChunks = RangeJoin.fdiv(TextOps.tokenCount(col("__w")) - 1L, sz) + 1L
     val chunks = docs
-      .select(col(idCol), TextOps.tokens(col(textCol)).as("__w"))
+      // NULL text -> null tokens -> the explode below would silently drop
+      // the doc; coalesce to the empty-text token array (one "" chunk),
+      // matching how empty text already behaves
+      .select(col(idCol), coalesce(TextOps.tokens(col(textCol)), array(lit(""))).as("__w"))
       .select(col(idCol), col("__w"), nChunks.as("__n"),
         explode(sequence(lit(0L), nChunks - 1L)).as("__ix"))
       .select(col(idCol), col("__n"), col("__ix"),

@@ -28,7 +28,10 @@ object Chunks {
       s"need 1 <= stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
     val nChunks = RangeJoin.fdiv(TextOps.tokenCount(col("__w")) - 1L, stride.toLong) + 1L
     val chunk = slice(col("__w"), (col("chunk_ix") * stride + 1L).cast("int"), lit(chunkSize))
-    df.select(col(idCol), TextOps.tokens(col(textCol)).as("__w"))
+    // NULL text tokenizes to null, and explode(sequence(0, null)) would
+    // silently DROP the row — coalesce to the empty-text token array so
+    // the documented at-least-one-chunk invariant holds for every doc
+    df.select(col(idCol), coalesce(TextOps.tokens(col(textCol)), array(lit(""))).as("__w"))
       .select(col(idCol), col("__w"),
         explode(sequence(lit(0L), nChunks - 1L)).as("chunk_ix"))
       .select(col(idCol), col("chunk_ix"), chunk.as("__c"))

@@ -94,9 +94,16 @@ object HeavyHitters {
   def exact(df: DataFrame, valueCol: String, k: Int): DataFrame = {
     val mg = udaf(mgAggregator(k), Encoders.STRING)
     val vals = df.select(col(valueCol).cast("string").as("v")).where(col("v").isNotNull)
+    // localCheckpoint the ONE-row summary: it feeds two branches (cands
+    // and totals), and without materialization each branch would re-run
+    // the global MG aggregation — a full redundant input pass. Eager,
+    // lineage cut, blocks GC-freed with the result plan (the Ivf
+    // pattern); the promise below stays true: one sketch pass + one
+    // recount pass.
     val summary = vals
       .agg(mg(col("v")).as("mg"), count(lit(1)).as("n"))
       .withColumn("__k", lit(1))
+      .localCheckpoint(true)
     val cands = summary.select(explode(col("mg.keys")).as("v"))
     val totals = summary.select(col("__k"), col("n"))
     vals

@@ -40,16 +40,25 @@ import org.apache.spark.sql.functions._
   * truncation) catches the degenerate call — one huge interval exploded
   * a million ways — loudly at run time.
   *
-  * Bucket ids use true floor division (`(x - pmod(x, w)) / w`), exact on
-  * LONG and correct for negative coordinates — `floor(x / w)` would
-  * round through a double and lose exactness above 2^53 (epoch-micros
-  * scale is 1.7e15; one misassigned bucket is a silently lost match).
+  * Bucket ids use true floor division (`(x - pmod(x, w)) / w` with the
+  * divide in DECIMAL), exact on LONG and correct for negative
+  * coordinates — `floor(x / w)`, or even the exact-multiple divide done
+  * with `Column./` (double division in Spark!), would round through a
+  * double and lose exactness above 2^53 (epoch-micros scale is 1.7e15,
+  * only ~5x below that cliff; one misassigned bucket is a silently lost
+  * match).
   */
 object RangeJoin {
 
-  /** True floor division of a long column — exact, negative-safe. */
+  /** True floor division of a long column — exact, negative-safe. The
+    * numerator is an exact multiple of `w`, so the DECIMAL division is
+    * integral (no rounding at any scale) and the long cast is exact;
+    * `Column./` would be IEEE-double division and corrupt bucket ids
+    * past 2^53.
+    */
   private[graft] def fdiv(x: Column, w: Long): Column =
-    ((x - pmod(x, lit(w))) / lit(w)).cast("long")
+    ((x - pmod(x, lit(w))).cast("decimal(20,0)") / lit(w).cast("decimal(20,0)"))
+      .cast("long")
 
   private def requireDisjoint(a: DataFrame, b: DataFrame): Unit = {
     val shared = a.columns.toSet.intersect(b.columns.toSet)

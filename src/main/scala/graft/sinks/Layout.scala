@@ -59,7 +59,17 @@ object Layout {
     */
   private def scale16(c: Column, mn: Long, mx: Long): Column =
     if (mx <= mn) lit(0L)
-    else ((c.cast("long") - lit(mn)) * lit(65535L) / lit(mx - mn)).cast("long")
+    else {
+      // double arithmetic on purpose: (c - mn) * 65535 in LONG overflows
+      // once the range exceeds ~1.4e14 (ANSI mode: the write job dies) —
+      // epoch-micros columns spanning a few years are past that. A
+      // positive-constant scale + floor is monotone in IEEE doubles,
+      // which is all a 16-bit layout rank needs, and the result is
+      // provably in [0, 65535] (the scale factor's rounding error can't
+      // push range * s to 65536 before the floor).
+      val s = 65535.0 / (mx - mn).toDouble
+      floor((c.cast("double") - lit(mn.toDouble)) * lit(s)).cast("long")
+    }
 
   /** Write `df` to `path` as parquet z-ordered on two numeric columns.
     *

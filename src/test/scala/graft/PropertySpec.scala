@@ -264,6 +264,18 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("fdiv: exact floor division past 2^53 (decimal division, not double)") {
+    // (x - pmod(x, w)) is an exact multiple of w, but Column./ is IEEE
+    // double division — above 2^53 it rounds and misassigns buckets.
+    // Math.floorDiv is the exact reference
+    val xs = Seq(0L, 1L, 999L, 1000L, -1L, -999L, -1000L, -1001L,
+      1L << 60, (1L << 60) + 999, (1L << 60) + 1000, -(1L << 60) - 1,
+      1152921504606847099L, Long.MaxValue - 1000L)
+    val got = xs.toDF("x").select(RangeJoin.fdiv(col("x"), 1000L).as("b"))
+      .as[Long].collect().toSeq
+    assert(got === xs.map(Math.floorDiv(_, 1000L)))
+  }
+
   test("law: Boilerplate.scrubFrequentChunks == in-memory reference on random corpora") {
     // low vocabulary makes chunk collisions common (the interesting
     // regime); chunk size 1 degenerates to token-frequency scrub, size
