@@ -345,7 +345,10 @@ object PipelineQueries {
         val b = sess.select(col("user_id").as("user_b"),
           col("s_us").as("sb_us"), col("e_us").as("eb_us"))
         RangeJoin.intervalOverlap(a, "sa_us", "ea_us", b, "sb_us", "eb_us",
-            bucketWidth = 86400000000L, maxBucketsPerInterval = 8192)
+            bucketWidth = 86400000000L, maxBucketsPerInterval = 8192,
+            // a month of day buckets = ~30 join keys; 8 slices give the
+            // quadratic residual 240 keys so every core gets a share
+            slices = 8)
           .where(col("user_a") < col("user_b"))
           .groupBy(col("user_a"), col("user_b"))
           .agg(count(lit(1)).as("n_overlaps"))

@@ -51,14 +51,15 @@ import org.apache.spark.sql.functions._
 object RangeJoin {
 
   /** True floor division of a long column — exact, negative-safe. The
-    * numerator is an exact multiple of `w`, so the DECIMAL division is
-    * integral (no rounding at any scale) and the long cast is exact;
+    * numerator is an exact multiple of `w` (pmod is non-negative), so
+    * SQL `div` (IntegralDivide: truncating LONG division, plain codegen
+    * arithmetic — no Decimal allocation, safe in a join residual
+    * evaluated per candidate) returns the exact floor quotient;
     * `Column./` would be IEEE-double division and corrupt bucket ids
     * past 2^53.
     */
   private[graft] def fdiv(x: Column, w: Long): Column =
-    ((x - pmod(x, lit(w))).cast("decimal(20,0)") / lit(w).cast("decimal(20,0)"))
-      .cast("long")
+    call_function("div", x - pmod(x, lit(w)), lit(w))
 
   private def requireDisjoint(a: DataFrame, b: DataFrame): Unit = {
     val shared = a.columns.toSet.intersect(b.columns.toSet)
@@ -112,6 +113,21 @@ object RangeJoin {
     * pair exists in every shared bucket, and the first-shared-bucket
     * filter that restores exactly-once has no row to keep for an
     * unmatched left interval.
+    *
+    * `slices` parallelizes the quadratic part. The bucket join has one
+    * key per time bucket — a month of day-wide buckets is 30 join keys,
+    * so on a 32-core (or 1000-executor) shuffle most tasks sit idle
+    * while the dense center buckets do n² residual compares. With
+    * slices = S, each RIGHT row is assigned one of S hash slices
+    * (content-deterministic, so retries are stable) and each LEFT row
+    * is replicated to all S; the join key becomes (bucket, slice) —
+    * S× the keys, each task 1/S of a bucket's compares, identical total
+    * compare count and identical output (a pair still meets exactly
+    * once: one first-shared bucket × one right slice). Replication
+    * cost is S× the LEFT side's exploded bucket rows — intervals are
+    * (start, end, ids), so this is megabytes when the pair output is
+    * the real cost. Size S so buckets·S comfortably exceeds the
+    * cluster's cores; 1 (default) skips the machinery entirely.
     */
   def intervalOverlap(
       left: DataFrame,
@@ -121,8 +137,10 @@ object RangeJoin {
       rightStart: String,
       rightEnd: String,
       bucketWidth: Long,
-      maxBucketsPerInterval: Int = 4096): DataFrame = {
+      maxBucketsPerInterval: Int = 4096,
+      slices: Int = 1): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    require(slices >= 1, s"slices must be >= 1, got $slices")
     requireDisjoint(left, right)
 
     def exploded(df: DataFrame, s: String, e: String): DataFrame = {
@@ -132,17 +150,43 @@ object RangeJoin {
           col(s) <= col(e) && hi - lo < lit(maxBucketsPerInterval.toLong),
           lit(s"interval invalid or wider than $maxBucketsPerInterval buckets " +
             s"of $bucketWidth — raise bucketWidth or maxBucketsPerInterval")).isNull)
+        // carry the start bucket: the exactly-once residual below needs
+        // it PER CANDIDATE, and a column read is free where re-deriving
+        // it (division per probe) would dominate the quadratic join
+        .withColumn("__lo", lo)
         .withColumn("__bkt", explode(sequence(lo, hi)))
     }
 
-    val l = exploded(left, leftStart, leftEnd)
-    val r = exploded(right, rightStart, rightEnd)
+    val l0 = exploded(left, leftStart, leftEnd)
+    val r0 = exploded(right, rightStart, rightEnd)
+    val (l, r) =
+      if (slices == 1) (l0, r0)
+      else {
+        val ls = l0.withColumn("__sl", explode(sequence(lit(0), lit(slices - 1))))
+        // slice from the right ROW's content (not the bucket), computed
+        // once per interval: deterministic under retries, and identical
+        // duplicate rows sharing a slice only affects balance, not
+        // correctness
+        val rs = r0.withColumn("__sl",
+          pmod(xxhash64(struct(right.columns.map(col).toSeq: _*)), lit(slices.toLong))
+            .cast("int"))
+        // the EXPLICIT partition count is the point, not the shuffle:
+        // interval rows are tiny, so AQE's size-based coalescing (or a
+        // broadcast join streaming a 1-partition cached frame) would run
+        // the whole n² residual on ONE task — AQE can only see bytes,
+        // and the cost here is compute per (bucket, slice) cell. A
+        // user-specified numPartitions is exempt from AQE coalescing,
+        // so each core gets its share of cells regardless of input size
+        val parts = left.sparkSession.sessionState.conf.numShufflePartitions
+        (ls.repartition(parts, ls("__bkt"), ls("__sl")),
+          rs.repartition(parts, rs("__bkt"), rs("__sl")))
+      }
+    val sliceEq = if (slices == 1) lit(true) else l("__sl") === r("__sl")
     l.join(r,
-        l("__bkt") === r("__bkt") &&
+        l("__bkt") === r("__bkt") && sliceEq &&
           col(leftStart) <= col(rightEnd) && col(rightStart) <= col(leftEnd) &&
           // exactly-once: keep the pair only in the first bucket both touch
-          l("__bkt") === greatest(fdiv(col(leftStart), bucketWidth),
-            fdiv(col(rightStart), bucketWidth)),
+          l("__bkt") === greatest(l("__lo"), r("__lo")),
         "inner")
       .select((left.columns ++ right.columns).map(col).toSeq: _*)
   }

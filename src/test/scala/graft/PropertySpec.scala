@@ -168,15 +168,21 @@ class PropertySpec extends SparkSpec {
     } yield (l.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) },
       r.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }, w)
     samples(caseGen, 8).foreach { case (l, r, w) =>
-      val got = RangeJoin.intervalOverlap(
-          l.toDF("lid", "ls", "le"), "ls", "le",
-          r.toDF("rid", "rs", "re"), "rs", "re", w)
-        .select("lid", "rid").as[(Long, Long)].collect().toList
       val want = for {
         (lid, ls, le) <- l; (rid, rs, re) <- r if ls <= re && rs <= le
       } yield (lid, rid)
-      assert(got.size === got.toSet.size, s"duplicate pairs: w=$w l=$l r=$r")
-      assert(got.toSet === want.toSet, s"w=$w l=$l r=$r")
+      // slices must not change the result: every pair still meets in
+      // exactly one (first-shared bucket, right slice) cell
+      Seq(1, 3).foreach { slices =>
+        val got = RangeJoin.intervalOverlap(
+            l.toDF("lid", "ls", "le"), "ls", "le",
+            r.toDF("rid", "rs", "re"), "rs", "re", w,
+            slices = slices)
+          .select("lid", "rid").as[(Long, Long)].collect().toList
+        assert(got.size === got.toSet.size,
+          s"duplicate pairs: w=$w slices=$slices l=$l r=$r")
+        assert(got.toSet === want.toSet, s"w=$w slices=$slices l=$l r=$r")
+      }
     }
   }
 
