@@ -961,5 +961,67 @@ object PipelineQueries {
         "stride-seeded coarse clusters, ids-only intra-cluster pair join, exact " +
         "cosine verify, keep-lowest-id — near-dup scope deliberately bounded to " +
         "cluster members (489 survivors here vs q49's 447 global), candidate " +
-        "volume Σ|cluster|² with AQE splitting dense clusters"))
+        "volume Σ|cluster|² with AQE splitting dense clusters"),
+
+    // --------------------------------------------------- PII redaction
+    Q("q85_pii_redact",
+      (s, d) => {
+        // regex PII scrub with audit counts. The corpus is synthetic
+        // (letters only — asserted in the build session), so the PII is
+        // planted deterministically per doc_id: an email for id%3!=0, a
+        // phone for id%4!=0, an IPv4 for id%5!=0 — varying counts make
+        // the oracle sensitive to both the match logic and the
+        // replacement order. Scan-side projection only, zero shuffles.
+        val id = col("doc_id")
+        def strEmpty(cond: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+          when(cond, v).otherwise(lit(""))
+        val pii = concat(col("text"),
+          strEmpty(pmod(id, lit(3L)) =!= 0,
+            concat(lit(" mail user"), id.cast("string"), lit("@ex"),
+              pmod(id, lit(7L)).cast("string"), lit(".org"))),
+          strEmpty(pmod(id, lit(4L)) =!= 0,
+            concat(lit(" call +1 555-0"),
+              lpad(pmod(id, lit(1000L)).cast("string"), 3, "0"))),
+          strEmpty(pmod(id, lit(5L)) =!= 0,
+            concat(lit(" ip 10."), pmod(id, lit(250L)).cast("string"), lit(".0.99"))))
+        T.documents(s, d)
+          .select(id,
+            Redact.matches(pii, Redact.Email).as("n_email"),
+            Redact.matches(pii, Redact.Phone).as("n_phone"),
+            Redact.matches(pii, Redact.Ipv4).as("n_ip"),
+            Redact.redact(pii, Seq(
+              Redact.Email -> "<EMAIL>",
+              Redact.Phone -> "<PHONE>",
+              Redact.Ipv4 -> "<IP>")).as("clean_text"))
+          .orderBy(id)
+      },
+      Some("""
+        WITH p AS (SELECT doc_id, text ||
+            CASE WHEN doc_id % 3 <> 0
+                 THEN ' mail user' || doc_id || '@ex' || (doc_id % 7) || '.org'
+                 ELSE '' END ||
+            CASE WHEN doc_id % 4 <> 0
+                 THEN ' call +1 555-0' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+                 ELSE '' END ||
+            CASE WHEN doc_id % 5 <> 0
+                 THEN ' ip 10.' || (doc_id % 250) || '.0.99'
+                 ELSE '' END AS t
+          FROM documents)
+        SELECT doc_id,
+          len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+          len(regexp_extract_all(t, '\b\+?\d{1,3}[-. ]\d{3}[-. ]\d{4}\b')) AS n_phone,
+          len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ip,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '\b\+?\d{1,3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+            '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS clean_text
+        FROM p ORDER BY doc_id"""),
+      "PII redaction (Redact): regex scrub of emails/phones/IPv4s to placeholder " +
+        "tokens with per-pattern audit counts — pure scan-side codegen'd projection " +
+        "(zero shuffles, zero UDFs), patterns restricted to the Java-regex/RE2 " +
+        "common core so any downstream engine replays the same corpus, replacement " +
+        "order fixed (email before phone before IP) so nested-looking matches " +
+        "resolve identically everywhere"))
 }

@@ -654,4 +654,36 @@ class LlmOpsSpec extends SparkSpec {
       .select(col("vec_id")).as[Long].collect().sorted
     assert(got.toSeq === Seq(0L, 1L, 2L, 4L, 5L))
   }
+
+  test("Redact: email/phone/IP patterns, replacement order, counts, null text") {
+    val rows = Seq(
+      // two emails, one with digits+dots in local/domain parts
+      (1L, "write a.b_c%d+e@mail-hub.example.org or x@y.io today"),
+      // phone with and without +CC; bare 4-digit number must NOT match
+      (2L, "call +1 555-0134 or 44 123 4567 but not 1234"),
+      // IP; a version-like string with a 4-digit run must NOT match
+      (3L, "host 10.250.0.99 runs v1.2.3.4000 build"),
+      // email whose domain could half-look like an IP must redact as
+      // ONE email (order: email first), phone digits inside it gone
+      (4L, "ping root@10.0.0.1.example.com now"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+    val out = rows.select(col("id"),
+        Redact.matches(col("t"), Redact.Email).as("ne"),
+        Redact.matches(col("t"), Redact.Phone).as("np"),
+        Redact.matches(col("t"), Redact.Ipv4).as("ni"),
+        Redact.redact(col("t"), Seq(
+          Redact.Email -> "<EMAIL>", Redact.Phone -> "<PHONE>",
+          Redact.Ipv4 -> "<IP>")).as("clean"))
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getInt(3),
+        Option(r.getString(4))))).toMap
+    assert(out(1L) === ((2, 0, 0, Some("write <EMAIL> or <EMAIL> today"))))
+    assert(out(2L) === ((0, 2, 0, Some("call +<PHONE> or <PHONE> but not 1234"))))
+    assert(out(3L) === ((0, 0, 1, Some("host <IP> runs v1.2.3.4000 build"))))
+    // email pattern eats the whole dotted address BEFORE the IP pattern
+    // can clip "10.0.0.1" out of its middle
+    assert(out(4L) === ((1, 0, 1, Some("ping <EMAIL> now"))))
+    // null text: null through redact, zero audit counts
+    assert(out(5L) === ((0, 0, 0, None)))
+  }
 }
