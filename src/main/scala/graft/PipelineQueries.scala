@@ -1023,5 +1023,95 @@ object PipelineQueries {
         "(zero shuffles, zero UDFs), patterns restricted to the Java-regex/RE2 " +
         "common core so any downstream engine replays the same corpus, replacement " +
         "order fixed (email before phone before IP) so nested-looking matches " +
-        "resolve identically everywhere"))
+        "resolve identically everywhere"),
+
+    // ------------------------------------- importance-resampling score
+    Q("q86_importance_score",
+      (s, d) => {
+        // DSIR-shaped data selection (arXiv:2302.03169): score each RAW
+        // doc by how target-like its unigram distribution is — here the
+        // target domain is lang='en', raw is everything else, and the
+        // per-token signal is the +1-smoothed count ratio as an INTEGER
+        // proxy, (ct+1)*1e4 div (cr+1), summed over token INSTANCES
+        // (multiplicity matters: a doc repeating a target-heavy word is
+        // more target-like). Ratio-sum instead of DSIR's log-ratio-sum
+        // keeps it bit-reproducible across engines; it is a monotone
+        // per-token transform, documented as the proxy it is. Scale 1e4
+        // leaves (1e13+1)*1e4 < Long.Max headroom at 100 TB corpus
+        // token counts. One scan feeds three consumers via the
+        // persisted explode (the q55 rule); both stat tables are
+        // vocabulary-sized -> broadcast at any corpus scale; the
+        // per-doc agg is ONE shuffle on doc_id.
+        val perAll = T.documents(s, d)
+          .select(col("doc_id"), col("lang"), explode(docTokens).as("term"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ct = perAll.where(col("lang") === "en")
+          .groupBy(col("term")).agg(count(lit(1)).as("ct"))
+        val cr = perAll.where(col("lang") =!= "en")
+          .groupBy(col("term")).agg(count(lit(1)).as("cr"))
+        perAll.where(col("lang") =!= "en")
+          .join(ct, Seq("term"), "left")
+          .join(cr, Seq("term")) // inner: every raw token is in cr
+          .withColumn("s", expr("(coalesce(ct, 0L) + 1L) * 10000 div (cr + 1L)"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"), sum(col("s")).as("importance"))
+          .orderBy(col("importance").desc, col("doc_id"))
+          .limit(50)
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS term
+                   FROM documents),
+        ct AS (SELECT term, count(*) AS ct FROM t WHERE lang = 'en' GROUP BY term),
+        cr AS (SELECT term, count(*) AS cr FROM t WHERE lang <> 'en' GROUP BY term),
+        sc AS (SELECT r.doc_id,
+                      (coalesce(ct.ct, 0) + 1) * 10000 // (cr.cr + 1) AS s
+               FROM t r LEFT JOIN ct USING (term) JOIN cr USING (term)
+               WHERE r.lang <> 'en')
+        SELECT doc_id, count(*) AS n_tokens, CAST(sum(s) AS BIGINT) AS importance
+        FROM sc GROUP BY doc_id
+        ORDER BY importance DESC, doc_id LIMIT 50"""),
+      "DSIR-shaped importance resampling score (arXiv:2302.03169): rank raw-domain " +
+        "docs by target-likeness via +1-smoothed unigram count ratios in exact " +
+        "integers ((ct+1)*1e4 div (cr+1), summed over token instances) — the " +
+        "data-mixture selection stage; vocabulary-sized stat joins broadcast, one " +
+        "doc_id shuffle, top-50 with unique tiebreak"),
+
+    // --------------------------------------------- containment join
+    Q("q87_containment_join",
+      (s, d) => {
+        // benchmark-in-document decontamination, the asymmetric case
+        // symmetric Jaccard misses: a SHORT benchmark item quoted
+        // verbatim inside a LONG document has tiny Jaccard (union ~
+        // |doc|) but containment 1.0. Benchmark items are simulated the
+        // way real ones leak — as verbatim snippets of corpus docs
+        // (first 12 tokens of every 25th doc); each hits its source
+        // (containment 1.0) plus near-dups sharing the opening passage
+        val docs = T.documents(s, d)
+        val queries = docs
+          .where(pmod(col("doc_id"), lit(25L)) === 0 && size(docTokens) >= 12)
+          .select(col("doc_id").as("q_id"),
+            array_join(slice(docTokens, 1, 12), " ").as("q_text"))
+        JaccardJoin.containmentPairs(queries, "q_id", "q_text",
+            docs, "doc_id", "text", ngram = 3, num = 1, den = 5)
+          .orderBy(col("id_q"), col("id_c"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS w FROM documents),
+        q AS (SELECT doc_id, list_distinct(list_transform(range(1, 11),
+                i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS gs
+              FROM t WHERE doc_id % 25 = 0 AND len(w) >= 12),
+        c AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+                i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS gs
+              FROM t WHERE len(w) >= 3)
+        SELECT q.doc_id AS id_q, c.doc_id AS id_c,
+               CAST(len(list_intersect(q.gs, c.gs)) AS BIGINT) AS inter_size,
+               CAST(len(q.gs) AS BIGINT) AS q_size
+        FROM q JOIN c ON true
+        WHERE len(list_intersect(q.gs, c.gs)) * 5 >= len(q.gs)
+        ORDER BY id_q, id_c"""),
+      "exact containment join (JaccardJoin.containmentPairs): |Sq∩Sc|/|Sq| >= 1/5 " +
+        "over 3-gram shingles — query-side rarest-first prefix (corpus-df order) " +
+        "against a full corpus inverted index, one-sided length filter, positional " +
+        "bound, native bounded-containment verify; the benchmark-decontamination " +
+        "primitive where symmetric Jaccard under-scores short-in-long quotes"))
 }

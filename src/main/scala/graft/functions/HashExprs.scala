@@ -217,6 +217,35 @@ case class BoundedIntersectSize(left: Expression, right: Expression, num: Int, d
     copy(left = newLeft, right = newRight)
 }
 
+/** (array<string>, array<string>) -> long: set-intersection size bounded
+  * by the CONTAINMENT threshold num/den of the LEFT (contained) side's
+  * size — the asymmetric twin of [[BoundedIntersectSize]], for
+  * benchmark-in-document decontamination joins
+  * (see [[HashRuntime.boundedContainSize]]).
+  */
+case class BoundedContainSize(left: Expression, right: Expression, num: Int, den: Int)
+    extends BinaryExpression {
+  require(num > 0 && den > 0 && num <= den, s"threshold num/den must be in (0,1], got $num/$den")
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_contain_size needs two array<string>, got $l / $r")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashRuntime.boundedContainSize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], num, den)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.HashRuntime.boundedContainSize($a, $b, $num, $den);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BoundedContainSize =
+    copy(left = newLeft, right = newRight)
+}
+
 /** (string, string) -> int: Levenshtein distance if <= maxDist else -1
   * (the contract of Spark's 3-arg `levenshtein`, which this replaces).
   * Spark's builtin re-decodes codepoints per DP cell — measured ~25M
@@ -296,6 +325,9 @@ object HashExprs {
   def boundedIntersectSize(a: Column, b: Column, num: Int, den: Int): Column =
     GraftColumnBridge.column(BoundedIntersectSize(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b), num, den))
+  def boundedContainSize(contained: Column, container: Column, num: Int, den: Int): Column =
+    GraftColumnBridge.column(BoundedContainSize(
+      GraftColumnBridge.expression(contained), GraftColumnBridge.expression(container), num, den))
   def bloomMightContain(c: Column, bits: Array[Long], k: Int): Column =
     GraftColumnBridge.column(BloomMightContain(GraftColumnBridge.expression(c), bits, k))
   def boundedLevenshtein(a: Column, b: Column, maxDist: Int): Column =

@@ -189,6 +189,38 @@ object HashRuntime {
     c
   }
 
+  /** DISTINCT-set intersection size bounded by the CONTAINMENT
+    * threshold: exact |set(b) ∩ set(a)| when it can reach
+    * ceil(num·|b|/den) (|b| = the CONTAINED side's distinct size), bails
+    * with a below-threshold partial otherwise — same contract shape as
+    * [[boundedIntersectSize]], but the requirement scales with one side
+    * only (containment |B∩A|/|B| is asymmetric; Jaccard's req formula
+    * over na+nb would be wrong in both directions here).
+    */
+  def boundedContainSize(contained: ArrayData, container: ArrayData, num: Int, den: Int): Long = {
+    val nb = contained.numElements()
+    val na = container.numElements()
+    val req = (num.toLong * nb + (den - 1)) / den
+    if (math.min(na, nb) < req) return 0L
+    val (build, probe) = if (nb <= na) (contained, container) else (container, contained)
+    val bn = build.numElements()
+    val set = new java.util.HashSet[UTF8String](bn * 2)
+    var i = 0
+    while (i < bn) {
+      if (!build.isNullAt(i)) set.add(build.getUTF8String(i))
+      i += 1
+    }
+    val pn = probe.numElements()
+    var c = 0L
+    i = 0
+    while (i < pn) {
+      if (!probe.isNullAt(i) && set.remove(probe.getUTF8String(i))) c += 1
+      if (c + (pn - 1 - i) < req) return c
+      i += 1
+    }
+    c
+  }
+
   /** Banded (threshold) Levenshtein distance over CODE POINTS: returns
     * the exact edit distance when it is <= maxDist, else -1 — the same
     * contract as Spark's 3-arg `levenshtein`, which this replaces in the

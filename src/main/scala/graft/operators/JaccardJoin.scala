@@ -140,6 +140,97 @@ object JaccardJoin {
     PairVerify.exact(cands, sh, num, den)
   }
 
+  /** Exact CONTAINMENT join: pairs (id_q, id_c) where at least num/den
+    * of the query doc's distinct n-gram shingles appear in the corpus
+    * doc — |Sq ∩ Sc| / |Sq| >= num/den. The asymmetric complement of
+    * [[nearDupPairs]]: Jaccard misses a short benchmark item quoted
+    * verbatim inside a long document (the union is dominated by the
+    * document), which is exactly the benchmark-decontamination case;
+    * containment scales the threshold by the QUERY side only.
+    *
+    * Same exact-complete prefix-filter machinery, adapted:
+    *  - query prefixes: any (1-t)·|Sq|+1 shingles of Sq must hit Sc for
+    *    a true pair (at most (1-t)·|Sq| of Sq's shingles are outside
+    *    Sc), so the rarest-first prefix works unchanged — ordered by
+    *    CORPUS document frequency (0 for corpus-unseen shingles: they
+    *    are both maximally selective and the only order that exists
+    *    for them);
+    *  - the corpus side indexes ALL its shingles (containment puts no
+    *    bound relating the overlap to |Sc|'s tail, so there is no
+    *    corpus prefix) — the inverted index a decontamination service
+    *    builds ONCE per corpus snapshot and probes per benchmark;
+    *  - length filter: overlap <= |Sc| needs |Sc|·den >= num·|Sq|
+    *    (one-sided — a long document may contain a short query);
+    *  - positional filter: the FIRST matched query-prefix shingle at
+    *    canonical position p bounds overlap <= |Sq| - p + 1 (every
+    *    common shingle sits at-or-after it in Sq's order), which must
+    *    reach ceil(num·|Sq|/den) — per-pair complete by the same
+    *    argument as PPJoin's;
+    *  - verify: exact integer containment on the true string sets via
+    *    the bounded kernel ([[graft.functions.BoundedContainSize]]).
+    *
+    * Output: (id_q, id_c, inter_size, q_size) with
+    * inter_size·den >= q_size·num.
+    */
+  def containmentPairs(
+      queries: DataFrame,
+      qIdCol: String,
+      qTextCol: String,
+      corpus: DataFrame,
+      cIdCol: String,
+      cTextCol: String,
+      ngram: Int = 3,
+      num: Int = 1,
+      den: Int = 2): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, s"threshold num/den must be in (0,1], got $num/$den")
+    def shingled(df: DataFrame, id: String, text: String) = df
+      .where(size(TextOps.tokens(col(text))) >= ngram)
+      .select(col(id).as("__id"),
+        TextOps.shingles(TextOps.tokens(col(text)), ngram).as("__sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val qsh = shingled(queries, qIdCol, qTextCol) // feeds prefix build + verify
+    val csh = shingled(corpus, cIdCol, cTextCol) // feeds index + verify
+
+    val ctok = csh
+      .select(col("__id"), size(col("__sh")).as("__nc"),
+        explode(graft.functions.HashExprs.polyHashArray(col("__sh"))).as("__h"))
+    val dfreq = ctok.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+    val qord = qsh
+      .select(col("__id"), explode(graft.functions.HashExprs.polyHashArray(col("__sh"))).as("__h"))
+      .join(dfreq, Seq("__h"), "left")
+      .select(col("__id"), col("__h"), coalesce(col("__df"), lit(0L)).as("__df"))
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("__h")))).as("__ord"))
+      .select(
+        col("__id"),
+        transform(col("__ord"), x => x.getField("__h")).as("__canon"),
+        size(col("__ord")).as("__n"))
+
+    // query prefix size p = n - ceil(num*n/den) + 1 (same integer form
+    // as nearDupPairs)
+    val p = (col("__n") - floor((col("__n") * num + lit(den - 1)) / lit(den)).cast("int") + 1)
+    val qpre = qord
+      .select(col("__id").as("id_q"), col("__n").as("__nq"),
+        posexplode(slice(col("__canon"), lit(1), p)).as(Seq("__p0", "__h")))
+      .select(col("id_q"), col("__nq"), (col("__p0") + 1).as("__pq"), col("__h"))
+
+    val cands = qpre
+      .join(ctok.select(col("__id").as("id_c"), col("__nc"), col("__h")), Seq("__h"))
+      .where(col("__nc") * den >= col("__nq") * num)
+      .where((col("__nq") - col("__pq") + lit(1)) * den >= col("__nq") * num)
+      .select(col("id_q"), col("id_c"))
+      .distinct()
+
+    cands
+      .join(qsh.select(col("__id").as("id_q"), col("__sh").as("sh_q")), Seq("id_q"))
+      .join(csh.select(col("__id").as("id_c"), col("__sh").as("sh_c")), Seq("id_c"))
+      .select(col("id_q"), col("id_c"),
+        graft.functions.HashExprs.boundedContainSize(col("sh_q"), col("sh_c"), num, den)
+          .as("inter_size"),
+        size(col("sh_q")).cast("long").as("q_size"))
+      .where(col("inter_size") * den >= col("q_size") * num)
+  }
+
   /** Corpus-level near-dup removal with the EXACT join: drop every doc
     * that is the higher id of a verified pair (greedy keep-lowest-id,
     * same policy as [[MinHash.dedupCorpus]] — but guaranteed-complete,

@@ -89,6 +89,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("law: containmentPairs == brute force on random low-vocabulary corpora") {
+    // same adversarial regime as the Jaccard law (every shingle
+    // frequent), plus the asymmetric cases that define containment:
+    // short queries inside long docs must match at high thresholds
+    // where Jaccard would reject them
+    val corpusGen: Gen[(List[String], List[String], Int)] = for {
+      vocab <- Gen.choose(3, 6)
+      nQ <- Gen.choose(1, 6)
+      nC <- Gen.choose(2, 14)
+      qs <- Gen.listOfN(nQ, Gen.choose(0, 6).flatMap(len =>
+        Gen.listOfN(len, Gen.choose(0, vocab - 1).map(i => s"w$i")).map(_.mkString(" "))))
+      cs <- Gen.listOfN(nC, Gen.choose(0, 14).flatMap(len =>
+        Gen.listOfN(len, Gen.choose(0, vocab - 1).map(i => s"w$i")).map(_.mkString(" "))))
+      num <- Gen.choose(1, 10)
+    } yield (qs, cs, num)
+    samples(corpusGen, 12).foreach { case (qTexts, cTexts, num) =>
+      val den = 10
+      val qs = qTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val cs = cTexts.zipWithIndex.map { case (t, i) => (100L + i, t) }
+      val got = JaccardJoin.containmentPairs(
+          qs.toDF("q_id", "q_text"), "q_id", "q_text",
+          cs.toDF("c_id", "c_text"), "c_id", "c_text",
+          ngram = 2, num = num, den = den)
+        .select("id_q", "id_c", "inter_size", "q_size")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      def sh(t: String): Set[String] =
+        if (t.split(" ").length < 2) Set.empty
+        else t.split(" ").sliding(2).map(_.mkString(" ")).toSet
+      val want = (for {
+        (iq, tq) <- qs; (ic, tc) <- cs
+        sq = sh(tq) if sq.nonEmpty
+        sc = sh(tc) if sc.nonEmpty
+        inter = (sq & sc).size.toLong
+        if inter * den >= sq.size.toLong * num
+      } yield (iq, ic, inter, sq.size.toLong)).toSet
+      assert(got === want, s"num=$num/$den q=$qTexts c=$cTexts")
+    }
+  }
+
   test("law: connectedComponents == driver union-find on random graphs") {
     val edgeGen: Gen[List[(Long, Long)]] =
       Gen.listOfN(60, for {
