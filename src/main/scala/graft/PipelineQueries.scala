@@ -1113,5 +1113,183 @@ object PipelineQueries {
         "over 3-gram shingles — query-side rarest-first prefix (corpus-df order) " +
         "against a full corpus inverted index, one-sided length filter, positional " +
         "bound, native bounded-containment verify; the benchmark-decontamination " +
-        "primitive where symmetric Jaccard under-scores short-in-long quotes"))
+        "primitive where symmetric Jaccard under-scores short-in-long quotes"),
+
+    // ------------------------------------------------- bigram LM scoring
+    Q("q88_bigram_score",
+      (s, d) => {
+        // conditional-probability extension of q83's unigram scorer:
+        // Laplace-lite smoothed bigram score (c2+1)*1e6 div (c1+1) per
+        // bigram INSTANCE, all-integer. Bigrams are built MAP-SIDE by
+        // zipping each token with its successor (transform over the
+        // sliced array — no positional self-join); both count tables are
+        // vocabulary²-sized -> broadcast at any corpus scale; the bigram
+        // instance projection is persisted once for its three consumers
+        // (c2, c1, scoring) per the q55 rule; one doc_id shuffle.
+        val bi = T.documents(s, d)
+          .select(col("doc_id"), docTokens.as("__w"))
+          .select(col("doc_id"), explode(expr(
+            "transform(slice(__w, 1, greatest(size(__w) - 1, 0)), " +
+              "(x, i) -> struct(x AS w1, element_at(__w, i + 2) AS w2))")).as("__bg"))
+          .select(col("doc_id"), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+        val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+        bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+          .withColumn("__sc", expr("((c2 + 1L) * 1000000L) div (c1 + 1L)"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("__sc")).as("score"),
+            min(col("__sc")).as("min_s"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        bi AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+               FROM t, unnest(range(1, len(w))) AS u(i)),
+        c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+        c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+        sc AS (SELECT doc_id, ((c2 + 1) * 1000000) // (c1 + 1) AS sc
+               FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+        SELECT doc_id, count(*) AS n_bigrams, CAST(sum(sc) AS BIGINT) AS score,
+               min(sc) AS min_s
+        FROM sc GROUP BY doc_id ORDER BY doc_id"""),
+      "bigram-LM scoring (KenLM-style conditional probabilities, the step past " +
+        "q83's unigram): smoothed (c2+1)*1e6 div (c1+1) per bigram instance in " +
+        "exact integers, bigrams built map-side by successor-zip (no positional " +
+        "self-join), vocabulary²-sized count joins broadcast, one doc_id shuffle"),
+
+    // ---------------------------------------------------- graph pagerank
+    Q("q89_pagerank",
+      (s, d) => {
+        // authority ranking over the part->next-part transition graph
+        // (consecutive lines of each order): lead() builds edges in one
+        // order-partitioned window, then 5 fixed-point power iterations.
+        // (l_orderkey, l_linenumber) is NOT unique in this corpus, so the
+        // line sequence is first canonicalized to min(l_partkey) per
+        // position — lead() over an ambiguous order is engine-dependent.
+        // The crawl-frontier / source-authority ranking stage of web
+        // curation — ids-only edge list, per-round cost exactly O(|E|)
+        val canon = T.lineitem(s, d)
+          .groupBy(col("l_orderkey"), col("l_linenumber"))
+          .agg(min(col("l_partkey")).as("pk"))
+        val nxt = lead(col("pk"), 1).over(
+          Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber")))
+        val edges = canon
+          .withColumn("__dst", nxt)
+          .where(col("__dst").isNotNull && col("__dst") =!= col("pk"))
+          .groupBy(col("pk").as("src"), col("__dst").as("dst"))
+          .agg(count(lit(1)).as("w"))
+        PageRank.ranks(edges, "src", "dst", "w", iterations = 5)
+          .orderBy(col("pr").desc, col("node"))
+          .limit(20)
+          .select(col("node").as("part_key"), col("pr"))
+      },
+      Some("""
+        WITH canon AS (SELECT l_orderkey, l_linenumber, min(l_partkey) AS pk
+                       FROM lineitem GROUP BY 1, 2),
+        le AS (SELECT pk,
+                lead(pk) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS nxt
+               FROM canon),
+        eg AS (SELECT pk AS src, nxt AS dst, count(*) AS w FROM le
+               WHERE nxt IS NOT NULL AND nxt <> pk GROUP BY 1, 2),
+        ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM eg GROUP BY src),
+        ew AS (SELECT eg.src, eg.dst, eg.w, ow.outw FROM eg JOIN ow USING (src)),
+        nodes AS (SELECT src AS node FROM eg UNION SELECT dst FROM eg),
+        r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+        r1 AS (SELECT n.node, CAST(150000 + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS pr
+               FROM nodes n LEFT JOIN (
+                 SELECT e.dst AS node, CAST(sum((r.pr * e.w) // e.outw) AS BIGINT) AS s
+                 FROM r0 r JOIN ew e ON e.src = r.node GROUP BY e.dst) c USING (node)),
+        r2 AS (SELECT n.node, CAST(150000 + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS pr
+               FROM nodes n LEFT JOIN (
+                 SELECT e.dst AS node, CAST(sum((r.pr * e.w) // e.outw) AS BIGINT) AS s
+                 FROM r1 r JOIN ew e ON e.src = r.node GROUP BY e.dst) c USING (node)),
+        r3 AS (SELECT n.node, CAST(150000 + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS pr
+               FROM nodes n LEFT JOIN (
+                 SELECT e.dst AS node, CAST(sum((r.pr * e.w) // e.outw) AS BIGINT) AS s
+                 FROM r2 r JOIN ew e ON e.src = r.node GROUP BY e.dst) c USING (node)),
+        r4 AS (SELECT n.node, CAST(150000 + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS pr
+               FROM nodes n LEFT JOIN (
+                 SELECT e.dst AS node, CAST(sum((r.pr * e.w) // e.outw) AS BIGINT) AS s
+                 FROM r3 r JOIN ew e ON e.src = r.node GROUP BY e.dst) c USING (node)),
+        r5 AS (SELECT n.node, CAST(150000 + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS pr
+               FROM nodes n LEFT JOIN (
+                 SELECT e.dst AS node, CAST(sum((r.pr * e.w) // e.outw) AS BIGINT) AS s
+                 FROM r4 r JOIN ew e ON e.src = r.node GROUP BY e.dst) c USING (node))
+        SELECT node AS part_key, pr FROM r5 ORDER BY pr DESC, node LIMIT 20"""),
+      "distributed PageRank (operators.PageRank): 5 fixed-point power iterations " +
+        "over the part->next-part purchase-transition graph — ALL-BIGINT ranks " +
+        "(order-independent sums, bit-reproducible at any parallelism), edge list " +
+        "with out-weights partitioned by src ONCE and reused every round, per-round " +
+        "cost exactly O(|E|) hash-join + O(|V|) agg; dangling nodes absorb rank " +
+        "(pruned variant, documented)"),
+
+    // --------------------------------------------- knn label propagation
+    Q("q90_knn_label",
+      (s, d) => {
+        // weak-labeling / auto-annotation: every 10th vector plays the
+        // unlabeled probe, classified by majority label of its 5 exact
+        // nearest labeled neighbors (ties -> smallest label). The brute
+        // candidate stage swaps for LSH/IVF + classifyFromNeighbors when
+        // the corpus outgrows one scan; the vote/argmax shape is shared
+        val e = T.embeddings(s, d)
+          .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+        val probes = e.where(pmod(col("vec_id"), lit(10L)) === 0)
+        val corpus = e.where(pmod(col("vec_id"), lit(10L)) =!= 0)
+        Similarity.classifyKnn(corpus, probes, "vec_id", "v", "label", k = 5)
+          .orderBy(col("probe_id"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        n AS (SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
+        p AS (SELECT * FROM n WHERE vec_id % 10 = 0 AND nrm > 0),
+        c AS (SELECT * FROM n WHERE vec_id % 10 <> 0 AND nrm > 0),
+        sc AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, c.label,
+                list_sum(list_transform(list_zip(p.v, c.v), z -> z[1]*z[2])) / (p.nrm*c.nrm) AS cc
+               FROM p CROSS JOIN c
+               QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY cc DESC, c.vec_id) <= 5),
+        v AS (SELECT probe_id, label, count(*) AS votes FROM sc GROUP BY 1, 2)
+        SELECT probe_id, label AS pred_label, votes FROM v
+        QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY votes DESC, label) = 1
+        ORDER BY probe_id"""),
+      "k-NN label propagation (Similarity.classifyKnn): majority vote of the 5 " +
+        "exact nearest labeled neighbors per probe, smallest-label tiebreak — the " +
+        "weak-labeling stage; probes broadcast through the brute top-k, label " +
+        "attach is an ids-only equi-join, vote argmax is a group-limited window"),
+
+    // --------------------------------------------- embedding outliers
+    Q("q91_embedding_outliers",
+      (s, d) => {
+        // per-label farthest-from-centroid vectors: the mislabeled /
+        // off-distribution screening stage. Centroid accumulation is
+        // fixed-point BIGINT (q56's device) so both engines see the exact
+        // same centroid; cosine is the usual sequential fold
+        val e = T.embeddings(s, d)
+          .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+        Similarity.centroidOutliers(e, "vec_id", "v", "label", k = 5)
+          .select(col("label"), col("vec_id"), col("centroid_cos"))
+          .orderBy(col("label"), col("centroid_cos"), col("vec_id"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        cfp AS (SELECT label, i AS dim, count(*) AS n,
+                 CAST(sum(CAST(floor(v[i] * 1048576) AS BIGINT)) AS BIGINT) AS sfp
+                FROM e, range(1, 65) t(i)
+                GROUP BY label, i),
+        cent AS (SELECT label, list(CAST(sfp AS DOUBLE) / (1048576.0 * n) ORDER BY dim) AS c
+                 FROM cfp GROUP BY label),
+        n1 AS (SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
+        n2 AS (SELECT n1.vec_id, n1.label, n1.v, n1.nrm, cent.c,
+                sqrt(list_sum(list_transform(cent.c, x -> x*x))) AS cn
+               FROM n1 JOIN cent USING (label))
+        SELECT label, vec_id,
+               list_sum(list_transform(list_zip(v, c), z -> z[1]*z[2])) / (nrm * cn) AS centroid_cos
+        FROM n2 WHERE nrm > 0
+        QUALIFY row_number() OVER (PARTITION BY label ORDER BY centroid_cos, vec_id) <= 5
+        ORDER BY label, centroid_cos, vec_id"""),
+      "per-label embedding outliers (Similarity.centroidOutliers): the 5 vectors " +
+        "farthest from their own label's centroid — mislabel/off-distribution " +
+        "screening; centroid is EXACT fixed-point accumulation (floor(x*2^20) " +
+        "summed as BIGINT, order-independent), label-keyed centroid join " +
+        "broadcasts at any scale, per-label top-k is a group-limited window"))
 }

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed PageRank over an ids-only weighted edge list — the
+  * authority-ranking stage of web-crawl curation (domain/page ranking for
+  * crawl-frontier prioritization and source-quality weighting, the signal
+  * CommonCrawl-scale pipelines mix into per-source sampling decisions).
+  *
+  * Iteration model (the standard power-iteration form, fixed round count
+  * like [[Components.connectedComponents]]):
+  *
+  *   pr[0](v)   = S                                    (scale constant)
+  *   pr[i+1](v) = S·(100-d)/100
+  *              + d/100 · Σ_{(u,v,w)∈E} (pr[i](u)·w) div outw(u)
+  *
+  * with d the damping percentage and outw(u) = Σ w over u's out-edges.
+  * Dangling nodes (no out-edges) absorb rank without redistributing it —
+  * the "pruned" PageRank variant; total mass is not conserved, relative
+  * ordering is what downstream sampling consumes. Documented, not hidden.
+  *
+  * Cross-engine determinism: ALL arithmetic is BIGINT — ranks are scaled
+  * integers, per-edge contributions use integer division, and integer
+  * sums are order-independent (double sums are not). An oracle engine
+  * replaying the same recurrence matches bit-for-bit at any parallelism.
+  *
+  * Scale design: the edge list carries (src, dst, w, outw) longs only —
+  * never payloads. Each iteration is one hash join on src (the edge side
+  * is pre-partitioned by src ONCE and reused, so only the small rank
+  * frame shuffles per round) plus one aggregation by dst. State per
+  * round is O(|V|) rank rows; candidate volume is O(|E|) exactly, no
+  * explosion. Fixed iteration count keeps the lineage bounded (5 rounds
+  * ≈ the practical convergence horizon for ranking use at damping 0.85).
+  */
+object PageRank {
+
+  /** Rank every node of the directed weighted graph `edges`.
+    *
+    * @param edges      (srcCol, dstCol, wCol) rows; parallel edges should
+    *                   be pre-aggregated (duplicate (src,dst) rows act as
+    *                   independent edges, which is also well-defined)
+    * @param iterations fixed power-iteration rounds (>= 1)
+    * @param dampingPct damping factor as an integer percentage (85 = 0.85)
+    * @param scale      fixed-point scale of the rank values (1e6 → rank
+    *                   1.0 is 1000000)
+    * @return (node LONG, pr LONG) — pr is the scaled rank after the last
+    *         round
+    */
+  def ranks(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      wCol: String,
+      iterations: Int = 5,
+      dampingPct: Int = 85,
+      scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(dampingPct >= 0 && dampingPct <= 100, s"dampingPct must be in [0,100], got $dampingPct")
+    val spark = edges.sparkSession
+
+    val e = edges.select(
+      col(srcCol).cast("long").as("__src"),
+      col(dstCol).cast("long").as("__dst"),
+      col(wCol).cast("long").as("__w"))
+
+    // Out-weight attaches to the edge list ONCE; the per-iteration join
+    // then needs only (rank ⋈ edges). Persist + pre-partition by the join
+    // key so every round reuses the same shuffle-free edge side.
+    val parallelism = spark.sparkContext.defaultParallelism
+    val ew = e
+      .join(e.groupBy(col("__src")).agg(sum(col("__w")).as("__outw")), "__src")
+      .repartition(parallelism, col("__src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst").as("node")))
+      .distinct()
+      .repartition(parallelism, col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val teleport = scale * (100L - dampingPct) / 100L
+    var pr = nodes.select(col("node"), lit(scale).as("pr"))
+    for (_ <- 1 to iterations) {
+      val contribs = pr.join(ew, col("node") === col("__src"))
+        .select(col("__dst"), expr("(pr * __w) div __outw").as("__c"))
+        .groupBy(col("__dst")).agg(sum(col("__c")).as("__s"))
+      pr = nodes.join(contribs, col("node") === col("__dst"), "left")
+        .select(col("node"),
+          expr(s"${teleport}L + (${dampingPct}L * coalesce(__s, 0L)) div 100L").as("pr"))
+    }
+    pr
+  }
+}

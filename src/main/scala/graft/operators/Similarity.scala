@@ -214,4 +214,78 @@ object Similarity {
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /** Majority-vote label assignment from a precomputed neighbor list —
+    * the composable half of k-NN classification. `neighbors` is any
+    * (probe_id, neighbor_id) frame ([[bruteTopK]], [[lshBucketTopK]] or
+    * [[Ivf.topK]] output all fit), `labels` maps `idCol` -> `labelCol`.
+    * Ties break to the smallest label (deterministic). Returns
+    * (probe_id, pred_label, votes).
+    *
+    * Shape: one equi-join to attach labels (label table is id->label,
+    * orders of magnitude narrower than the vectors), one (probe, label)
+    * aggregation, one probe-partitioned top-1 window — all hash-keyed,
+    * nothing quadratic beyond the neighbor list itself.
+    */
+  def classifyFromNeighbors(
+      neighbors: DataFrame, labels: DataFrame, idCol: String, labelCol: String): DataFrame = {
+    val votes = neighbors
+      .join(labels.select(col(idCol).as("neighbor_id"), col(labelCol).as("pred_label")),
+        Seq("neighbor_id"))
+      .groupBy(col("probe_id"), col("pred_label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("votes").desc, col("pred_label").asc)
+    votes.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .select(col("probe_id"), col("pred_label"), col("votes"))
+  }
+
+  /** k-NN label propagation: classify each probe by the majority label of
+    * its k exact nearest corpus neighbors (cosine) — the weak-labeling /
+    * auto-annotation stage of a training-data pipeline. `corpus` carries
+    * (idCol, vecCol, labelCol); swap the [[bruteTopK]] candidate stage for
+    * [[lshBucketTopK]]/[[Ivf.topK]] + [[classifyFromNeighbors]] when the
+    * corpus outgrows the brute scan.
+    */
+  def classifyKnn(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame =
+    classifyFromNeighbors(bruteTopK(corpus, probes, idCol, vecCol, k), corpus, idCol, labelCol)
+
+  /** Per-label embedding outliers: the k vectors FARTHEST from their own
+    * label's centroid (lowest cosine) — embedding-space anomaly/quality
+    * filtering (mislabeled or off-distribution examples surface first) and
+    * the per-class drift drill-down next to [[graft.LlmQueries]]'s q56
+    * centroid monitor.
+    *
+    * Determinism: the centroid is accumulated FIXED-POINT — floor(x·2^20)
+    * summed as BIGINT, order-independent, exactly the q56/IVF-Lloyd device
+    * — and the cosine against it is the usual sequential fold, so an
+    * oracle reproduces both bit-for-bit. Zero-norm vectors are dropped
+    * (cosine undefined; the withNorm contract).
+    *
+    * Shape: one (label, dim) agg on the posexploded scan, a label-keyed
+    * join-back (label cardinality rows — broadcast at any corpus scale),
+    * map-side cosine, per-label top-k window (group-limited).
+    */
+  def centroidOutliers(
+      vecs: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      k: Int, fpScale: Long = 1048576L): DataFrame = {
+    val e = vecs.select(col(idCol).as("__id"), col(labelCol).as("__lbl"), col(vecCol).as("__v"))
+    val cent = e.select(col("__lbl"), posexplode(col("__v")).as(Seq("__p", "__x")))
+      .groupBy(col("__lbl"), col("__p"))
+      .agg(count(lit(1)).as("__n"), sum(floor(col("__x") * fpScale).cast("long")).as("__sfp"))
+      .groupBy(col("__lbl"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__p"),
+          (col("__sfp").cast("double") / (lit(fpScale.toDouble) * col("__n"))).as("__c")))),
+        x => x.getField("__c")).as("__cv"))
+    val scored = e.join(cent, Seq("__lbl"))
+      .withColumn("__nrm", norm(col("__v")))
+      .where(col("__nrm") > 0)
+      .withColumn("__cn", norm(col("__cv")))
+      .withColumn("centroid_cos", dot(col("__v"), col("__cv")) / (col("__nrm") * col("__cn")))
+    val w = Window.partitionBy(col("__lbl")).orderBy(col("centroid_cos").asc, col("__id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("__lbl").as(labelCol), col("__id").as(idCol), col("centroid_cos"), col("rank"))
+  }
 }

@@ -103,6 +103,23 @@ object Sources {
     maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n.toString)).load(dir)
   }
 
+  /** Batch file source with EXPLICIT schema — csv/json/parquet/orc/text.
+    * At corpus scale schema inference is an extra full pass over the data
+    * (and a silent-drift hazard: a malformed shard widens a column for
+    * everyone), so production reads pin the schema and let mismatches
+    * fail loudly; `options` passes format specifics through (header,
+    * delimiter, compression, multiLine, ...).
+    */
+  def batchFile(
+      spark: SparkSession,
+      format: String,
+      path: String,
+      schema: Option[StructType] = None,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val r = spark.read.format(format).options(options)
+    schema.fold(r)(r.schema).load(path)
+  }
+
   /** Kafka source options for [[descriptor]] — the standard option set
     * of Spark's kafka connector, assembled in one place so callers can't
     * typo the magic keys. Exposed separately from [[kafka]] so the

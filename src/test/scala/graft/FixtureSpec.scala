@@ -248,4 +248,29 @@ class FixtureSpec extends SparkSpec {
     assert(spark.table("graft_out_fx").count() === 4)
     spark.sql("DROP TABLE graft_out_fx")
   }
+
+  test("batchFile: csv + json round-trip with explicit schema (no inference pass)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val rows = Seq((1L, "alpha", 0.5), (2L, "beta", -1.25), (3L, null: String, 2.0))
+    val df = rows.toDF("id", "name", "score")
+
+    val csvDir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    df.write.mode("overwrite").option("header", "true").csv(csvDir)
+    val backCsv = graft.sources.Sources.batchFile(spark, "csv", csvDir,
+        Some(schema), Map("header" -> "true"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2))).toSet
+    assert(backCsv === rows.map { case (i, n, s) => (i, Option(n), s) }.toSet)
+    // schema is the DECLARED one, not an inferred guess
+    assert(graft.sources.Sources.batchFile(spark, "csv", csvDir,
+      Some(schema), Map("header" -> "true")).schema === schema)
+
+    val jsonDir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    df.write.mode("overwrite").json(jsonDir)
+    val backJson = graft.sources.Sources.batchFile(spark, "json", jsonDir, Some(schema))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2))).toSet
+    assert(backJson === rows.map { case (i, n, s) => (i, Option(n), s) }.toSet)
+  }
 }

@@ -686,4 +686,90 @@ class LlmOpsSpec extends SparkSpec {
     // null text: null through redact, zero audit counts
     assert(out(5L) === ((0, 0, 0, None)))
   }
+
+  test("PageRank: hand-computed fixed-point ranks on cycle, star, and weighted graphs") {
+    def run(edges: Seq[(Long, Long, Long)], iters: Int): Map[Long, Long] =
+      PageRank.ranks(edges.toDF("src", "dst", "w"), "src", "dst", "w", iterations = iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // 2-cycle with unit weights: rank is a fixed point at exactly scale
+    // (150000 + 85% of 1000000 = 1000000) for every iteration count
+    assert(run(Seq((1L, 2L, 1L), (2L, 1L, 1L)), 4) === Map(1L -> 1000000L, 2L -> 1000000L))
+
+    // star A->C, B->C: sources converge to teleport-only (no in-edges),
+    // C converges at iter 2: 150000 + 85*(2*150000) div 100 = 405000
+    val star = run(Seq((1L, 3L, 1L), (2L, 3L, 1L)), 3)
+    assert(star === Map(1L -> 150000L, 2L -> 150000L, 3L -> 405000L))
+
+    // weighted split A->B (w=3), A->C (w=1), 1 iteration: contribution is
+    // (rank*w) div outw -> B: 150000 + 85*750000 div 100 = 787500,
+    // C: 150000 + 85*250000 div 100 = 362500; A keeps teleport only
+    val w1 = run(Seq((1L, 2L, 3L), (1L, 3L, 1L)), 1)
+    assert(w1 === Map(1L -> 150000L, 2L -> 787500L, 3L -> 362500L))
+  }
+
+  test("classifyKnn: majority label of planted clusters; vote ties break to smallest label") {
+    // two tight clusters: ids 1-3 label 0 around (1,0), ids 4-6 label 1
+    // around (0,1); probe 100 sits next to cluster 1 -> all 3 neighbors
+    // label 1
+    val corpus = Seq(
+      (1L, 0, Seq(1.0, 0.01)), (2L, 0, Seq(0.99, 0.02)), (3L, 0, Seq(0.98, 0.0)),
+      (4L, 1, Seq(0.01, 1.0)), (5L, 1, Seq(0.0, 0.99)), (6L, 1, Seq(0.02, 0.98))
+    ).toDF("vec_id", "label", "v")
+    val probes = Seq((100L, -1, Seq(0.1, 0.9))).toDF("vec_id", "label", "v")
+    val got = Similarity.classifyKnn(corpus, probes, "vec_id", "v", "label", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq === Seq((100L, 1, 3L)))
+
+    // tie: k=2 nearest are one of each label -> label 0 wins the tie
+    val tieCorpus = Seq(
+      (1L, 1, Seq(1.0, 0.0)), (2L, 0, Seq(0.0, 1.0)), (3L, 2, Seq(-1.0, -1.0))
+    ).toDF("vec_id", "label", "v")
+    val tieProbe = Seq((100L, -1, Seq(1.0, 1.0))).toDF("vec_id", "label", "v")
+    val tie = Similarity.classifyKnn(tieCorpus, tieProbe, "vec_id", "v", "label", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(tie.toSeq === Seq((100L, 0, 1L)))
+  }
+
+  test("centroidOutliers: planted off-centroid vector surfaces first; zero-norm dropped") {
+    // label 0: four vectors near (1,0) plus one pointing the OPPOSITE way
+    // (id 99) and a zero vector (id 98, must be dropped not crash)
+    val vecs = Seq(
+      (1L, 0, Seq(1.0, 0.0)), (2L, 0, Seq(0.99, 0.01)),
+      (3L, 0, Seq(0.98, -0.01)), (4L, 0, Seq(1.0, 0.02)),
+      (99L, 0, Seq(-1.0, 0.0)), (98L, 0, Seq(0.0, 0.0)),
+      (10L, 1, Seq(0.0, 1.0)), (11L, 1, Seq(0.01, 0.99))
+    ).toDF("vec_id", "label", "v")
+    val got = Similarity.centroidOutliers(vecs, "vec_id", "v", "label", k = 1)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    // label 0's farthest-from-centroid is the planted opposite vector;
+    // label 1 has only near-centroid members (either is fine, but rank 1
+    // must be deterministic: lowest cosine, then lowest id)
+    assert(got.contains((0, 99L)))
+    assert(got.size === 2)
+    // zero-norm id 98 never appears at any k
+    val all = Similarity.centroidOutliers(vecs, "vec_id", "v", "label", k = 10)
+      .collect().map(_.getLong(1)).toSet
+    assert(!all.contains(98L))
+  }
+
+  test("bigram successor-zip expression == sliding(2) (q88's map-side bigram builder)") {
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 40).map { i =>
+      (i.toLong, (0 until rnd.nextInt(6)).map(_ => s"w${rnd.nextInt(5)}").mkString(" "))
+    }
+    val got = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("__w"))
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(__w, 1, greatest(size(__w) - 1, 0)), " +
+          "(x, i) -> struct(x AS w1, element_at(__w, i + 2) AS w2))")).as("__bg"))
+      .select(col("doc_id"), col("__bg.w1"), col("__bg.w2"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.toLowerCase.split(" ", -1).toSeq
+      val want = if (toks.size < 2) Seq.empty else toks.sliding(2).map(p => (p(0), p(1))).toSeq
+      assert(got.getOrElse(id, Seq.empty) === want, s"doc $id '$text'")
+    }
+  }
 }
