@@ -22,6 +22,14 @@ import org.apache.spark.sql.SparkSession
   *  - A failed query is reported in "errors" and exits non-zero; it is
   *    NEVER silently dropped from the total (a broken query must not make
   *    the bench look faster).
+  *  - Caches are cleared between queries (round-5 change): before, a
+  *    query's internal `persist` survived into the next pass, so
+  *    persist-using queries were measured AGAINST THEIR OWN WARM CACHE
+  *    and under-reported (q41: 2.0s cached vs 4.4s true; q89: 3.6s vs
+  *    ~6s), while the leaked frames built eviction pressure that bled
+  *    into later queries. Totals from round 5 on are therefore honest
+  *    per-query costs and NOT comparable to rounds <= 4 (which read
+  *    ~30% lower for the same code).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -33,8 +41,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def materialize(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+    def materialize(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      // queries that persist a shared intermediate (the q55 rule) leave
+      // it cached after the write completes; over 3 registry passes ~50
+      // leaked frames build eviction pressure that bleeds into LATER
+      // queries' times (round-5 lesson: pass-2 creep on q81+). Scope each
+      // query's caches to its own measurement.
+      spark.catalog.clearCache()
+    }
 
     // Unmeasured warm-up: full pass over the registry (ignore failures
     // here; they surface in the measured pass).

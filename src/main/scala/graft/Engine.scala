@@ -60,4 +60,40 @@ object Engine {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Run `body` with AQE disabled, restoring the previous setting after.
+    *
+    * For ITERATIVE fixed-point operators (PageRank, connected
+    * components): their loops submit many tiny pre-partitioned stages,
+    * and AQE's per-stage runtime re-planning adds driver latency to every
+    * one while having nothing to improve — both join sides are already
+    * hash-co-partitioned by construction, and per-round frames are
+    * O(|V|) ids, not skew candidates (measured 2x on the q89 loop).
+    * One-shot queries keep AQE: coalescing/skew-splitting pay there.
+    *
+    * Scope caveat: SQL confs are session-global, so jobs submitted
+    * CONCURRENTLY on the same session during `body` also run without
+    * AQE. Iterative operators call this around their own internal
+    * materialization only.
+    */
+  def withoutAqe[T](spark: SparkSession)(body: => T): T =
+    withConfs(spark, "spark.sql.adaptive.enabled" -> "false")(body)
+
+  /** Run `body` with the given SQL confs set, restoring previous values
+    * after (the scoped-conf device behind [[withoutAqe]]; same
+    * session-global scope caveat). Iterative operators use it to size
+    * the LOOP's shuffle partitioning to the graph rather than the
+    * corpus: a dedup pair graph is orders of magnitude smaller than its
+    * input, and fixed corpus-sized `spark.sql.shuffle.partitions` makes
+    * every tiny round pay a full task wave (AQE would coalesce these,
+    * but AQE is off in loops — see [[withoutAqe]]).
+    */
+  def withConfs[T](spark: SparkSession, confs: (String, String)*)(body: => T): T = {
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

@@ -1291,5 +1291,107 @@ object PipelineQueries {
         "farthest from their own label's centroid — mislabel/off-distribution " +
         "screening; centroid is EXACT fixed-point accumulation (floor(x*2^20) " +
         "summed as BIGINT, order-independent), label-keyed centroid join " +
-        "broadcasts at any scale, per-label top-k is a group-limited window"))
+        "broadcasts at any scale, per-label top-k is a group-limited window"),
+
+    // -------------------------------------------- contrastive pair mining
+    Q("q92_contrastive_pairs",
+      (s, d) => {
+        // training-pair construction for contrastive/metric learning:
+        // every 10th vector is an anchor; its 2 nearest same-label
+        // neighbors are positives, its 2 nearest different-label
+        // neighbors are HARD negatives (the wrong-label vectors that look
+        // most like it — where the gradient signal lives). One window
+        // over (anchor, side) does both; q24's probe-broadcast precedent
+        val e = T.embeddings(s, d)
+          .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+        val probes = e.where(pmod(col("vec_id"), lit(10L)) === 0)
+        val corpus = e.where(pmod(col("vec_id"), lit(10L)) =!= 0)
+        Similarity.contrastivePairs(corpus, probes, "vec_id", "v", "label", k = 2)
+          .orderBy(col("probe_id"), col("kind"), col("rank"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        n AS (SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
+        p AS (SELECT * FROM n WHERE vec_id % 10 = 0 AND nrm > 0),
+        c AS (SELECT * FROM n WHERE vec_id % 10 <> 0 AND nrm > 0),
+        sc AS (SELECT p.vec_id AS probe_id, (c.label = p.label) AS same, c.vec_id AS neighbor_id,
+                list_sum(list_transform(list_zip(p.v, c.v), z -> z[1]*z[2])) / (p.nrm*c.nrm) AS cosine
+               FROM p CROSS JOIN c),
+        r AS (SELECT probe_id, same, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY probe_id, same ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM sc)
+        SELECT probe_id, CASE WHEN same THEN 'pos' ELSE 'neg' END AS kind,
+               neighbor_id, cosine, rank
+        FROM r WHERE rank <= 2 ORDER BY probe_id, kind, rank"""),
+      "contrastive pair mining (Similarity.contrastivePairs): per anchor, the 2 " +
+        "nearest same-label positives AND 2 nearest different-label hard negatives " +
+        "in ONE (anchor, side)-partitioned window (WindowGroupLimit keeps k rows " +
+        "map-side); probes broadcast per the brute-top-k contract, LSH/IVF " +
+        "candidates swap in at scale"),
+
+    // ------------------------------------------------ mixture resampling
+    Q("q93_mixture_resample",
+      (s, d) => {
+        // reshape the lang distribution toward a UNIFORM 5-way mixture
+        // under a 1000-doc budget: over-represented langs downsample by
+        // hash-threshold (en at sf0.01: rate ~917k ppm), scarce langs
+        // keep everything (rate capped at 1e6). Reports per-lang rate and
+        // realized kept counts — the mixture audit a pipeline logs
+        val target = Seq("de", "en", "es", "fr", "zh").map(_ -> 200000L)
+        val docs = T.documents(s, d)
+        Mixture.sample(docs, "lang", "doc_id", target, budgetDocs = 1000L)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"))
+          .join(Mixture.ratesPpm(docs, "lang", target, budgetDocs = 1000L), Seq("lang"))
+          .select(col("lang"), col("n_docs"), col("rate_ppm"), col("n_kept"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH n AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        r AS (SELECT lang, n_docs,
+               least(1000000, (200000 * 1000) // n_docs) AS rate_ppm FROM n),
+        k AS (SELECT d.lang, count(*) AS n_kept
+              FROM documents d JOIN r USING (lang)
+              WHERE ((d.doc_id * 2654435761) % 1000000007) % 1000000 < r.rate_ppm
+              GROUP BY d.lang)
+        SELECT lang, n_docs, rate_ppm, n_kept
+        FROM r JOIN k USING (lang) ORDER BY lang"""),
+      "deterministic mixture resampling (operators.Mixture): reshape the lang " +
+        "distribution toward uniform shares under a doc budget — per-key rates " +
+        "(capped ppm) from ONE count agg broadcast back, keep decision is a " +
+        "map-side hash threshold (q53's Knuth device, bit-reproducible in any " +
+        "engine; no rand(), no global sort)"),
+
+    // ------------------------------------------------ gram matrix (PCA prep)
+    Q("q94_gram_matrix",
+      (s, d) => {
+        // d×d Gram matrix of the embedding corpus in ONE map-side-combined
+        // typed aggregation (buffer = the 64×64 accumulator itself; the
+        // shuffle carries one buffer per partition, never n·d² rows) —
+        // the PCA/whitening prep stage. Fixed-point first, then integer
+        // multiply/sum: bit-identical at any parallelism
+        import s.implicits._
+        val vecs = T.embeddings(s, d)
+          .select(col("embedding").cast("array<double>").as("v"))
+          .as[Seq[Double]]
+        vecs.select(graft.functions.GramMatrix.gram(64, 1048576L).toColumn)
+          .toDF("g")
+          .select(posexplode(col("g")).as(Seq("pos", "gram_fp")))
+          .select((col("pos") / 64).cast("long").as("i"),
+            pmod(col("pos"), lit(64)).cast("long").as("j"), col("gram_fp"))
+          .where(col("i") <= col("j"))
+          .orderBy(col("i"), col("j"))
+      },
+      Some("""
+        WITH e AS (SELECT list_transform(embedding::DOUBLE[],
+                     x -> CAST(floor(x * 1048576) AS BIGINT)) AS f FROM embeddings),
+        p AS (SELECT i.i AS i, j.j AS j, sum(f[i.i + 1] * f[j.j + 1]) AS gram_fp
+              FROM e, range(0, 64) i(i), range(0, 64) j(j)
+              WHERE j.j >= i.i GROUP BY 1, 2)
+        SELECT i, j, CAST(gram_fp AS BIGINT) AS gram_fp FROM p ORDER BY i, j"""),
+      "distributed Gram matrix (functions.GramMatrix, typed Aggregator): the d×d " +
+        "Σ x·xᵀ PCA-prep reduction as ONE map-side-combined agg whose buffer IS " +
+        "the 64×64 fixed-point accumulator — shuffle carries one 32KB buffer per " +
+        "partition, never n·d² exploded rows; floor-then-integer-sum makes it " +
+        "bit-identical at any parallelism and in the oracle"))
 }

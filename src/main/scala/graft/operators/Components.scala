@@ -82,6 +82,21 @@ object Components {
       .select(col("id"), col("id").as("comp"))
     var iter = 0
     var changed = 1L
+    // AQE off for the loop: every round is tiny pre-partitioned stages
+    // over the cached graph, and AQE's per-stage re-planning adds driver
+    // latency with nothing to improve (measured 2x on the q89 PageRank
+    // loop, same shape). Shuffle partitions sized to the graph (p, from
+    // the coalesce sizing above) for the same reason — with AQE off the
+    // loop's joins/aggs would otherwise fan back out to corpus-sized
+    // task waves.
+    // Broadcast also off: the cached loop frames have small stats, so
+    // every round's joins would otherwise pay a driver collect +
+    // broadcast build to replace an already co-partitioned join (see
+    // PageRank's loop confs).
+    graft.Engine.withConfs(edges.sparkSession,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> p.toString,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
     while (changed > 0 && iter < maxIter) {
       // 1. neighbor-min: min comp over each node's neighborhood. Every id
       // has >= 1 neighbor (sym is symmetric and self-loop-free), so the
@@ -121,6 +136,7 @@ object Components {
             .select(col("x.id").as("id"), coalesce(col("__cc"), col("comp")).as("comp"))
         }
       iter += 1
+    }
     }
     symAll.unpersist()
     require(changed == 0,

@@ -60,15 +60,29 @@ object PageRank {
     require(dampingPct >= 0 && dampingPct <= 100, s"dampingPct must be in [0,100], got $dampingPct")
     val spark = edges.sparkSession
 
+    // The caller's edge frame can be arbitrarily expensive (q89 builds it
+    // with a window over the fact table) and it fans out FOUR ways below
+    // (out-weight agg, ew join left side, both node projections) — cache
+    // the ids-only projection first so the upstream computes exactly once.
     val e = edges.select(
-      col(srcCol).cast("long").as("__src"),
-      col(dstCol).cast("long").as("__dst"),
-      col(wCol).cast("long").as("__w"))
+        col(srcCol).cast("long").as("__src"),
+        col(dstCol).cast("long").as("__dst"),
+        col(wCol).cast("long").as("__w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Size the LOOP's parallelism to the graph, not the corpus (the
+    // Components rule): the edge list is ids-only and usually orders of
+    // magnitude smaller than whatever produced it, and every round would
+    // otherwise pay a full corpus-sized task wave. ~2M edge rows
+    // (~50 MB) per partition; grows back to cluster parallelism on real
+    // graphs. e is persisted above, so this count doubles as the eager
+    // cache fill.
+    val parallelism = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, e.count() / 2000000L)).toInt
 
     // Out-weight attaches to the edge list ONCE; the per-iteration join
     // then needs only (rank ⋈ edges). Persist + pre-partition by the join
     // key so every round reuses the same shuffle-free edge side.
-    val parallelism = spark.sparkContext.defaultParallelism
     val ew = e
       .join(e.groupBy(col("__src")).agg(sum(col("__w")).as("__outw")), "__src")
       .repartition(parallelism, col("__src"))
@@ -82,14 +96,43 @@ object PageRank {
 
     val teleport = scale * (100L - dampingPct) / 100L
     var pr = nodes.select(col("node"), lit(scale).as("pr"))
-    for (_ <- 1 to iterations) {
-      val contribs = pr.join(ew, col("node") === col("__src"))
-        .select(col("__dst"), expr("(pr * __w) div __outw").as("__c"))
-        .groupBy(col("__dst")).agg(sum(col("__c")).as("__s"))
-      pr = nodes.join(contribs, col("node") === col("__dst"), "left")
-        .select(col("node"),
-          expr(s"${teleport}L + (${dampingPct}L * coalesce(__s, 0L)) div 100L").as("pr"))
+    var checkpointed = 0
+    // Loop confs: AQE off (per-stage re-planning latency, nothing to
+    // improve on pre-partitioned rounds); shuffle partitions sized to
+    // the graph; broadcast OFF — the cached loop frames have small
+    // stats, so the planner would broadcast one side of EVERY round's
+    // joins, paying a driver collect + broadcast build per round
+    // (measured 2-4x per-round cost) to replace a join that is already
+    // co-partitioned and shuffle-free.
+    val out = graft.Engine.withConfs(spark,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> parallelism.toString,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      for (_ <- 1 to iterations) {
+        val contribs = pr.join(ew, col("node") === col("__src"))
+          .select(col("__dst"), expr("(pr * __w) div __outw").as("__c"))
+          .groupBy(col("__dst")).agg(sum(col("__c")).as("__s"))
+        pr = nodes.join(contribs, col("node") === col("__dst"), "left")
+          .select(col("node"),
+            expr(s"${teleport}L + (${dampingPct}L * coalesce(__s, 0L)) div 100L").as("pr"))
+        // Truncate lineage every few rounds (the Components rule: an
+        // untruncated iterative tree grows per round and Catalyst's walks
+        // go super-linear) — but NOT every round: a checkpoint is an eager
+        // extra job and drops the partitioning Catalyst could have reused,
+        // so at the default 5 rounds the plan runs as ONE fused job.
+        // Values are integers — materialization cannot perturb them.
+        checkpointed += 1
+        if (checkpointed % 8 == 0) pr = pr.localCheckpoint()
+      }
+      // materialize the result (AQE off: every join side above is
+      // pre-partitioned, so runtime re-planning only adds per-stage
+      // driver latency) so the operator's working caches do not outlive
+      // the call; checkpoint blocks are ContextCleaner-collected
+      pr.localCheckpoint()
     }
-    pr
+    e.unpersist()
+    ew.unpersist()
+    nodes.unpersist()
+    out
   }
 }

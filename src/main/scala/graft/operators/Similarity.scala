@@ -251,6 +251,44 @@ object Similarity {
       idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame =
     classifyFromNeighbors(bruteTopK(corpus, probes, idCol, vecCol, k), corpus, idCol, labelCol)
 
+  /** Contrastive pair mining: for each probe (anchor), the k nearest
+    * SAME-label neighbors (positives) and the k nearest DIFFERENT-label
+    * neighbors (hard negatives) — the training-pair construction stage
+    * for contrastive/metric learning, where hard negatives (wrong-label
+    * vectors that look most like the anchor) carry most of the gradient
+    * signal.
+    *
+    * Returns (probe_id, kind 'pos'|'neg', neighbor_id, cosine,
+    * rank LONG). ONE window over (probe, same-label?) partitions does
+    * both sides — no union of two scans, no second pass; the rank filter
+    * compiles to WindowGroupLimit so map tasks keep k rows per
+    * (probe, side) before the shuffle. Probe side is broadcast (the
+    * [[bruteTopK]] contract — probes are few); swap the scored frame for
+    * an LSH/IVF candidate set when the corpus outgrows one scan.
+    */
+  def contrastivePairs(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int = 1): DataFrame = {
+    val c = spread(corpus, idCol).select(
+        col(idCol).as("neighbor_id"), col(labelCol).as("__nl"),
+        col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"))
+      .where(col("__cn") > 0)
+    val p = probes.select(
+        col(idCol).as("probe_id"), col(labelCol).as("__pl"),
+        col(vecCol).as("__pv"), norm(col(vecCol)).as("__pn"))
+      .where(col("__pn") > 0)
+    val scored = c.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        (col("__nl") === col("__pl")).as("__same"),
+        (dot(col("__pv"), col("__cv")) / (col("__pn") * col("__cn"))).as("cosine"))
+    val w = Window.partitionBy(col("probe_id"), col("__same"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= k)
+      .select(col("probe_id"),
+        when(col("__same"), lit("pos")).otherwise(lit("neg")).as("kind"),
+        col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** Per-label embedding outliers: the k vectors FARTHEST from their own
     * label's centroid (lowest cosine) — embedding-space anomaly/quality
     * filtering (mislabeled or off-distribution examples surface first) and

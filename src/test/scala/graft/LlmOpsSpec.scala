@@ -753,6 +753,63 @@ class LlmOpsSpec extends SparkSpec {
     assert(!all.contains(98L))
   }
 
+  test("contrastivePairs: planted clusters give nearest same-label pos and cross-label hard neg") {
+    // anchor 100 (label 1) sits inside cluster B; its positives must be
+    // the nearest label-1 vectors, its hard negative the label-0 vector
+    // that leans toward cluster B (id 3) — not the far ones
+    val corpus = Seq(
+      (1L, 0, Seq(1.0, 0.0)), (2L, 0, Seq(0.99, -0.05)), (3L, 0, Seq(0.8, 0.6)),
+      (4L, 1, Seq(0.0, 1.0)), (5L, 1, Seq(0.05, 0.99)), (6L, 1, Seq(-0.05, 0.98))
+    ).toDF("vec_id", "label", "v")
+    val probes = Seq((100L, 1, Seq(0.1, 0.95))).toDF("vec_id", "label", "v")
+    val got = Similarity.contrastivePairs(corpus, probes, "vec_id", "v", "label", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(4)))
+      .sortBy(t => (t._2, t._4))
+    // negs: id 3 (0.8,0.6 — the hard one) then 1/2; pos: 5 then 4
+    assert(got.map(t => (t._2, t._3)).toSeq ===
+      Seq(("neg", 3L), ("neg", 1L), ("pos", 5L), ("pos", 4L)))
+    // ranks are 1,2 per side
+    assert(got.map(_._4).toSeq === Seq(1L, 2L, 1L, 2L))
+  }
+
+  test("Mixture: rates cap at 1e6, sample is deterministic and key-complete") {
+    val df = (1L to 400L).map(i => (i, if (i % 4 == 0L) "rare" else "common"))
+      .toDF("doc_id", "key")
+    // uniform 2-way target under budget 100: common (300 docs) rate
+    // 500000*100/300 = 166666 ppm; rare (100 docs) rate 500000*100/100
+    // capped? 500000 — not capped. budget 400: rare -> 2000000 capped 1e6
+    val rates = Mixture.ratesPpm(df, "key", Seq("common" -> 500000L, "rare" -> 500000L), 400L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rates("common") === ((300L, 666666L)))
+    assert(rates("rare") === ((100L, 1000000L)))
+    val s1 = Mixture.sample(df, "key", "doc_id", Seq("common" -> 500000L, "rare" -> 500000L), 400L)
+      .collect().map(_.getLong(1)).toSet
+    val s2 = Mixture.sample(df, "key", "doc_id", Seq("common" -> 500000L, "rare" -> 500000L), 400L)
+      .collect().map(_.getLong(1)).toSet
+    assert(s1 === s2, "hash-threshold sampling must be deterministic")
+    // rate 1e6 keeps EVERY row of the key
+    assert(s1.count(_ % 4 == 0) === 100)
+    // a key absent from the target shares is dropped entirely
+    val s3 = Mixture.sample(df, "key", "doc_id", Seq("rare" -> 1000000L), 100L)
+      .collect().map(_.getLong(1))
+    assert(s3.nonEmpty && s3.forall(_ % 4 == 0))
+  }
+
+  test("GramMatrix: hand-computed fixed-point gram on 2 vectors; map-side merge == single") {
+    import spark.implicits._
+    val dim = 3
+    // S=4: f(v1)=(4,8,-4), f(v2)=(2,0,4)  [floor(-1.0*4)=-4, floor(0.6*4)=2]
+    val vecs = Seq(Seq(1.0, 2.0, -1.0), Seq(0.6, 0.0, 1.0)).toDS()
+    val g = vecs.repartition(2) // force a real merge across partitions
+      .select(graft.functions.GramMatrix.gram(dim, 4L).toColumn).head()
+    val f1 = Seq(4L, 8L, -4L); val f2 = Seq(2L, 0L, 4L)
+    for (i <- 0 until dim; j <- i until dim)
+      assert(g(i * dim + j) === f1(i) * f1(j) + f2(i) * f2(j), s"($i,$j)")
+    assert(g(dim * dim) === 2L, "row count slot")
+    // lower triangle stays zero
+    assert(g(1 * dim + 0) === 0L && g(2 * dim + 1) === 0L)
+  }
+
   test("bigram successor-zip expression == sliding(2) (q88's map-side bigram builder)") {
     val rnd = new scala.util.Random(11)
     val docs = (0 until 40).map { i =>
