@@ -1169,7 +1169,12 @@ object PipelineQueries {
         // position — lead() over an ambiguous order is engine-dependent.
         // The crawl-frontier / source-authority ranking stage of web
         // curation — ids-only edge list, per-round cost exactly O(|E|)
+        // one orderkey repartition serves BOTH the canon groupBy (hash
+        // on orderkey satisfies clustering on (orderkey, linenumber) —
+        // a subset partitioning) and the lead() window: 2 exchanges for
+        // the edge build instead of 3
         val canon = T.lineitem(s, d)
+          .repartition(col("l_orderkey"))
           .groupBy(col("l_orderkey"), col("l_linenumber"))
           .agg(min(col("l_partkey")).as("pk"))
         val nxt = lead(col("pk"), 1).over(
@@ -1393,5 +1398,56 @@ object PipelineQueries {
         "Σ x·xᵀ PCA-prep reduction as ONE map-side-combined agg whose buffer IS " +
         "the 64×64 fixed-point accumulator — shuffle carries one 32KB buffer per " +
         "partition, never n·d² exploded rows; floor-then-integer-sum makes it " +
-        "bit-identical at any parallelism and in the oracle"))
+        "bit-identical at any parallelism and in the oracle"),
+
+    // ------------------------------------------------- winnowing (MOSS)
+    Q("q95_winnow_pairs",
+      (s, d) => {
+        // winnowing near-dup candidates: per-doc MOSS fingerprints
+        // (min-hash of each 4-window over positional 3-gram hashes —
+        // any shared 6-token run guarantees a shared fingerprint), then
+        // doc pairs sharing >= 2 RARE fingerprints. df <= 10 drops
+        // boilerplate fingerprints (no discriminative signal) AND bounds
+        // the self-join fan-out per fingerprint — the skew cap that
+        // keeps the bucket join scale-safe. fp frame feeds the df agg
+        // and the pair join: persist (the q55 rule).
+        val fp = T.documents(s, d)
+          .select(col("doc_id"),
+            explode(TextOps.winnowFingerprints(docTokens, k = 3, w = 4)).as("fp"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val keep = fp.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+          .where(col("__df") <= 10)
+          .select(col("fp"))
+        val fk = fp.join(keep, Seq("fp"))
+        fk.as("a").join(fk.as("b"), Seq("fp"))
+          .where(col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("shared_fp"))
+          .where(col("shared_fp") >= 2)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        g AS (SELECT doc_id, list_transform(range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS s FROM t),
+        h AS (SELECT doc_id, list_transform(s, x ->
+                list_reduce(list_prepend(CAST(7 AS BIGINT),
+                  list_transform(range(1, length(x)+1), i -> CAST(ascii(substr(x, i, 1)) AS BIGINT))),
+                  (a, c) -> (a*31 + c) % 1000000007)) AS hh FROM g),
+        f AS (SELECT doc_id, unnest(list_distinct(CASE
+               WHEN len(hh) >= 4 THEN list_transform(range(1, len(hh) - 2), i -> list_min(hh[i:i+3]))
+               WHEN len(hh) >= 1 THEN [list_min(hh)]
+               ELSE [] END)) AS fp FROM h),
+        keep AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 10),
+        fk AS (SELECT doc_id, fp FROM f JOIN keep USING (fp))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS shared_fp
+        FROM fk a JOIN fk b USING (fp)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2
+        ORDER BY doc_a, doc_b"""),
+      "winnowing near-dup candidates (TextOps.winnowFingerprints — the SIGMOD'03 " +
+        "MOSS device): min-hash of each 4-window over positional 3-gram hashes, " +
+        "map-side, ~2/(w+1) storage with a shared-run guarantee; pairs share >= 2 " +
+        "rare fingerprints (df <= 10 caps both boilerplate noise and the bucket " +
+        "join fan-out); fingerprint equi-join, ids only, never all-pairs"))
 }

@@ -94,6 +94,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ShingleArray(args.head, n.toInt)
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_winnow"),
+      info("graft_winnow",
+        "graft_winnow(hashes, w) - distinct w-window minima of a long array (MOSS winnowing)"),
+      (args: Seq[Expression]) => {
+        checkArity("graft_winnow", args, 2)
+        val w = literalArg("graft_winnow", args, 1, "w")
+        if (w < 1 || w > 4096) fail(s"graft_winnow: w must be in [1, 4096], got $w")
+        WinnowMins(args.head, w.toInt)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_word_count"),
       info("graft_word_count",
         "graft_word_count(tokens, words) - count of tokens present in the literal word array"),

@@ -153,6 +153,34 @@ case class ShingleArray(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** array<bigint> -> array<bigint>: distinct minima of every w-long
+  * window over the hash sequence (winnowing fingerprint selection,
+  * SIGMOD'03 MOSS); shorter-than-w non-empty input yields its single
+  * global min. Native because the HOF formulation re-evaluates the
+  * (expensive) hash-array child once PER WINDOW — Catalyst lambdas have
+  * no let-binding — and is O(n·w) with a per-window slice allocation;
+  * this is one O(n) deque pass inside codegen.
+  */
+case class WinnowMins(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1, s"winnow window must be >= 1, got $w")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"graft_winnow needs array<bigint> hashes, got $t")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashRuntime.winnowMins(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashRuntime.winnowMins($c, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowMins =
+    copy(child = newChild)
+}
+
 /** array<string> -> long: count of elements (with multiplicity) in a
   * fixed word set. The native twin of `size(filter(toks, isin(...)))` —
   * that HOF chain runs interpreted per row and sits in the hot map stage
@@ -320,6 +348,8 @@ object HashExprs {
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(c), seed))
   def shingles(c: Column, n: Int): Column =
     GraftColumnBridge.column(ShingleArray(GraftColumnBridge.expression(c), n))
+  def winnowMins(c: Column, w: Int): Column =
+    GraftColumnBridge.column(WinnowMins(GraftColumnBridge.expression(c), w))
   def wordSetCount(c: Column, words: Seq[String]): Column =
     GraftColumnBridge.column(WordSetCount(GraftColumnBridge.expression(c), words))
   def boundedIntersectSize(a: Column, b: Column, num: Int, den: Int): Column =

@@ -68,6 +68,35 @@ object TextOps {
   def docFingerprint(toks: Column): Column =
     aggregate(polyHashAll(toks), lit(WordSeed), (acc, h) => (acc * DocMul + h) % Mod)
 
+  /** POSITIONAL k-gram strings (single-space-joined), one per position —
+    * NOT [[shingles]], which dedupes: winnowing windows need the full
+    * in-order sequence. Built map-side by successor-zip over the token
+    * array (the q88 bigram device, generalized).
+    */
+  def positionalGrams(toks: Column, k: Int): Column = {
+    require(k >= 1, s"gram size must be >= 1, got $k")
+    transform(
+      slice(toks, lit(1), greatest(size(toks) - (k - 1), lit(0))),
+      (x, i) => concat_ws(" ", Seq(x) ++ (2 to k).map(j => element_at(toks, i + lit(j))): _*))
+  }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken: "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD'03 — the MOSS
+    * device): hash every positional k-gram, then keep the MINIMUM hash of
+    * each w-long window, distinct. Guarantees: any shared run of
+    * k + w - 1 tokens between two documents yields at least one shared
+    * fingerprint, while storing only ~2/(w+1) of the gram hashes —
+    * the local-fingerprint-selection trade minhash (global, probabilistic)
+    * and [[docFingerprint]] (whole-doc) don't offer.
+    *
+    * Entirely map-side (array expressions over the row); documents with
+    * at least one gram but fewer than w emit their single global min, so
+    * every non-trivial doc carries >= 1 fingerprint. Hashes are the
+    * engine's standard mod-1e9+7 polyhash — oracle-reproducible.
+    */
+  def winnowFingerprints(toks: Column, k: Int, w: Int): Column =
+    graft.functions.HashExprs.winnowMins(polyHashAll(positionalGrams(toks, k)), w)
+
   /** Whitespace token count. */
   def tokenCount(toks: Column): Column = size(toks).cast("long")
 

@@ -64,6 +64,7 @@ class ExtensionsSpec extends AnyFunSuite {
                  graft_shingles(split(text, ' '), 2) AS sg,
                  graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
                  graft_word_count(split(text, ' '), array('hello', 'x')) AS wc,
+                 graft_winnow(array(5L, 3L, 9L, 3L, 7L, 1L), 3) AS wn,
                  graft_intersect_size(array('a', 'b', 'c'), array('b', 'c', 'd'), 1, 2) AS isz,
                  graft_levenshtein(text, 'hallo world', 3) AS lv,
                  graft_levenshtein(text, 'completely different', 3) AS lv_over
@@ -81,11 +82,13 @@ class ExtensionsSpec extends AnyFunSuite {
         assert(row.getSeq[String](3) === Seq("hello world"))
         assert(row.getDouble(4) === 11.0)
         assert(row.getLong(5) === 1L)
+        // windows of [5,3,9,3,7,1] w=3: mins 3,3,3,1 -> distinct [3,1]
+        assert(row.getSeq[Long](6) === Seq(3L, 1L))
         // {a,b,c} ∩ {b,c,d} = 2, and J = 2/4 reaches 1/2 — exact count
-        assert(row.getLong(6) === 2L)
+        assert(row.getLong(7) === 2L)
         // one substitution within threshold; -1 above it
-        assert(row.getInt(7) === 1)
-        assert(row.getInt(8) === -1)
+        assert(row.getInt(8) === 1)
+        assert(row.getInt(9) === -1)
       } finally spark.catalog.dropTempView("ext_docs")
     }
   }

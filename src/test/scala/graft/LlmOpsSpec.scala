@@ -810,6 +810,40 @@ class LlmOpsSpec extends SparkSpec {
     assert(g(1 * dim + 0) === 0L && g(2 * dim + 1) === 0L)
   }
 
+  test("winnowFingerprints == sliding-window-min reference; shared-run guarantee holds") {
+    def wh(s: String) = s.foldLeft(7L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    def ref(text: String, k: Int, w: Int): Set[Long] = {
+      val toks = text.toLowerCase.split(" ", -1).toSeq
+      val hs = if (toks.size < k) Seq.empty
+               else toks.sliding(k).map(g => wh(g.mkString(" "))).toSeq
+      if (hs.isEmpty) Set.empty
+      else if (hs.size < w) Set(hs.min)
+      else hs.sliding(w).map(_.min).toSet
+    }
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("red", "blue", "fox", "jumps", "over", "dog", "の", "犬")
+    val docs = (0 until 30).map { i =>
+      (i.toLong, (0 until rnd.nextInt(12)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val got = docs.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextOps.winnowFingerprints(TextOps.tokens(col("text")), 3, 4).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    docs.foreach { case (id, text) =>
+      assert(got(id) === ref(text, 3, 4), s"doc $id '$text'")
+    }
+    // guarantee: a shared run of k+w-1 = 6 tokens yields a shared fingerprint
+    val shared = "one two three four five six"
+    val a = s"aa bb $shared cc"
+    val b = s"zz $shared yy xx"
+    assert(ref(a, 3, 4).intersect(ref(b, 3, 4)).nonEmpty)
+    val gotAb = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextOps.winnowFingerprints(TextOps.tokens(col("text")), 3, 4).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(gotAb(1L).intersect(gotAb(2L)).nonEmpty)
+  }
+
   test("bigram successor-zip expression == sliding(2) (q88's map-side bigram builder)") {
     val rnd = new scala.util.Random(11)
     val docs = (0 until 40).map { i =>
