@@ -96,8 +96,17 @@ object Bench {
     val errJson =
       if (errors.isEmpty) ""
       else errors.reverse.map("\"" + _ + "\"").mkString(",\"errors\":[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""queries_pass1":$raw1,"queries_pass2":$raw2,"sf":"$sfDir"$errJson}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""queries_pass1":$raw1,"queries_pass2":$raw2,"sf":"$sfDir"$errJson}"""
+    println(json)
+    // Also write the artifact to a file directly: stdout scraping truncates
+    // long lines (round-5 lesson: BENCH_r05's per-query map was cut at 2000
+    // chars, making the round's evidence unauditable). The file is complete
+    // even when rc!=0.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: $e") }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -17,10 +17,11 @@ import org.apache.spark.sql.SparkSession
   *    cluster it should be ~2-3x total cores, and AQE coalesces down.
   *  - UTC session timezone so timestamp semantics are reproducible across
   *    drivers/executors and match the DuckDB oracle.
-  *  - `parquet.nanosAsLong`: the harness's `events` table carries
-  *    TIMESTAMP(NANOS) which Spark does not read natively; we read the
-  *    raw int64 and convert to microsecond timestamps at the ingest edge
-  *    (see [[Tables.events]]), matching DuckDB's ns->us truncation.
+  *  - `parquet.nanosAsLong`: kept for testdata generations whose `events`
+  *    table carries TIMESTAMP(NANOS) (read as raw int64 nanos and converted
+  *    at the ingest edge). Current generations write TIMESTAMP(MICROS, NTZ),
+  *    which [[Tables.events]] detects by schema and casts instead — the
+  *    loader branches on the ACTUAL column type, so either encoding works.
   */
 object Engine {
 

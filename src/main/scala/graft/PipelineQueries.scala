@@ -1408,20 +1408,25 @@ object PipelineQueries {
         // any shared 6-token run guarantees a shared fingerprint), then
         // doc pairs sharing >= 2 RARE fingerprints. df <= 10 drops
         // boilerplate fingerprints (no discriminative signal) AND bounds
-        // the self-join fan-out per fingerprint — the skew cap that
-        // keeps the bucket join scale-safe. fp frame feeds the df agg
-        // and the pair join: persist (the q55 rule).
-        val fp = T.documents(s, d)
+        // the per-bucket doc list — which makes the pair step MAP-SIDE:
+        // one groupBy(fp) collects the <= 10 doc ids per kept
+        // fingerprint and the <= 45 ordered pairs explode from the
+        // array in place (round-6 change: the previous df-agg + keep
+        // join + fp self-join re-shuffled the fingerprint frame three
+        // times and needed a persist; this is two shuffles, no cache).
+        // Fingerprints are distinct per doc, so size(ids) IS the df.
+        val buckets = T.documents(s, d)
           .select(col("doc_id"),
             explode(TextOps.winnowFingerprints(docTokens, k = 3, w = 4)).as("fp"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val keep = fp.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
-          .where(col("__df") <= 10)
-          .select(col("fp"))
-        val fk = fp.join(keep, Seq("fp"))
-        fk.as("a").join(fk.as("b"), Seq("fp"))
-          .where(col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .groupBy(col("fp"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .where(size(col("ids")).between(2, 10))
+        buckets
+          .select(explode(expr(
+            "flatten(transform(ids, (x, i) -> " +
+            "transform(slice(ids, i + 2, size(ids)), " +
+            "y -> named_struct('doc_a', x, 'doc_b', y))))")).as("p"))
+          .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
           .agg(count(lit(1)).as("shared_fp"))
           .where(col("shared_fp") >= 2)
           .orderBy(col("doc_a"), col("doc_b"))

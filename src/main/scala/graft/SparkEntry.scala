@@ -11,14 +11,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  def registry: Seq[Q] = ParityQueries.all ++ LlmQueries.all ++ PipelineQueries.all
+  def registry: Seq[Q] =
+    ParityQueries.all ++ LlmQueries.all ++ PipelineQueries.all ++ FeatureQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Uses the reference's flagship dedup-then-join composition
     * (flink playground WithDeduplicateJoinJob.java:88-104).
     */
   def entry(spark: SparkSession): DataFrame =
-    registry.find(_.name == "q03_dedup_join").get.run(spark, "/root/testdata/sf0.001")
+    try registry.find(_.name == "q03_dedup_join").get.run(spark, "/root/testdata/sf0.001")
+    catch {
+      case e: Throwable =>
+        // Surface a one-line actionable error instead of a deep analysis
+        // stack: q03 reads the most fragile loader (Tables.events), whose
+        // testdata encoding has drifted between rounds before.
+        throw new RuntimeException(
+          s"[graft] flagship q03_dedup_join failed — first suspect is the " +
+          s"Tables.events timestamp encoding vs the current testdata: ${e.getMessage}", e)
+    }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -29,15 +29,29 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** Events with `ts` as a microsecond TIMESTAMP.
+  /** Events with `ts` as a microsecond TIMESTAMP (session-tz type).
     *
-    * The parquet column is TIMESTAMP(NANOS) which Spark reads (under
-    * `spark.sql.legacy.parquet.nanosAsLong=true`) as a raw long of nanos
-    * since epoch; integer-dividing by 1000 truncates to microseconds,
-    * exactly what DuckDB does when it reads the same file.
+    * The testdata generator has shipped `ts` under two encodings:
+    *   - TIMESTAMP(NANOS): Spark (with `nanosAsLong`) reads a raw LONG of
+    *     nanos since epoch; integer-dividing by 1000 truncates to micros,
+    *     exactly what DuckDB does reading the same file.
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads a native
+    *     `timestamp_ntz`; under the UTC session timezone a cast to
+    *     TimestampType is value-identical and keeps the loader's output
+    *     type stable across encodings.
+    * Branching on the ACTUAL schema type makes the loader robust to the
+    * generator changing encodings between rounds (it did, round 5).
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => // timestamp_ntz (or date): normalize to session-tz timestamp
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
+  }
 
   /** Register all tables as temp views (events with converted ts). */
   def registerAll(s: SparkSession, d: String): Unit = {

@@ -81,21 +81,43 @@ object PageRank {
       spark.sparkContext.defaultParallelism.toLong, e.count() / 2000000L)).toInt
 
     // Out-weight attaches to the edge list ONCE; the per-iteration join
-    // then needs only (rank ⋈ edges). Persist + pre-partition by the join
-    // key so every round reuses the same shuffle-free edge side.
+    // then needs only (rank ⋈ edges).
     val ew = e
       .join(e.groupBy(col("__src")).agg(sum(col("__w")).as("__outw")), "__src")
+
+    // Nodes with at least one IN-edge are the only ones whose rank ever
+    // changes: a source-only node's rank is `scale` before round 1 and
+    // exactly `teleport` after every round (it receives nothing). So the
+    // loop maintains ranks for in-edge nodes ONLY, and contributions from
+    // source-only nodes — constant per round — are FOLDED into two
+    // precomputed per-dst frames (round-1 uses pr=scale, later rounds
+    // pr=teleport). This removes the per-round `nodes LEFT JOIN contribs`
+    // stage entirely: every in-edge node is a __dst of some edge whose
+    // source is either in the rank frame or in the folded constant, so
+    // the contribution agg already covers all of them (round-6 change;
+    // the old form paid an extra O(|V|) join stage per round).
+    val inNodes = e.select(col("__dst").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Dynamic edges: source rank changes per round. Persist + pre-partition
+    // by the join key so every round reuses the same shuffle-free edge side.
+    val ewDyn = ew
+      .join(inNodes.withColumnRenamed("node", "__src"), Seq("__src"), "left_semi")
       .repartition(parallelism, col("__src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-
-    val nodes = e.select(col("__src").as("node"))
-      .union(e.select(col("__dst").as("node")))
-      .distinct()
-      .repartition(parallelism, col("node"))
+    // Constant edges: source has no in-edges; per-dst contribution folded
+    // once per distinct source rank value (integer per-edge div BEFORE the
+    // sum — bit-identical to evaluating them inside the loop).
+    val ewConst = ew
+      .join(inNodes.withColumnRenamed("node", "__src"), Seq("__src"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
-
     val teleport = scale * (100L - dampingPct) / 100L
-    var pr = nodes.select(col("node"), lit(scale).as("pr"))
+    def constContrib(prVal: Long): DataFrame = ewConst
+      .select(col("__dst"), expr(s"(${prVal}L * __w) div __outw").as("__c"))
+      .groupBy(col("__dst")).agg(sum(col("__c")).as("__c"))
+    val constR1 = constContrib(scale).persist(StorageLevel.MEMORY_AND_DISK)
+    val constSteady = constContrib(teleport).persist(StorageLevel.MEMORY_AND_DISK)
+
+    var pr = inNodes.select(col("node"), lit(scale).as("pr"))
     var checkpointed = 0
     // Loop confs: AQE off (per-stage re-planning latency, nothing to
     // improve on pre-partitioned rounds); shuffle partitions sized to
@@ -108,13 +130,14 @@ object PageRank {
       "spark.sql.adaptive.enabled" -> "false",
       "spark.sql.shuffle.partitions" -> parallelism.toString,
       "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
-      for (_ <- 1 to iterations) {
-        val contribs = pr.join(ew, col("node") === col("__src"))
+      for (i <- 1 to iterations) {
+        val const = if (i == 1) constR1 else constSteady
+        val contribs = pr.join(ewDyn, col("node") === col("__src"))
           .select(col("__dst"), expr("(pr * __w) div __outw").as("__c"))
+          .union(const)
           .groupBy(col("__dst")).agg(sum(col("__c")).as("__s"))
-        pr = nodes.join(contribs, col("node") === col("__dst"), "left")
-          .select(col("node"),
-            expr(s"${teleport}L + (${dampingPct}L * coalesce(__s, 0L)) div 100L").as("pr"))
+        pr = contribs.select(col("__dst").as("node"),
+          expr(s"${teleport}L + (${dampingPct}L * __s) div 100L").as("pr"))
         // Truncate lineage every few rounds (the Components rule: an
         // untruncated iterative tree grows per round and Catalyst's walks
         // go super-linear) — but NOT every round: a checkpoint is an eager
@@ -124,15 +147,23 @@ object PageRank {
         checkpointed += 1
         if (checkpointed % 8 == 0) pr = pr.localCheckpoint()
       }
+      // Source-only nodes re-enter the result at their constant
+      // post-round rank (exactly `teleport` after >= 1 round).
+      val srcOnly = e.select(col("__src").as("node")).distinct()
+        .join(inNodes, Seq("node"), "left_anti")
+        .select(col("node"), lit(teleport).as("pr"))
       // materialize the result (AQE off: every join side above is
       // pre-partitioned, so runtime re-planning only adds per-stage
       // driver latency) so the operator's working caches do not outlive
       // the call; checkpoint blocks are ContextCleaner-collected
-      pr.localCheckpoint()
+      pr.union(srcOnly).localCheckpoint()
     }
     e.unpersist()
-    ew.unpersist()
-    nodes.unpersist()
+    inNodes.unpersist()
+    ewDyn.unpersist()
+    ewConst.unpersist()
+    constR1.unpersist()
+    constSteady.unpersist()
     out
   }
 }

@@ -273,4 +273,35 @@ class FixtureSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2))).toSet
     assert(backJson === rows.map { case (i, n, s) => (i, Option(n), s) }.toSet)
   }
+
+  test("Tables.events: robust to both testdata timestamp encodings (nanos-long and native ntz)") {
+    // Round-5 regression guard: the testdata generator switched the events
+    // `ts` column from TIMESTAMP(NANOS) (read as a raw long under
+    // nanosAsLong) to TIMESTAMP(MICROS, NTZ) between rounds, silently
+    // breaking every events consumer. The loader must yield the SAME
+    // micros values and the SAME TimestampType schema under either.
+    import org.apache.spark.sql.types._
+    val microsVals = Seq(1700000000000001L, 1700000000123456L, 1699999999999999L)
+
+    // encoding A: raw long of NANOS since epoch (the old nanosAsLong read)
+    val dirA = java.nio.file.Files.createTempDirectory("graft_ev_nanos").toString
+    microsVals.map(us => (1L, us * 1000L, "click")).toDF("event_id", "ts", "event_type")
+      .write.mode("overwrite").parquet(s"$dirA/events.parquet")
+
+    // encoding B: native timestamp_ntz of MICROS (the current generator)
+    val dirB = java.nio.file.Files.createTempDirectory("graft_ev_ntz").toString
+    microsVals.map(us => (1L, us, "click")).toDF("event_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")).cast(TimestampNTZType)).drop("us")
+      .select($"event_id", $"ts", $"event_type")
+      .write.mode("overwrite").parquet(s"$dirB/events.parquet")
+
+    val a = Tables.events(spark, dirA)
+    val b = Tables.events(spark, dirB)
+    assert(a.schema("ts").dataType === TimestampType)
+    assert(b.schema("ts").dataType === TimestampType)
+    val usOf = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(unix_micros($"ts")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(usOf(a) === microsVals.sorted)
+    assert(usOf(b) === microsVals.sorted)
+  }
 }
