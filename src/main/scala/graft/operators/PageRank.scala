@@ -75,10 +75,13 @@ object PageRank {
     // magnitude smaller than whatever produced it, and every round would
     // otherwise pay a full corpus-sized task wave. ~2M edge rows
     // (~50 MB) per partition; grows back to cluster parallelism on real
-    // graphs. e is persisted above, so this count doubles as the eager
-    // cache fill.
-    val parallelism = math.max(1L, math.min(
-      spark.sparkContext.defaultParallelism.toLong, e.count() / 2000000L)).toInt
+    // graphs. Floor at min(8, cores): a 1-partition loop serializes the
+    // per-round join/agg even when cores are idle (measured ~1s over 5
+    // rounds at sf0.1) — small-but-multi beats single. e is persisted
+    // above, so this count doubles as the eager cache fill.
+    val dp = spark.sparkContext.defaultParallelism.toLong
+    val parallelism = math.max(math.min(8L, dp),
+      math.min(dp, e.count() / 2000000L)).toInt
 
     // Out-weight attaches to the edge list ONCE; the per-iteration join
     // then needs only (rank ⋈ edges).
@@ -98,23 +101,29 @@ object PageRank {
     // the old form paid an extra O(|V|) join stage per round).
     val inNodes = e.select(col("__dst").as("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Dynamic edges: source rank changes per round. Persist + pre-partition
-    // by the join key so every round reuses the same shuffle-free edge side.
-    val ewDyn = ew
-      .join(inNodes.withColumnRenamed("node", "__src"), Seq("__src"), "left_semi")
+    // ONE flagged edge frame instead of separate semi/anti splits (each
+    // was its own join + shuffle + persist): the flag marks whether the
+    // SOURCE has in-edges, the loop filters in place from the shared
+    // cache. Persist + pre-partition by the join key so every round
+    // reuses the same shuffle-free edge side.
+    val ewFlag = ew
+      .join(inNodes.select(col("node").as("__src"), lit(true).as("__dyn")),
+        Seq("__src"), "left")
+      .na.fill(false, Seq("__dyn"))
       .repartition(parallelism, col("__src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Constant edges: source has no in-edges; per-dst contribution folded
-    // once per distinct source rank value (integer per-edge div BEFORE the
-    // sum — bit-identical to evaluating them inside the loop).
-    val ewConst = ew
-      .join(inNodes.withColumnRenamed("node", "__src"), Seq("__src"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ewDyn = ewFlag.where(col("__dyn")).drop("__dyn")
     val teleport = scale * (100L - dampingPct) / 100L
-    def constContrib(prVal: Long): DataFrame = ewConst
+    // Constant contributions (sources with no in-edges hold rank `scale`
+    // before round 1 and exactly `teleport` after): folded per dst, with
+    // the integer per-edge div BEFORE the sum — bit-identical to
+    // evaluating them inside the loop. Round-1's frame is used once (no
+    // persist); the steady frame feeds rounds 2..n.
+    def constContrib(prVal: Long): DataFrame = ewFlag
+      .where(!col("__dyn"))
       .select(col("__dst"), expr(s"(${prVal}L * __w) div __outw").as("__c"))
       .groupBy(col("__dst")).agg(sum(col("__c")).as("__c"))
-    val constR1 = constContrib(scale).persist(StorageLevel.MEMORY_AND_DISK)
+    val constR1 = constContrib(scale)
     val constSteady = constContrib(teleport).persist(StorageLevel.MEMORY_AND_DISK)
 
     var pr = inNodes.select(col("node"), lit(scale).as("pr"))
@@ -138,19 +147,21 @@ object PageRank {
           .groupBy(col("__dst")).agg(sum(col("__c")).as("__s"))
         pr = contribs.select(col("__dst").as("node"),
           expr(s"${teleport}L + (${dampingPct}L * __s) div 100L").as("pr"))
-        // Truncate lineage every few rounds (the Components rule: an
-        // untruncated iterative tree grows per round and Catalyst's walks
-        // go super-linear) — but NOT every round: a checkpoint is an eager
-        // extra job and drops the partitioning Catalyst could have reused,
-        // so at the default 5 rounds the plan runs as ONE fused job.
-        // Values are integers — materialization cannot perturb them.
+        // Truncate lineage every other round (the Components rule: an
+        // untruncated iterative tree grows per round and Catalyst's
+        // analysis/codegen walks go super-linear). Measured at sf0.1:
+        // fusing all 5 rounds into one job costs ~7.0s, checkpointing
+        // every 1-2 rounds ~5.4s — the optimizer/codegen cost of the
+        // deep fused plan dominates the extra eager jobs. Values are
+        // integers — materialization cannot perturb them.
         checkpointed += 1
-        if (checkpointed % 8 == 0) pr = pr.localCheckpoint()
+        if (checkpointed % 2 == 0) pr = pr.localCheckpoint()
       }
       // Source-only nodes re-enter the result at their constant
-      // post-round rank (exactly `teleport` after >= 1 round).
-      val srcOnly = e.select(col("__src").as("node")).distinct()
-        .join(inNodes, Seq("node"), "left_anti")
+      // post-round rank (exactly `teleport` after >= 1 round); read from
+      // the cached flag frame, not a fresh anti-join against e.
+      val srcOnly = ewFlag.where(!col("__dyn"))
+        .select(col("__src").as("node")).distinct()
         .select(col("node"), lit(teleport).as("pr"))
       // materialize the result (AQE off: every join side above is
       // pre-partitioned, so runtime re-planning only adds per-stage
@@ -160,9 +171,7 @@ object PageRank {
     }
     e.unpersist()
     inNodes.unpersist()
-    ewDyn.unpersist()
-    ewConst.unpersist()
-    constR1.unpersist()
+    ewFlag.unpersist()
     constSteady.unpersist()
     out
   }
