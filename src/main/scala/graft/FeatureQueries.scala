@@ -240,5 +240,170 @@ object FeatureQueries {
         "(the argmax is the first merge rule) — pairs built map-side as positional " +
         "2-char substrings, one pair-key shuffle with map-side partial agg, " +
         "vocabulary^2-bounded result; iterating merges re-runs the same plan " +
-        "on re-segmented tokens"))
+        "on re-segmented tokens"),
+
+    // ------------------------------------------------ data-quality suite
+    Q("q101_validate_suite",
+      (s, d) => {
+        // Deequ-style ingest validation: uniqueness, referential
+        // integrity, ranges, nulls, domains — the gate a pipeline runs
+        // on every batch BEFORE training sees it. Each check is one
+        // distributed agg (or one ids-only left join); the report is
+        // their union: 9 one-row frames, no driver-side data. Note the
+        // (l_orderkey, l_linenumber) check is EXPECTED to fire — this
+        // corpus genuinely carries duplicate line numbers (the q89
+        // canonicalization exists because of it): a validator that
+        // can't surface real violations proves nothing.
+        import Validate._
+        val li = T.lineitem(s, d); val ord = T.orders(s, d)
+        suite(Seq(
+          uniqueKey(T.customer(s, d), "unique_customer_key", Seq("c_custkey")),
+          uniqueKey(ord, "unique_order_key", Seq("o_orderkey")),
+          uniqueKey(li, "unique_lineitem_pos", Seq("l_orderkey", "l_linenumber")),
+          foreignKey(li, "l_orderkey", ord, "o_orderkey", "fk_lineitem_order"),
+          foreignKey(ord, "o_custkey", T.customer(s, d), "c_custkey", "fk_order_customer"),
+          foreignKey(li, "l_partkey", T.part(s, d), "p_partkey", "fk_lineitem_part"),
+          inRange(li, "l_quantity", lit(1.0), lit(50.0), "range_quantity_1_50"),
+          notNull(T.documents(s, d), "text", "notnull_document_text"),
+          acceptedValues(ord, "o_orderstatus", Seq("O", "F", "P"), "domain_orderstatus")))
+          .orderBy(col("check"))
+      },
+      Some("""
+        SELECT 'unique_customer_key' AS "check",
+               count(*) - count(DISTINCT c_custkey) AS violations,
+               count(*) AS n_checked FROM customer
+        UNION ALL
+        SELECT 'unique_order_key', count(*) - count(DISTINCT o_orderkey), count(*) FROM orders
+        UNION ALL
+        SELECT 'unique_lineitem_pos',
+               count(*) - count(DISTINCT (l_orderkey, l_linenumber)), count(*) FROM lineitem
+        UNION ALL
+        SELECT 'fk_lineitem_order',
+               count(*) FILTER (WHERE l_orderkey IS NOT NULL
+                 AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+               count(*) FROM lineitem
+        UNION ALL
+        SELECT 'fk_order_customer',
+               count(*) FILTER (WHERE o_custkey IS NOT NULL
+                 AND o_custkey NOT IN (SELECT c_custkey FROM customer)),
+               count(*) FROM orders
+        UNION ALL
+        SELECT 'fk_lineitem_part',
+               count(*) FILTER (WHERE l_partkey IS NOT NULL
+                 AND l_partkey NOT IN (SELECT p_partkey FROM part)),
+               count(*) FROM lineitem
+        UNION ALL
+        SELECT 'range_quantity_1_50',
+               count(*) FILTER (WHERE l_quantity IS NOT NULL
+                 AND (l_quantity < 1 OR l_quantity > 50)),
+               count(*) FROM lineitem
+        UNION ALL
+        SELECT 'notnull_document_text',
+               count(*) FILTER (WHERE text IS NULL), count(*) FROM documents
+        UNION ALL
+        SELECT 'domain_orderstatus',
+               count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                 AND o_orderstatus NOT IN ('O', 'F', 'P')),
+               count(*) FROM orders
+        ORDER BY "check" """),
+      "declarative data-quality suite (operators.Validate — the Deequ shape): " +
+        "uniqueness, FK orphans (ids-only left join), ranges, nulls, domains; " +
+        "each check one distributed agg returning one (check, violations, " +
+        "n_checked) row, suite = union — the per-batch ingest gate; counts only, " +
+        "bit-stable"),
+
+    // ------------------------------------- quality-aware cluster dedup
+    Q("q102_best_of_cluster",
+      (s, d) => {
+        // q51's transitive cluster dedup with the PRODUCTION survivor
+        // policy: keep each near-dup cluster's BEST doc (longest, tie ->
+        // min id), not its minimum id — the min-id copy of a cluster can
+        // be its most truncated one. Same exact-complete PPJoin pair
+        // graph and pointer-jumping components; quality attaches to the
+        // clustered ids only (the payload never rides the iteration).
+        val docs = T.documents(s, d)
+        Components.keepBestPerCluster(
+            docs, "doc_id",
+            JaccardJoin.nearDupPairs(docs, "doc_id", "text", ngram = 3, num = 6, den = 10),
+            better = Seq(col("n_chars").desc, col("doc_id").asc))
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH RECURSIVE toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM toks),
+        pairs AS (SELECT a.doc_id AS pa, b.doc_id AS pb
+                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+                    AND len(list_intersect(a.sh, b.sh)) * 10 >=
+                        6 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))),
+        edges AS (SELECT pa AS u, pb AS v FROM pairs UNION SELECT pb, pa FROM pairs),
+        reach(id, r) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+        comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
+        ranked AS (SELECT comp.id,
+                     row_number() OVER (PARTITION BY c ORDER BY d.n_chars DESC, comp.id) AS rk
+                   FROM comp JOIN documents d ON d.doc_id = comp.id)
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM ranked WHERE rk <> 1)
+        ORDER BY doc_id"""),
+      "quality-aware cluster dedup (Components.keepBestPerCluster): transitive " +
+        "near-dup clusters keep their LONGEST doc (deterministic id tiebreak) " +
+        "instead of the min id — the survivor policy production dedup ships; " +
+        "quality joins the ids-only component table, per-cluster window is " +
+        "bounded by near-dup group size"),
+
+    // ----------------------------------------- perplexity bucketing
+    Q("q103_ccnet_buckets",
+      (s, d) => {
+        // CCNet's quality partition: score every doc with the corpus LM
+        // (q88's all-integer smoothed bigram score, averaged per bigram),
+        // split the corpus into head/middle/tail TERTILES by score, and
+        // report each bucket's size and score range — the standard
+        // keep-head/resample-middle/drop-tail curation signal. ntile
+        // needs a global order: fine below ~10M docs per job; at corpus
+        // scale the same split uses sampled quantile BOUNDARIES
+        // (broadcast thresholds, no global sort) — documented trade.
+        val bi = T.documents(s, d)
+          .select(col("doc_id"), docTokens.as("__w"))
+          .select(col("doc_id"), explode(expr(
+            "transform(slice(__w, 1, greatest(size(__w) - 1, 0)), " +
+              "(x, i) -> struct(x AS w1, element_at(__w, i + 2) AS w2))")).as("__bg"))
+          .select(col("doc_id"), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+        val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+        bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+          .withColumn("__sc", expr("((c2 + 1L) * 1000000L) div (c1 + 1L)"))
+          .groupBy(col("doc_id"))
+          .agg(expr("sum(__sc) div count(1)").as("avg_s"))
+          .withColumn("bucket", ntile(3).over(
+            Window.orderBy(col("avg_s").desc, col("doc_id"))))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("avg_s")).as("min_s"), max(col("avg_s")).as("max_s"))
+          .orderBy(col("bucket"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        bi AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+               FROM t, unnest(range(1, len(w))) AS u(i)),
+        c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+        c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+        sc AS (SELECT doc_id, ((c2 + 1) * 1000000) // (c1 + 1) AS sc
+               FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
+        ds AS (SELECT doc_id, CAST(sum(sc) // count(*) AS BIGINT) AS avg_s
+               FROM sc GROUP BY doc_id),
+        bk AS (SELECT doc_id, avg_s,
+                 ntile(3) OVER (ORDER BY avg_s DESC, doc_id) AS bucket FROM ds)
+        SELECT bucket, count(*) AS n_docs, min(avg_s) AS min_s, max(avg_s) AS max_s
+        FROM bk GROUP BY bucket ORDER BY bucket"""),
+      "CCNet-style perplexity partition: per-doc average bigram-LM score " +
+        "(all-integer), head/middle/tail tertiles via ntile, per-bucket size and " +
+        "score range — the keep/resample/drop curation signal; at corpus scale " +
+        "the tertile split swaps the global sort for sampled quantile boundaries " +
+        "(broadcast thresholds), same downstream contract"))
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -161,6 +161,37 @@ object Components {
     val drop = connectedComponents(pairs, aCol, bCol)
       .where(col("id") =!= col("comp"))
       .select(col("id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** Quality-aware cluster dedup POLICY: keep the single best doc of each
+    * near-dup cluster by an arbitrary quality ordering (longest, highest
+    * classifier score, freshest...), not the minimum id — what production
+    * corpus dedup actually ships, since the min-id survivor of a cluster
+    * may be its worst copy. `better` orders DESCENDING by quality; ties
+    * MUST be broken deterministically (pass the id last).
+    *
+    * Flow: components over the ids-only pair graph, attach quality to the
+    * clustered ids ONLY (one semi-sized join — the doc payload still
+    * never rides the graph iteration), a per-cluster ROW_NUMBER keeps
+    * rank 1, and unclustered docs survive via the same anti-join shape as
+    * [[keepMinPerCluster]]. Scale: the window partitions by cluster id —
+    * cluster sizes are near-dup group sizes (small by nature); a
+    * pathological mega-cluster is a corpus bug worth crashing on.
+    */
+  def keepBestPerCluster(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      better: Seq[Column],
+      aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+    val ranked = comp.join(docs, comp("id") === docs(idCol), "inner")
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("comp")).orderBy(better: _*)))
+    val drop = ranked.where(col("__rk") =!= 1).select(col("id").as(idCol))
     docs.join(drop, Seq(idCol), "left_anti")
   }
 }
