@@ -23,15 +23,16 @@ object FeatureQueries {
 
   private val docTokens = TextOps.tokens(col("text"))
 
-  /** Deterministic pseudo-weight for a hashed feature bucket: Knuth
-    * multiplicative scramble into a signed integer weight in
+  /** Deterministic pseudo-weights for hashed feature buckets: Knuth
+    * multiplicative scramble into signed integer weights in
     * [-500001, 500001]. Stands in for a trained linear model's weight
     * table — the INFERENCE dataflow (hash features scan-side, no
     * weight-table shuffle) is the real, tested part; swapping in real
     * weights is a broadcast-join or literal-map change, not a new plan.
     */
-  private def bucketWeight(bucket: Column): Column =
-    (bucket * lit(2654435761L)) % lit(1000003L) - lit(500001L)
+  private val WeightMul = 2654435761L
+  private val WeightMod = 1000003L
+  private val WeightShift = 500001L
 
   val all: Seq[Q] = Seq(
 
@@ -42,15 +43,13 @@ object FeatureQueries {
         // hashing-trick features (token polyhash mod 2^18 buckets),
         // per-bucket weight, doc score = sum of token weights, gate at
         // score > 0. The shape of every learned quality/toxicity filter
-        // pass: entirely scan-side (hash + weight + sum are map-only,
+        // pass: entirely scan-side (hash + weight + sum fused into ONE
+        // codegen'd native kernel, graft.functions.ClassifierScore —
         // ZERO shuffle for the scoring itself), all-BIGINT so the oracle
         // replays it bit-for-bit. At 100 TB a real weight table rides the
         // same plan as a 2^18-entry broadcast instead of the formula.
-        val buckets = 262144L
-        val score = aggregate(
-          transform(TextOps.polyHashAll(docTokens),
-            h => bucketWeight(pmod(h, lit(buckets)))),
-          lit(0L), (acc, w) => acc + w)
+        val score = graft.functions.HashExprs.classifierScore(
+          docTokens, buckets = 262144L, WeightMul, WeightMod, WeightShift)
         T.documents(s, d)
           .select(col("doc_id"), col("source"), score.as("score"))
           .withColumn("keep", (col("score") > 0).cast("boolean"))
@@ -82,24 +81,31 @@ object FeatureQueries {
         // paragraph shifts byte offsets but reproduces every unchanged
         // chunk, which fixed-width chunking (q73) cannot. Emitted here:
         // the cross-doc duplicated chunks (df >= 2) a chunk-level dedup
-        // would collapse. All map-side until the one chunk-hash groupBy.
-        val toks = docTokens
-        val h = TextOps.polyHashAll(toks)
-        // 1-based boundary positions (token i closes a chunk), then
-        // chunk j = tokens (bounds[j]+1 .. bounds[j+1]) joined — pure
-        // array expressions, no explode until chunks exist
-        val bpos = filter(sequence(lit(1), size(toks)),
-          i => element_at(h, i) % 16 === 0 && i < size(toks))
-        val bounds = concat(array(lit(0)), bpos, array(size(toks)))
-        val chunks = filter(
-          transform(sequence(lit(1), size(bounds) - 1), j =>
-            array_join(
-              slice(toks, element_at(bounds, j) + 1,
-                element_at(bounds, j + 1) - element_at(bounds, j)),
-              " ")),
-          c => c =!= "")
-        T.documents(s, d)
-          .select(col("doc_id"), explode(chunks).as("chunk"))
+        // would collapse.
+        // Shape: posexplode -> boundary-prefix-count window -> chunk
+        // assembly groupBy. The window and the (doc_id, chunk) groupBy
+        // share one doc_id shuffle (subset clustering); per-doc state is
+        // bounded by doc length. A pure array-expression formulation
+        // was tried first and is a trap: nested element_at over a
+        // COMPUTED bounds array gets inlined by CollapseProject, so the
+        // boundary filter re-evaluates per chunk — O(n^2) hashing per
+        // doc (measured 45s vs ~2s at sf0.1).
+        val tokRows = T.documents(s, d)
+          .select(col("doc_id"), docTokens.as("__w"))
+          .select(col("doc_id"), size(col("__w")).as("__n"),
+            posexplode(col("__w")).as(Seq("__p", "__tok")))
+          .withColumn("__b",
+            (TextOps.polyHash(col("__tok")) % 16 === 0) && (col("__p") + 1 < col("__n")))
+        // chunk id = number of boundary tokens strictly BEFORE this one
+        val cid = coalesce(sum(when(col("__b"), 1L).otherwise(0L)).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("__p"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+        tokRows.withColumn("__cid", cid)
+          .groupBy(col("doc_id"), col("__cid"))
+          .agg(array_join(
+            transform(array_sort(collect_list(struct(col("__p"), col("__tok")))),
+              x => x.getField("__tok")), " ").as("chunk"))
+          .where(col("chunk") =!= "")
           .groupBy(TextOps.polyHash(col("chunk")).as("chunk_hash"))
           .agg(countDistinct(col("doc_id")).as("df"),
             count(lit(1)).as("occurrences"))

@@ -68,6 +68,33 @@ case class PolyHashArray(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** array<string> tokens -> long: fused hashing-trick linear-classifier
+  * score — per token polyhash -> mod-`buckets` feature bucket ->
+  * ((bucket*mul) mod wmod - shift) weight, summed. The q96 inference
+  * kernel: one codegen'd pass over the token array, no intermediate
+  * hash array, no interpreted HOF lambdas in the scan stage.
+  */
+case class ClassifierScore(
+    child: Expression, buckets: Long, mul: Long, wmod: Long, shift: Long)
+  extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"graft_classifier_score needs array<string>, got $t")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashRuntime.classifierScore(input.asInstanceOf[ArrayData], buckets, mul, wmod, shift)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashRuntime.classifierScore($c, ${buckets}L, ${mul}L, ${wmod}L, ${shift}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): ClassifierScore =
+    copy(child = newChild)
+}
+
 /** array<long> (element hashes) -> array<long> (k-slot minhash
   * signature): sig[j] = min over h of (a_j*h + b_j) mod 1e9+7; empty
   * arrays yield Prime ("infinity") in every slot.
@@ -350,6 +377,9 @@ object HashExprs {
     GraftColumnBridge.column(ShingleArray(GraftColumnBridge.expression(c), n))
   def winnowMins(c: Column, w: Int): Column =
     GraftColumnBridge.column(WinnowMins(GraftColumnBridge.expression(c), w))
+  def classifierScore(c: Column, buckets: Long, mul: Long, wmod: Long, shift: Long): Column =
+    GraftColumnBridge.column(ClassifierScore(
+      GraftColumnBridge.expression(c), buckets, mul, wmod, shift))
   def wordSetCount(c: Column, words: Seq[String]): Column =
     GraftColumnBridge.column(WordSetCount(GraftColumnBridge.expression(c), words))
   def boundedIntersectSize(a: Column, b: Column, num: Int, den: Int): Column =

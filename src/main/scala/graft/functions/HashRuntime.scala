@@ -25,6 +25,34 @@ object HashRuntime {
 
   private val ShingleSep: UTF8String = UTF8String.fromString(" ")
 
+  /** Fused linear-classifier score over string tokens: per token,
+    * polyhash (acc0=7, *31 mod 1e9+7) -> bucket (hash mod `buckets`) ->
+    * weight ((bucket * mul) mod wmod - shift), summed. One pass, no
+    * intermediate hash array — the hashing-trick inference hot loop
+    * (q96). Null tokens carry no signal. All arithmetic is non-negative
+    * before the shift, so Java % == mathematical mod throughout.
+    */
+  def classifierScore(arr: ArrayData, buckets: Long, mul: Long, wmod: Long, shift: Long): Long = {
+    val n = arr.numElements()
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i).toString
+        var acc = 7L
+        var j = 0
+        while (j < s.length) {
+          val cp = s.codePointAt(j)
+          acc = (acc * 31L + cp.toLong) % Prime
+          j += Character.charCount(cp)
+        }
+        sum += (acc % buckets) * mul % wmod - shift
+      }
+      i += 1
+    }
+    sum
+  }
+
   /** Per-element polynomial rolling hash over CODE POINTS:
     * acc0 = 7, acc = (acc*31 + codepoint) mod 1e9+7. Null elements hash
     * to null.

@@ -863,4 +863,28 @@ class LlmOpsSpec extends SparkSpec {
       assert(got.getOrElse(id, Seq.empty) === want, s"doc $id '$text'")
     }
   }
+
+  test("classifierScore: native fused kernel == interpreted HOF twin, empty/null safe") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      ("a b c", 1L), ("", 2L), ("the quick brown fox", 3L), ("zzz", 4L))
+      .toDF("text", "id")
+      .select(col("id"), operators.TextOps.tokens(col("text")).as("toks"))
+    val native = df.select(col("id"),
+      functions.HashExprs.classifierScore(col("toks"), 262144L, 2654435761L, 1000003L, 500001L)
+        .as("s"))
+    // the SQL-expressible twin: per-token polyhash -> bucket -> weight, summed
+    val twin = df.select(col("id"),
+      aggregate(
+        transform(functions.HashExprs.polyHashArray(col("toks")),
+          h => pmod(h, lit(262144L)) * lit(2654435761L) % lit(1000003L) - lit(500001L)),
+        lit(0L), (acc, w) => acc + w).as("s"))
+    assert(native.collect().map(r => (r.getLong(0), r.getLong(1))).toMap ===
+      twin.collect().map(r => (r.getLong(0), r.getLong(1))).toMap)
+    // null token arrays: expression is null-propagating
+    val nulls = Seq((1L, null: String)).toDF("id", "text")
+      .select(col("id"), operators.TextOps.tokens(col("text")).as("toks"))
+      .select(functions.HashExprs.classifierScore(col("toks"), 64L, 3L, 7L, 3L).as("s"))
+    assert(nulls.collect().head.isNullAt(0))
+  }
 }
