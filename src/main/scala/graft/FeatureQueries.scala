@@ -411,5 +411,43 @@ object FeatureQueries {
         "(all-integer), head/middle/tail tertiles via ntile, per-bucket size and " +
         "score range — the keep/resample/drop curation signal; at corpus scale " +
         "the tertile split swaps the global sort for sampled quantile boundaries " +
-        "(broadcast thresholds), same downstream contract"))
+        "(broadcast thresholds), same downstream contract"),
+
+    // ------------------------------------------------- n-gram novelty
+    Q("q104_novelty_score",
+      (s, d) => {
+        // per-doc novelty: the ppm fraction of a doc's DISTINCT 3-gram
+        // shingles that appear in NO other doc (corpus df == 1 — since
+        // shingles are per-doc distinct, df counts documents). High
+        // novelty = original text worth keeping; near-zero = assembled
+        // from corpus boilerplate. The complement of q82's
+        // frequent-chunk signal at shingle granularity. One shingle df
+        // agg + one doc_id shuffle, all-integer ppm; docs with < 3
+        // tokens have no shingles and no row (documented, matches the
+        // oracle's construction).
+        val sh = T.documents(s, d)
+          .select(col("doc_id"),
+            explode(TextOps.shingles(docTokens, 3)).as("g"))
+        val gdf = sh.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+        sh.join(gdf, Seq("g"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            expr("sum(CASE WHEN __df = 1 THEN 1L ELSE 0L END) * 1000000L div count(1)")
+              .as("novelty_ppm"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g FROM t),
+        gdf AS (SELECT g, count(*) AS df FROM sh GROUP BY g)
+        SELECT doc_id, count(*) AS n_shingles,
+               CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+                 AS novelty_ppm
+        FROM sh JOIN gdf USING (g)
+        GROUP BY doc_id ORDER BY doc_id"""),
+      "per-doc n-gram novelty (ppm of distinct 3-gram shingles with corpus " +
+        "df = 1): the originality/boilerplate curation signal complementing q82; " +
+        "one shingle-df agg + one doc_id shuffle, shingle build is the native " +
+        "scan-side ShingleArray, all-integer ppm"))
 }

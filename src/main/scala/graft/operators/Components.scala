@@ -75,7 +75,11 @@ object Components {
     // near-empty partitions. ~2M edges (~64 MB) per partition; coalesce
     // is narrow over the cached blocks, so the re-layout is free, and at
     // real graph sizes p grows back to the cluster's parallelism.
-    val p = math.max(1L, math.min(symAll.rdd.getNumPartitions.toLong, nEdges / 2000000L)).toInt
+    // Floor at min(8, current partitions): a 1-partition loop serializes
+    // every round's join/agg even when cores are idle (the q89 PageRank
+    // lesson) — small-but-multi beats single.
+    val p = math.max(math.min(8L, symAll.rdd.getNumPartitions.toLong),
+      math.min(symAll.rdd.getNumPartitions.toLong, nEdges / 2000000L)).toInt
     val sym = if (p < symAll.rdd.getNumPartitions) symAll.coalesce(p) else symAll
 
     var comp = sym.select(col("src").as("id")).distinct()
