@@ -68,6 +68,30 @@ case class PolyHashArray(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** array<string> tokens -> array<long>: positional k-gram hashes with no
+  * intermediate gram strings (one rolling fold per position, space
+  * separator folded in) — bit-identical to PolyHashArray over
+  * concat_ws-built grams. Feeds WinnowMins (q95).
+  */
+case class PositionalGramHashes(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"graft_positional_gram_hashes needs array<string>, got $t")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashRuntime.positionalGramHashes(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashRuntime.positionalGramHashes($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): PositionalGramHashes =
+    copy(child = newChild)
+}
+
 /** array<string> tokens -> long: fused hashing-trick linear-classifier
   * score — per token polyhash -> mod-`buckets` feature bucket ->
   * ((bucket*mul) mod wmod - shift) weight, summed. The q96 inference
@@ -377,6 +401,8 @@ object HashExprs {
     GraftColumnBridge.column(ShingleArray(GraftColumnBridge.expression(c), n))
   def winnowMins(c: Column, w: Int): Column =
     GraftColumnBridge.column(WinnowMins(GraftColumnBridge.expression(c), w))
+  def positionalGramHashes(c: Column, k: Int): Column =
+    GraftColumnBridge.column(PositionalGramHashes(GraftColumnBridge.expression(c), k))
   def classifierScore(c: Column, buckets: Long, mul: Long, wmod: Long, shift: Long): Column =
     GraftColumnBridge.column(ClassifierScore(
       GraftColumnBridge.expression(c), buckets, mul, wmod, shift))

@@ -53,6 +53,44 @@ object HashRuntime {
     sum
   }
 
+  /** Positional k-gram hashes WITHOUT materializing gram strings:
+    * out[i] = polyhash of (toks[i] ⧺ " " ⧺ ... ⧺ toks[i+k-1]) — folds
+    * each gram's code points (separator = one space, cp 32) directly,
+    * bit-identical to [[polyHashArray]] over concat_ws-built gram
+    * strings (null tokens skipped with their separator, concat_ws
+    * semantics). The q95 winnowing hot loop: the HOF gram builder it
+    * replaces allocated one string per position per doc.
+    */
+  def positionalGramHashes(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    val m = n - k + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      var acc = 7L
+      var appended = false
+      var j = i
+      while (j < i + k) {
+        if (!arr.isNullAt(j)) {
+          if (appended) acc = (acc * 31L + 32L) % Prime
+          val s = arr.getUTF8String(j).toString
+          var c = 0
+          while (c < s.length) {
+            val cp = s.codePointAt(c)
+            acc = (acc * 31L + cp.toLong) % Prime
+            c += Character.charCount(cp)
+          }
+          appended = true
+        }
+        j += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Per-element polynomial rolling hash over CODE POINTS:
     * acc0 = 7, acc = (acc*31 + codepoint) mod 1e9+7. Null elements hash
     * to null.

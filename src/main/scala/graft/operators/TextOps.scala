@@ -95,7 +95,8 @@ object TextOps {
     * engine's standard mod-1e9+7 polyhash — oracle-reproducible.
     */
   def winnowFingerprints(toks: Column, k: Int, w: Int): Column =
-    graft.functions.HashExprs.winnowMins(polyHashAll(positionalGrams(toks, k)), w)
+    graft.functions.HashExprs.winnowMins(
+      graft.functions.HashExprs.positionalGramHashes(toks, k), w)
 
   /** Whitespace token count. */
   def tokenCount(toks: Column): Column = size(toks).cast("long")

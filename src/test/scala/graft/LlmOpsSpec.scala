@@ -864,6 +864,23 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("positionalGramHashes: native fused kernel == polyHash of string grams") {
+    import org.apache.spark.sql.functions._
+    val df = Seq("a b c d e", "x y", "one", "", "héllo wörld mix of unicode ωμέγα")
+      .toDF("text")
+      .select(col("text"), operators.TextOps.tokens(col("text")).as("toks"))
+    val native = df.select(col("text"),
+      functions.HashExprs.positionalGramHashes(col("toks"), 3).as("h"))
+    val twin = df.select(col("text"),
+      functions.HashExprs.polyHashArray(
+        operators.TextOps.positionalGrams(col("toks"), 3)).as("h"))
+    val n = native.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val t = twin.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(n === t)
+    // short docs (< k tokens) yield empty, not null
+    assert(n("x y").isEmpty && n("one").isEmpty)
+  }
+
   test("classifierScore: native fused kernel == interpreted HOF twin, empty/null safe") {
     import org.apache.spark.sql.functions._
     val df = Seq(
