@@ -1067,5 +1067,15 @@ object PinnedCorpus {
         s"documents=$DocumentsFp embeddings=$EmbeddingsFp. The testdata, seeds or hash " +
         "constants changed — regenerate the pinned VALUES oracles in LlmQueries " +
         "and update PinnedCorpus before trusting the gate.")
+    // The events timestamp parquet ENCODING has drifted between testdata
+    // generations before (round 5: NANOS -> MICROS-NTZ, killing 19
+    // queries mid-round). Tables.events normalizes the known encodings;
+    // an unknown third one must fail HERE with a named cause, not deep
+    // inside 19 queries' analysis.
+    val tsType = Tables.events(spark, sfDir).schema("ts").dataType
+    require(tsType == org.apache.spark.sql.types.TimestampType,
+      s"events.ts loaded as $tsType, expected TIMESTAMP: the testdata generator " +
+        "changed the events timestamp encoding again — teach Tables.events the new " +
+        "encoding (and extend FixtureSpec's dual-encoding test) before trusting the gate.")
   }
 }
