@@ -449,5 +449,43 @@ object FeatureQueries {
       "per-doc n-gram novelty (ppm of distinct 3-gram shingles with corpus " +
         "df = 1): the originality/boilerplate curation signal complementing q82; " +
         "one shingle-df agg + one doc_id shuffle, shingle build is the native " +
-        "scan-side ShingleArray, all-integer ppm"))
+        "scan-side ShingleArray, all-integer ppm"),
+
+    // ------------------------------------------- incremental ingest dedup
+    Q("q105_incremental_dedup",
+      (s, d) => {
+        // the daily-batch shape: every 10th doc is today's ingest, the
+        // rest the immutable indexed history. A new doc is dropped iff
+        // it near-dups (Jaccard >= 8/10 on 3-gram shingles) ANY history
+        // doc or a lower-id doc of its own batch; history never drops.
+        // Only the batch's band rows probe — history x history candidate
+        // work is never generated (the asymmetry that makes per-ingest
+        // cost O(|batch|*bands), not O(|corpus|^2), at 100 TB).
+        val docs = T.documents(s, d)
+        val corpus = docs.where(pmod(col("doc_id"), lit(10L)) =!= 0)
+        val batch = docs.where(pmod(col("doc_id"), lit(10L)) === 0)
+        MinHash.dedupIncrement(corpus, batch, "doc_id", "text")
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+               FROM toks WHERE len(w) >= 3),
+        drop AS (SELECT DISTINCT n.doc_id
+                 FROM sh n JOIN sh o
+                   ON n.doc_id % 10 = 0 AND o.doc_id <> n.doc_id
+                  AND (o.doc_id % 10 <> 0 OR o.doc_id < n.doc_id)
+                 WHERE len(n.sh) > 0 AND len(o.sh) > 0
+                   AND len(list_intersect(n.sh, o.sh)) * 10 >=
+                       8 * (len(n.sh) + len(o.sh) - len(list_intersect(n.sh, o.sh))))
+        SELECT doc_id, lang FROM documents
+        WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT doc_id FROM drop)
+        ORDER BY doc_id"""),
+      "incremental ingest dedup (MinHash.dedupIncrement — the batch analogue of " +
+        "streaming.StreamingDedup, oracle-gated): new docs drop on near-dup with " +
+        "the immutable history or a lower-id batch sibling; only new docs' LSH " +
+        "band rows probe the index, so history x history candidates are never " +
+        "generated — per-ingest cost scales with the batch, not the corpus"))
 }

@@ -240,6 +240,59 @@ object MinHash {
     docs.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Incremental ingest dedup — the DAILY-BATCH shape: drop each new doc
+    * that near-dups the EXISTING corpus (history is immutable, never
+    * dropped) or a LOWER-id doc of the same batch (within-batch
+    * keep-lowest, [[dedupCorpus]]'s policy). The batch analogue of
+    * [[graft.streaming.StreamingDedup]], oracle-checkable.
+    *
+    * Probe asymmetry is the scale point: only NEW docs' band rows drive
+    * the candidate join, so history×history candidates are never
+    * generated — per-ingest cost is O(|batch| · b) probe rows against
+    * the corpus band index, not O(|corpus|²). (A service reuses the
+    * banded index via [[writeCorpusIndex]]; this self-contained form
+    * recomputes it from `corpus` for the gate.)
+    */
+  def dedupIncrement(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      ngram: Int = 3,
+      k: Int = 128,
+      b: Int = 32,
+      r: Int = 4,
+      seed: Long = 42L,
+      num: Int = 8,
+      den: Int = 10): DataFrame = {
+    // one combined (id, shingles, signature, isNew) frame, persisted: it
+    // feeds the band explode (referenced twice by the probe self-join)
+    // and the verify stage's shingle sets
+    val combined = corpusIndex(corpus, idCol, textCol, ngram, k, seed)
+      .withColumn("__new", lit(false))
+      .unionByName(corpusIndex(batch, idCol, textCol, ngram, k, seed)
+        .withColumn("__new", lit(true)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = bands(combined.select(col("__id"), col("__sig"), col("__new")), "__sig", b, r)
+      .select(col("__id"), col("__new"), col("band"), col("bucket"))
+    // candidates: (new doc, other) sharing a bucket — other is history
+    // (any id) or an earlier same-batch doc; each unordered pair
+    // surfaces exactly once (only the droppable side probes)
+    val cands = banded.where(col("__new"))
+      .select(col("__id").as("id_a"), col("band"), col("bucket"))
+      .join(banded.select(col("__id").as("id_b"), col("__new").as("__bn"),
+        col("band"), col("bucket")), Seq("band", "bucket"))
+      .where(col("id_b") =!= col("id_a") && (!col("__bn") || col("id_b") < col("id_a")))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val drop = PairVerify.exact(cands, combined.select(col("__id"), col("__sh")), num, den)
+      .select(col("id_a").as(idCol)).distinct()
+    // combined stays lazily cached for the run (the JaccardJoin shingle
+    // convention: CacheManager dedupes re-executions; callers looping
+    // over different corpora clear the cache between runs)
+    batch.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Cluster-canonical variant of [[dedupCorpus]]: connected components
     * over the verified pair graph, keep exactly ONE (min-id) doc per
     * near-dup cluster — the transitive policy of
