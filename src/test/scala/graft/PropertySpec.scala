@@ -391,4 +391,112 @@ class PropertySpec extends SparkSpec {
       assert(got === want, s"stride=$stride thr=$thr vecs=$vs")
     }
   }
+
+  private val corpusGen: Gen[List[(Long, String)]] =
+    Gen.listOfN(24, for {
+      n <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd", "ee"))
+    } yield ws.mkString(" ")).map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+
+  test("law: CDC chunking is insertion-robust — chunks away from the edit survive") {
+    // the content-defined property fixed-width chunking lacks: inserting
+    // a run of tokens changes only the chunk(s) whose boundaries the
+    // edit touches; every chunk fully before/after is byte-identical.
+    // Verified on the oracle-equivalent driver model of q97's rule
+    // (boundary AFTER token with polyhash % 16 == 0, last token never).
+    def hash(s: String): Long = {
+      var acc = 7L
+      s.codePoints().toArray.foreach { cp => acc = (acc * 31L + cp) % 1000000007L }
+      acc
+    }
+    def chunks(toks: Seq[String]): Seq[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[Seq[String]]
+      var cur = scala.collection.mutable.ListBuffer.empty[String]
+      toks.zipWithIndex.foreach { case (t, i) =>
+        cur += t
+        if (hash(t) % 16 == 0 && i + 1 < toks.size) { out += cur.toSeq; cur = scala.collection.mutable.ListBuffer.empty }
+      }
+      if (cur.nonEmpty) out += cur.toSeq
+      out.toSeq.map(_.mkString(" ")).filter(_.nonEmpty)
+    }
+    val toks = (1 to 60).map(i => s"w${i % 17}")
+    val base = chunks(toks)
+    val inserted = toks.take(30) ++ Seq("xx", "yy", "zz") ++ toks.drop(30)
+    val edited = chunks(inserted)
+    // every base chunk made ONLY of tokens strictly before/after the
+    // edit's enclosing chunk must reappear verbatim
+    val baseSet = base.toSet
+    val editSet = edited.toSet
+    val survived = baseSet.intersect(editSet).size
+    // boundaries are content-local: at most the single enclosing chunk
+    // (and its possibly-resplit pieces) differ
+    assert(baseSet.size - survived <= 1, s"base=$base edited=$edited")
+  }
+
+  test("law: classifierScore is additive over concatenation") {
+    import graft.functions.HashExprs
+    samples(corpusGen, 4).foreach { docs =>
+      val df = docs.toDF("id", "text")
+        .select(col("id"), TextOps.tokens(col("text")).as("t"))
+        .select(col("id"),
+          HashExprs.classifierScore(col("t"), 64L, 2654435761L, 1000003L, 500001L).as("s"))
+      val scores = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // concat of two docs scores the sum (token-wise linear), with the
+      // caveat that "" tokens from joining empty texts contribute too —
+      // so only check pairs of non-empty docs
+      val nonEmpty = docs.filter(_._2.nonEmpty)
+      nonEmpty.take(3).zip(nonEmpty.takeRight(3)).foreach { case ((ia, ta), (ib, tb)) =>
+        val cat = Seq((0L, s"$ta $tb")).toDF("id", "text")
+          .select(TextOps.tokens(col("text")).as("t"))
+          .select(HashExprs.classifierScore(col("t"), 64L, 2654435761L, 1000003L, 500001L).as("s"))
+          .collect().head.getLong(0)
+        assert(cat === scores(ia) + scores(ib), s"'$ta' + '$tb'")
+      }
+    }
+  }
+
+  test("law: dedupIncrement with empty history == within-batch dedupCorpus") {
+    // the incremental policy degenerates to the standard keep-lowest-id
+    // corpus dedup when there is no history — same pairs, same drops
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff gg hh"),
+      (2L, "aa bb cc dd ee ff gg hh"),   // dup of 1
+      (3L, "zz yy xx ww vv uu tt ss"),
+      (4L, "aa bb cc dd ee ff gg xx"),   // near-dup of 1
+      (5L, "mm nn oo pp qq rr"),
+      (6L, "")).toDF("doc_id", "text")
+    val emptyHistory = docs.where(lit(false))
+    val inc = MinHash.dedupIncrement(emptyHistory, docs, "doc_id", "text",
+        num = 6, den = 10)
+      .select("doc_id").as[Long].collect().toSet
+    val full = MinHash.dedupCorpus(docs, "doc_id", "text", num = 6, den = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(inc === full)
+    // and with FULL history equal to the batch: a doc's same-id twin is
+    // excluded (id_b != id_a), so exactly the docs appearing in ANY
+    // cross-id near-dup pair drop — derive the expectation from the
+    // deterministic pair set itself (LSH recall is seed-deterministic)
+    val incSelf = MinHash.dedupIncrement(docs, docs, "doc_id", "text",
+        num = 6, den = 10)
+      .select("doc_id").as[Long].collect().toSet
+    val pairRows = MinHash.nearDupPairs(docs, "doc_id", "text", num = 6, den = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val paired = pairRows.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(incSelf === (1L to 6L).toSet -- paired)
+  }
+
+  test("Validate: planted violations are counted exactly") {
+    val child = Seq((1L, Some(10L)), (2L, Some(11L)), (3L, Some(99L)), (4L, Some(10L)), (5L, None: Option[Long]))
+      .toDF("id", "fk")
+    val parent = Seq(10L, 11L).toDF("pk")
+    val fk = Validate.foreignKey(child, "fk", parent, "pk", "fk_check").collect().head
+    assert((fk.getString(0), fk.getLong(1), fk.getLong(2)) === (("fk_check", 1L, 5L)))
+    val uq = Validate.uniqueKey(child, "uq", Seq("fk")).collect().head
+    // values: 10, 11, 99, 10, null -> 4 distinct (null is a key value), 5 rows
+    assert((uq.getLong(1), uq.getLong(2)) === ((1L, 5L)))
+    val rng = Validate.inRange(child, "fk", lit(10L), lit(50L), "rng").collect().head
+    assert(rng.getLong(1) === 1L) // only 99 out of range; null passes
+    val nn = Validate.notNull(child, "fk", "nn").collect().head
+    assert(nn.getLong(1) === 1L)
+  }
 }
