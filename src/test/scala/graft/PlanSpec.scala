@@ -254,6 +254,26 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
   }
 
+  test("q96 classifier scoring is scan-side: pruned read, one exchange total (the final sort)") {
+    val q = SparkEntry.queries("q96_quality_classifier")(spark, sf)
+    val plan = q.explainFormatted()
+    // column pruning: the scan must not read the unreferenced payloads
+    assert(!plan.contains("n_chars") && !plan.contains("lang"), plan)
+    // the scoring itself is map-only — the ONLY exchange is the final
+    // global-order sort; a second one would mean the fused kernel fell
+    // out of the scan stage
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected scan-side scoring (<=2 Exchange incl. AQE reuse), got $exchanges:\n$plan")
+  }
+
+  test("q105 incremental dedup candidates are an equi band join (probe side = batch only)") {
+    val q = SparkEntry.queries("q105_incremental_dedup")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
   test("GLOBAL GUARD: no nested-loop or cartesian join in ANY registry query plan") {
     // every registry plan must be cluster-safe; the only tolerated
     // nested loops are the documented k-vs-n broadcast scorings where
