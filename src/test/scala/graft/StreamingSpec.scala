@@ -763,4 +763,38 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("rate_out").select("iso").distinct().count() <= 16)
     } finally q.stop()
   }
+
+  test("Validate suite as a per-micro-batch ingest gate (foreachBatch)") {
+    // the production shape: every arriving batch passes the declarative
+    // quality checks BEFORE admission; violating batches are quarantined
+    // (here: recorded), clean batches land. Reuses the BATCH Validate
+    // operator unchanged inside foreachBatch — the point of keeping
+    // checks as plain aggregations.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val accepted = scala.collection.mutable.ListBuffer.empty[Long]
+    val quarantined = scala.collection.mutable.ListBuffer.empty[Long]
+    val q = input.toDS().toDF("id", "fk").writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0L))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val report = operators.Validate.suite(Seq(
+          operators.Validate.uniqueKey(batch, "uq", Seq("id")),
+          operators.Validate.inRange(batch, "fk", lit(0L), lit(100L), "rng")))
+        val violations = report.agg(sum(col("violations"))).collect().head.getLong(0)
+        if (violations == 0) accepted += batchId else quarantined += batchId
+        ()
+      }
+      .start()
+    try {
+      input.addData((1L, 10L), (2L, 20L))          // clean
+      q.processAllAvailable()
+      input.addData((3L, 10L), (3L, 999L))         // dup id AND range breach
+      q.processAllAvailable()
+      input.addData((4L, 50L))                     // clean again
+      q.processAllAvailable()
+      assert(accepted.size === 2 && quarantined.size === 1,
+        s"accepted=$accepted quarantined=$quarantined")
+    } finally q.stop()
+  }
 }
