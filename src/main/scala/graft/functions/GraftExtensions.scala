@@ -104,6 +104,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WinnowMins(args.head, w.toInt)
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_gram_hashes"),
+      info("graft_gram_hashes",
+        "graft_gram_hashes(tokens, k) - positional k-gram polyhashes of a string array " +
+          "(space-joined grams, no intermediate strings)"),
+      (args: Seq[Expression]) => {
+        checkArity("graft_gram_hashes", args, 2)
+        val k = literalArg("graft_gram_hashes", args, 1, "k")
+        if (k < 1 || k > 64) fail(s"graft_gram_hashes: k must be in [1, 64], got $k")
+        PositionalGramHashes(args.head, k.toInt)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_classifier_score"),
+      info("graft_classifier_score",
+        "graft_classifier_score(tokens, buckets, mul, mod, shift) - hashing-trick linear " +
+          "classifier score: sum over tokens of ((polyhash(tok) % buckets) * mul % mod - shift)"),
+      (args: Seq[Expression]) => {
+        checkArity("graft_classifier_score", args, 5)
+        val buckets = literalArg("graft_classifier_score", args, 1, "buckets")
+        if (buckets < 1) fail(s"graft_classifier_score: buckets must be >= 1, got $buckets")
+        val wmod = literalArg("graft_classifier_score", args, 3, "mod")
+        if (wmod < 1) fail(s"graft_classifier_score: mod must be >= 1, got $wmod")
+        ClassifierScore(args.head, buckets,
+          literalArg("graft_classifier_score", args, 2, "mul"), wmod,
+          literalArg("graft_classifier_score", args, 4, "shift"))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_word_count"),
       info("graft_word_count",
         "graft_word_count(tokens, words) - count of tokens present in the literal word array"),

@@ -67,7 +67,9 @@ class ExtensionsSpec extends AnyFunSuite {
                  graft_winnow(array(5L, 3L, 9L, 3L, 7L, 1L), 3) AS wn,
                  graft_intersect_size(array('a', 'b', 'c'), array('b', 'c', 'd'), 1, 2) AS isz,
                  graft_levenshtein(text, 'hallo world', 3) AS lv,
-                 graft_levenshtein(text, 'completely different', 3) AS lv_over
+                 graft_levenshtein(text, 'completely different', 3) AS lv_over,
+                 graft_gram_hashes(split(text, ' '), 2) AS gh,
+                 graft_classifier_score(split(text, ' '), 64, 3, 7, 2) AS cs
           FROM ext_docs""").head()
         def wh(w: String) = w.foldLeft(7L)((a, c) => (a * 31 + c) % 1000000007L)
         assert(row.getSeq[Long](0) === Seq(wh("hello"), wh("world")))
@@ -89,6 +91,11 @@ class ExtensionsSpec extends AnyFunSuite {
         // one substitution within threshold; -1 above it
         assert(row.getInt(8) === 1)
         assert(row.getInt(9) === -1)
+        // positional 2-gram hash == polyhash of the joined gram string
+        assert(row.getSeq[Long](10) === Seq(wh("hello world")))
+        // classifier score: sum over tokens of ((h % 64) * 3 % 7 - 2)
+        val want = Seq("hello", "world").map(w => (wh(w) % 64) * 3 % 7 - 2).sum
+        assert(row.getLong(11) === want)
       } finally spark.catalog.dropTempView("ext_docs")
     }
   }
