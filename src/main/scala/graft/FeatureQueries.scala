@@ -487,5 +487,53 @@ object FeatureQueries {
         "streaming.StreamingDedup, oracle-gated): new docs drop on near-dup with " +
         "the immutable history or a lower-id batch sibling; only new docs' LSH " +
         "band rows probe the index, so history x history candidates are never " +
-        "generated — per-ingest cost scales with the batch, not the corpus"))
+        "generated — per-ingest cost scales with the batch, not the corpus"),
+
+    // ----------------------------------------------- soft dedup weights
+    Q("q106_soft_dedup_weights",
+      (s, d) => {
+        // the DOWN-WEIGHT alternative to dropping near-dups: every doc
+        // gets sampling weight 1e6 div |its near-dup cluster| (singleton
+        // = 1e6), so a cluster's total sampling mass ~ one copy — the
+        // "keep with counts" policy pipelines use when duplicates carry
+        // signal (popular = worth slightly more than one, but not N).
+        // Same exact pair graph + components as q51; weights attach via
+        // one ids-only join, the corpus payload never rides the graph.
+        val docs = T.documents(s, d)
+        val comp = Components.connectedComponents(
+          JaccardJoin.nearDupPairs(docs, "doc_id", "text", ngram = 3, num = 6, den = 10),
+          "id_a", "id_b")
+        val w = comp
+          .join(comp.groupBy(col("comp")).agg(count(lit(1)).as("__cs")), Seq("comp"))
+          .select(col("id").as("doc_id"), expr("1000000L div __cs").as("weight_ppm"))
+        docs.select(col("doc_id"))
+          .join(w, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("weight_ppm"), lit(1000000L)).as("weight_ppm"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH RECURSIVE toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM toks),
+        pairs AS (SELECT a.doc_id AS pa, b.doc_id AS pb
+                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+                    AND len(list_intersect(a.sh, b.sh)) * 10 >=
+                        6 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))),
+        edges AS (SELECT pa AS u, pb AS v FROM pairs UNION SELECT pb, pa FROM pairs),
+        reach(id, r) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+        comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
+        cs AS (SELECT c, count(*) AS n FROM comp GROUP BY c),
+        w AS (SELECT comp.id, 1000000 // cs.n AS wp FROM comp JOIN cs USING (c))
+        SELECT d.doc_id, CAST(coalesce(w.wp, 1000000) AS BIGINT) AS weight_ppm
+        FROM documents d LEFT JOIN w ON w.id = d.doc_id
+        ORDER BY d.doc_id"""),
+      "soft dedup (down-weight, don't drop): sampling weight 1e6 div cluster " +
+        "size per doc over the exact near-dup component graph — a cluster's " +
+        "total mass ~ one copy, the keep-with-counts policy for when duplicates " +
+        "carry popularity signal; ids-only weight attach on top of q51's graph"))
 }

@@ -190,12 +190,15 @@ object Components {
       better: Seq[Column],
       aCol: String = "id_a",
       bCol: String = "id_b"): DataFrame = {
+    // __-prefixed internals so a caller's own `id`/`comp` columns can't
+    // collide with the component table's after the quality join
     val comp = connectedComponents(pairs, aCol, bCol)
-    val ranked = comp.join(docs, comp("id") === docs(idCol), "inner")
+      .select(col("id").as("__cc_id"), col("comp").as("__cc_comp"))
+    val ranked = comp.join(docs, comp("__cc_id") === docs(idCol), "inner")
       .withColumn("__rk", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy(col("comp")).orderBy(better: _*)))
-    val drop = ranked.where(col("__rk") =!= 1).select(col("id").as(idCol))
+          .partitionBy(col("__cc_comp")).orderBy(better: _*)))
+    val drop = ranked.where(col("__rk") =!= 1).select(col("__cc_id").as(idCol))
     docs.join(drop, Seq(idCol), "left_anti")
   }
 }
