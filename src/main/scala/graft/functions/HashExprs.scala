@@ -119,6 +119,35 @@ case class ClassifierScore(
     copy(child = newChild)
 }
 
+/** [[ClassifierScore]] with a trained weight TABLE (bucket -> weight):
+  * the real-model inference path. The table is a plan-time constant
+  * shipped once per executor as a codegen reference object — at 2^18
+  * buckets that's 2 MB, the fastText-scale budget; bigger models move
+  * to a broadcast join on the hash bucket, same dataflow.
+  */
+case class ClassifierScoreTable(child: Expression, weights: Array[Long])
+  extends UnaryExpression {
+  require(weights.nonEmpty, "weight table must not be empty")
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"graft_classifier_score_table needs array<string>, got $t")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashRuntime.classifierScoreTable(input.asInstanceOf[ArrayData], weights)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("classifierWeights", weights, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashRuntime.classifierScoreTable($c, $wRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ClassifierScoreTable =
+    copy(child = newChild)
+}
+
 /** array<long> (element hashes) -> array<long> (k-slot minhash
   * signature): sig[j] = min over h of (a_j*h + b_j) mod 1e9+7; empty
   * arrays yield Prime ("infinity") in every slot.
@@ -401,6 +430,8 @@ object HashExprs {
     GraftColumnBridge.column(ShingleArray(GraftColumnBridge.expression(c), n))
   def winnowMins(c: Column, w: Int): Column =
     GraftColumnBridge.column(WinnowMins(GraftColumnBridge.expression(c), w))
+  def classifierScoreTable(c: Column, weights: Array[Long]): Column =
+    GraftColumnBridge.column(ClassifierScoreTable(GraftColumnBridge.expression(c), weights))
   def positionalGramHashes(c: Column, k: Int): Column =
     GraftColumnBridge.column(PositionalGramHashes(GraftColumnBridge.expression(c), k))
   def classifierScore(c: Column, buckets: Long, mul: Long, wmod: Long, shift: Long): Column =

@@ -91,6 +91,33 @@ object HashRuntime {
     new GenericArrayData(out)
   }
 
+  /** [[classifierScore]] with a REAL weight table: weights(bucket)
+    * looked up per token instead of the formulaic scramble — the
+    * trained-model inference path. The table rides generated code as a
+    * reference object (one long[] per executor, shared across rows).
+    */
+  def classifierScoreTable(arr: ArrayData, weights: Array[Long]): Long = {
+    val buckets = weights.length
+    val n = arr.numElements()
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i).toString
+        var acc = 7L
+        var j = 0
+        while (j < s.length) {
+          val cp = s.codePointAt(j)
+          acc = (acc * 31L + cp.toLong) % Prime
+          j += Character.charCount(cp)
+        }
+        sum += weights((acc % buckets).toInt)
+      }
+      i += 1
+    }
+    sum
+  }
+
   /** Per-element polynomial rolling hash over CODE POINTS:
     * acc0 = 7, acc = (acc*31 + codepoint) mod 1e9+7. Null elements hash
     * to null.

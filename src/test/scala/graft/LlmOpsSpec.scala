@@ -903,5 +903,16 @@ class LlmOpsSpec extends SparkSpec {
       .select(col("id"), operators.TextOps.tokens(col("text")).as("toks"))
       .select(functions.HashExprs.classifierScore(col("toks"), 64L, 3L, 7L, 3L).as("s"))
     assert(nulls.collect().head.isNullAt(0))
+    // the TABLE variant with the formula baked into the table matches
+    // the formulaic kernel exactly — the trained-weights path is the
+    // same plan with a looked-up long[]
+    val table = Array.tabulate(64)(b => (b.toLong * 2654435761L) % 1000003L - 500001L)
+    val viaTable = df.select(col("id"),
+      functions.HashExprs.classifierScoreTable(col("toks"), table).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaFormula = df.select(col("id"),
+      functions.HashExprs.classifierScore(col("toks"), 64L, 2654435761L, 1000003L, 500001L).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaTable === viaFormula)
   }
 }
