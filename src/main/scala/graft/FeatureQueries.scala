@@ -146,15 +146,20 @@ object FeatureQueries {
         // frame width is wall-clock, not row-count. Micros-integer
         // ordering in BOTH engines so frame edges are exact. One
         // user_id shuffle; window state is bounded by the hour.
-        val us = Q.epochUs(col("ts"))
-        val w = Window.partitionBy(col("user_id")).orderBy(us)
+        // order both frames by the SAME materialized micros attribute:
+        // two structurally-distinct copies of unix_micros(ts) defeat
+        // CollapseWindow and plan two Window nodes with an extra
+        // per-partition sort between them (seen in the formatted plan);
+        // one named column -> equal specs -> one Window, one sort
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
           .rangeBetween(-3600000000L, 0L)
         T.events(s, d)
-          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+          .select(col("event_id"), col("user_id"),
+            Q.epochUs(col("ts")).as("ts_us"), col("value"))
           .withColumn("n_1h", count(lit(1)).over(w))
           .withColumn("sum_1h",
             sum(Q.dec2s(col("value"))).over(w).cast("double"))
-          .select(col("event_id"), col("user_id"), Q.epochUs(col("ts")).as("ts_us"),
+          .select(col("event_id"), col("user_id"), col("ts_us"),
             col("n_1h"), col("sum_1h"))
           .orderBy(col("event_id"))
       },
