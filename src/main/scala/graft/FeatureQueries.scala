@@ -540,5 +540,45 @@ object FeatureQueries {
       "soft dedup (down-weight, don't drop): sampling weight 1e6 div cluster " +
         "size per doc over the exact near-dup component graph — a cluster's " +
         "total mass ~ one copy, the keep-with-counts policy for when duplicates " +
-        "carry popularity signal; ids-only weight attach on top of q51's graph"))
+        "carry popularity signal; ids-only weight attach on top of q51's graph"),
+
+    // ------------------------------------------- dedup threshold sweep
+    Q("q107_threshold_sweep",
+      (s, d) => {
+        // threshold calibration: how many near-dup pairs exist at each
+        // candidate Jaccard threshold 0.5..0.9 — the report a pipeline
+        // runs BEFORE committing to a dedup threshold (too low eats
+        // legitimate reuse, too high leaves templates). ONE exact pair
+        // pass at the loosest threshold; the tighter counts are
+        // conditional sums over its integer inter/union columns — no
+        // per-threshold re-join. Exact-complete at 5/10 implies
+        // exact-complete at every tighter threshold.
+        val pairs = JaccardJoin.nearDupPairs(
+          T.documents(s, d), "doc_id", "text", ngram = 3, num = 5, den = 10)
+        pairs.select(explode(expr(
+            "filter(transform(sequence(5, 9), t -> " +
+            "IF(inter_size * 10 >= t * union_size, t, -1)), t -> t >= 0)")).as("threshold_pct10"))
+          .groupBy(col("threshold_pct10"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .select((col("threshold_pct10") * 10).as("threshold_pct"), col("n_pairs"))
+          .orderBy(col("threshold_pct"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM toks),
+        p AS (SELECT len(list_intersect(a.sh, b.sh)) AS i,
+                     len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(a.sh) > 0 AND len(b.sh) > 0
+                AND len(list_intersect(a.sh, b.sh)) * 10 >=
+                    5 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))),
+        t AS (SELECT unnest(list_filter(range(5, 10), t -> i * 10 >= t * u)) AS tp
+              FROM p)
+        SELECT tp * 10 AS threshold_pct, count(*) AS n_pairs
+        FROM t GROUP BY tp ORDER BY threshold_pct"""),
+      "dedup threshold calibration (the pre-commit tuning report): pair counts " +
+        "at Jaccard 0.5..0.9 from ONE exact-complete pair pass at the loosest " +
+        "threshold — tighter thresholds are conditional sums over the verified " +
+        "integer inter/union columns, no re-join per threshold"))
 }
