@@ -10,8 +10,11 @@ import graft.operators._
   * — quality-classifier inference (the fastText-style gate every modern
   * pretraining corpus passes through), content-defined chunking (the
   * insertion-robust chunk dedup CDC storage systems use), time-range
-  * behavioral features, exact robust statistics, and the BPE pair-count
-  * step of tokenizer training.
+  * behavioral features, exact robust statistics, the BPE pair-count
+  * step of tokenizer training, declarative data-quality validation,
+  * quality-aware and soft (down-weight) dedup policies, CCNet-style
+  * perplexity bucketing, n-gram novelty, incremental ingest dedup, and
+  * the dedup threshold-calibration sweep.
   *
   * Same oracle-exactness conventions as [[LlmQueries]] /
   * [[PipelineQueries]]: integer/decimal arithmetic end-to-end,
