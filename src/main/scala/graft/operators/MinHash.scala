@@ -264,7 +264,8 @@ object MinHash {
       r: Int = 4,
       seed: Long = 42L,
       num: Int = 8,
-      den: Int = 10): DataFrame = {
+      den: Int = 10,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     // one combined (id, shingles, signature, isNew) frame, persisted: it
     // feeds the band explode (referenced twice by the probe self-join)
     // and the verify stage's shingle sets
@@ -273,8 +274,18 @@ object MinHash {
       .unionByName(corpusIndex(batch, idCol, textCol, ngram, k, seed)
         .withColumn("__new", lit(true)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = bands(combined.select(col("__id"), col("__sig"), col("__new")), "__sig", b, r)
+    val bandedAll = bands(combined.select(col("__id"), col("__sig"), col("__new")), "__sig", b, r)
       .select(col("__id"), col("__new"), col("band"), col("bucket"))
+    // same degenerate-bucket guard as [[candidatePairs]]: a boilerplate
+    // bucket with B history docs fans every probing batch doc out B ways
+    val banded = maxBucketSize.fold(bandedAll) { cap =>
+      require(cap >= 2, s"maxBucketSize must be >= 2, got $cap")
+      val ok = bandedAll.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("__bn"))
+        .where(col("__bn") <= cap)
+        .select(col("band"), col("bucket"))
+      bandedAll.join(ok, Seq("band", "bucket"), "left_semi")
+    }
     // candidates: (new doc, other) sharing a bucket — other is history
     // (any id) or an earlier same-batch doc; each unordered pair
     // surfaces exactly once (only the droppable side probes)
