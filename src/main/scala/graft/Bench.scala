@@ -107,6 +107,13 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: $e") }
+    // LAST stdout line: a tiny summary that survives any stdout-tail
+    // truncation (round-6 lesson: the full line above exceeds a 2000-char
+    // tail, so a scraper that only keeps the tail parsed nothing). Carries
+    // the driver-contract keys; the per-query detail lives in the full
+    // line and the file artifact.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
+      s""""n":${results.size},"errors":${errors.size}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -377,10 +377,27 @@ object FeatureQueries {
         // (q88's all-integer smoothed bigram score, averaged per bigram),
         // split the corpus into head/middle/tail TERTILES by score, and
         // report each bucket's size and score range — the standard
-        // keep-head/resample-middle/drop-tail curation signal. ntile
-        // needs a global order: fine below ~10M docs per job; at corpus
-        // scale the same split uses sampled quantile BOUNDARIES
-        // (broadcast thresholds, no global sort) — documented trade.
+        // keep-head/resample-middle/drop-tail curation signal. The
+        // tertile split reproduces ntile(3) EXACTLY (ties broken by
+        // doc_id, ntile's uneven-bucket arithmetic) with NO global
+        // sort: each doc's global rank is assembled from
+        //   (a) docs in strictly-higher COARSE score ranges — the
+        //       coarse cumulative lives on ≤977 rows (avg_s ∈
+        //       [0, 1e6] by construction, coarse = avg_s div 1024),
+        //       a value-range bound independent of corpus size, so
+        //       the driver hop is constant-sized (Ivf centroid
+        //       precedent) and rebroadcast as an equi-join side;
+        //   (b) higher-score docs within the same coarse range — a
+        //       window PARTITIONED by coarse range (≤1024 distinct
+        //       scores per partition) over the score-frequency
+        //       frame (≤1e6+1 rows at any corpus size);
+        //   (c) the doc's row_number within its exact-score tie
+        //       group — a window PARTITIONED by avg_s.
+        // Then bucket = rank vs the two ntile boundary sizes
+        // computed from the corpus count. Every join is an equi
+        // broadcast of a value-range-bounded side; no partition-less
+        // window anywhere (PlanSpec's window guard checks this).
+        import s.implicits._
         val bi = T.documents(s, d)
           .select(col("doc_id"), docTokens.as("__w"))
           .select(col("doc_id"), explode(expr(
@@ -390,12 +407,46 @@ object FeatureQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
         val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-        bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        val ds = bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
           .withColumn("__sc", expr("((c2 + 1L) * 1000000L) div (c1 + 1L)"))
           .groupBy(col("doc_id"))
           .agg(expr("sum(__sc) div count(1)").as("avg_s"))
-          .withColumn("bucket", ntile(3).over(
-            Window.orderBy(col("avg_s").desc, col("doc_id"))))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // score-frequency frame: one row per distinct avg_s (≤1e6+1)
+        val freq = ds.groupBy(col("avg_s")).agg(count(lit(1)).as("__cnt"))
+          .withColumn("__coarse", expr("avg_s div 1024"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // (b) strictly-greater count within the coarse range
+        val within = freq.withColumn("__gt_in_coarse",
+          sum(col("__cnt")).over(
+            Window.partitionBy(col("__coarse")).orderBy(col("avg_s").desc))
+            - col("__cnt"))
+        // (a) docs in strictly-higher coarse ranges: ≤977 rows collected,
+        // cumulated on the driver, shipped back as a broadcast join side
+        // (this collect is also the ONLY driver action: n = Σ __ct)
+        val coarseTotals = freq.groupBy(col("__coarse"))
+          .agg(sum(col("__cnt")).as("__ct"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+        var running = 0L
+        val cumAbove = coarseTotals.map { case (c, ct) =>
+          val row = (c, running); running += ct; row
+        }.toSeq
+        val cumDf = cumAbove.toDF("__coarse", "__gt_coarse")
+        // ntile(3) bucket sizes: first (n mod 3) buckets get one extra row
+        val n = running
+        val b1 = n / 3 + (if (n % 3 >= 1) 1L else 0L)
+        val b2 = b1 + n / 3 + (if (n % 3 >= 2) 1L else 0L)
+        ds
+          .join(broadcast(within.select(col("avg_s"), col("__coarse"),
+            col("__gt_in_coarse"))), Seq("avg_s"))
+          .join(broadcast(cumDf), Seq("__coarse"))
+          // (c) tie-group rank: partitioned by exact score
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col("avg_s")).orderBy(col("doc_id"))))
+          .withColumn("__rank", col("__gt_coarse") + col("__gt_in_coarse") + col("__rn"))
+          .withColumn("bucket",
+            when(col("__rank") <= b1, lit(1))
+              .when(col("__rank") <= b2, lit(2)).otherwise(lit(3)))
           .groupBy(col("bucket"))
           .agg(count(lit(1)).as("n_docs"),
             min(col("avg_s")).as("min_s"), max(col("avg_s")).as("max_s"))
@@ -416,10 +467,11 @@ object FeatureQueries {
         SELECT bucket, count(*) AS n_docs, min(avg_s) AS min_s, max(avg_s) AS max_s
         FROM bk GROUP BY bucket ORDER BY bucket"""),
       "CCNet-style perplexity partition: per-doc average bigram-LM score " +
-        "(all-integer), head/middle/tail tertiles via ntile, per-bucket size and " +
-        "score range — the keep/resample/drop curation signal; at corpus scale " +
-        "the tertile split swaps the global sort for sampled quantile boundaries " +
-        "(broadcast thresholds), same downstream contract"),
+        "(all-integer), head/middle/tail tertiles reproducing ntile(3) exactly " +
+        "WITHOUT a global sort — global rank assembled from a value-range-bounded " +
+        "coarse cumulative (≤977 rows, driver hop + broadcast) plus two " +
+        "PARTITIONED windows; the keep/resample/drop curation signal at any " +
+        "corpus size"),
 
     // ------------------------------------------------- n-gram novelty
     Q("q104_novelty_score",
@@ -583,5 +635,86 @@ object FeatureQueries {
       "dedup threshold calibration (the pre-commit tuning report): pair counts " +
         "at Jaccard 0.5..0.9 from ONE exact-complete pair pass at the loosest " +
         "threshold — tighter thresholds are conditional sums over the verified " +
-        "integer inter/union columns, no re-join per threshold"))
+        "integer inter/union columns, no re-join per threshold"),
+
+    // ------------------------------------ exact substring-level dedup
+    Q("q108_dup_spans",
+      (s, d) => {
+        // substring-level dedup (Lee et al., "Deduplicating Training
+        // Data Makes Language Models Better"): the removal unit is the
+        // MAXIMAL duplicated SPAN, not the whole doc. Fixed-granularity
+        // exact form: a token position is duplicated iff its 8-token
+        // gram occurs >= 2 times in the corpus (anywhere, incl. the
+        // same doc — Lee et al.'s "appears more than once" criterion);
+        // consecutive/overlapping duplicated positions (gap <= 8) merge
+        // into one span via gaps-and-islands. Output: per-doc span
+        // count and duplicated-token total — the removal budget report.
+        // Shapes: positional grams via posexplode + ONE lead window
+        // (the q97 lesson — a transform(slice(__w, i, 8)) HOF would
+        // re-inline the token-array producer per element, O(n²)/doc);
+        // all windows PARTITIONED by doc_id; one gram-frequency agg
+        // (AQE splits hot boilerplate grams); ids+pos only after the
+        // probe join. At 100 TB the gram strings in the freq agg swap
+        // for 8-byte polyhashes (collisions only ADD dup positions at
+        // ~2^-30 rate) — strings here because the oracle compares them.
+        val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val toks = T.documents(s, d)
+          .select(col("doc_id"), posexplode(docTokens).as(Seq("__p0", "__t")))
+          .select(col("doc_id"), (col("__p0") + 1).as("pos"), col("__t"))
+        val grams = toks
+          .withColumn("__n", max(col("pos")).over(Window.partitionBy(col("doc_id"))))
+          .withColumn("__g", concat_ws(" ", (0 to 7).map(i =>
+            if (i == 0) col("__t") else lead(col("__t"), i).over(wOrd)): _*))
+          .where(col("pos") <= col("__n") - 7)
+          .select(col("doc_id"), col("pos"), col("__g"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val freq = grams.groupBy(col("__g")).agg(count(lit(1)).as("__c"))
+        val dup = grams.join(freq.where(col("__c") >= 2), Seq("__g"))
+          .select(col("doc_id"), col("pos"))
+        val spans = dup
+          .withColumn("__brk", when(
+            lag(col("pos"), 1).over(wOrd).isNull ||
+              col("pos") - lag(col("pos"), 1).over(wOrd) > 8, 1L).otherwise(0L))
+          .withColumn("__isl", sum(col("__brk")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("doc_id"), col("__isl"))
+          .agg((max(col("pos")) - min(col("pos")) + 8).as("__covered"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_spans"), sum(col("__covered")).as("dup_tokens"))
+        T.documents(s, d).select(col("doc_id"))
+          .join(spans, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+            coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        g AS (SELECT doc_id, i AS pos,
+                w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+                w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] AS g
+              FROM t, unnest(range(1, len(w) - 6)) AS u(i)),
+        f AS (SELECT g, count(*) AS c FROM g GROUP BY g),
+        d AS (SELECT doc_id, pos FROM g JOIN f USING (g) WHERE c >= 2),
+        brk AS (SELECT doc_id, pos,
+                  CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                         OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                       THEN 1 ELSE 0 END AS b
+                FROM d),
+        isl AS (SELECT doc_id, pos,
+                  sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                FROM brk),
+        sp AS (SELECT doc_id, island, max(pos) - min(pos) + 8 AS covered
+               FROM isl GROUP BY doc_id, island),
+        agg AS (SELECT doc_id, count(*) AS n_spans, sum(covered) AS dup_tokens
+                FROM sp GROUP BY doc_id)
+        SELECT d0.doc_id, CAST(coalesce(agg.n_spans, 0) AS BIGINT) AS n_spans,
+               CAST(coalesce(agg.dup_tokens, 0) AS BIGINT) AS dup_tokens
+        FROM documents d0 LEFT JOIN agg USING (doc_id)
+        ORDER BY d0.doc_id"""),
+      "exact substring-level dedup accounting (Lee et al.): maximal duplicated " +
+        "8-gram spans per doc (corpus occurrence >= 2, overlap-merged via " +
+        "gaps-and-islands) — span count + duplicated-token budget; positional " +
+        "grams from one lead window, doc_id-partitioned windows only, one " +
+        "gram-frequency agg; gram strings swap for polyhashes at corpus scale"))
 }

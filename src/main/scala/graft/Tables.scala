@@ -48,8 +48,16 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampType => df
-      case _ => // timestamp_ntz (or date): normalize to session-tz timestamp
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // under the UTC session timezone this cast is value-identical
         df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case other =>
+        // a THIRD encoding drift (string, INT96, date, ...) must fail HERE
+        // with a named cause, not silently null out 19 queries downstream
+        throw new IllegalStateException(
+          s"events.ts has unrecognized type $other — the testdata generator " +
+            "changed the parquet encoding again; extend Tables.events with an " +
+            "explicit value-preserving branch for it (see BASELINE.md encoding history)")
     }
   }
 

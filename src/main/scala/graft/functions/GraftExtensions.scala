@@ -125,8 +125,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (buckets < 1) fail(s"graft_classifier_score: buckets must be >= 1, got $buckets")
         val wmod = literalArg("graft_classifier_score", args, 3, "mod")
         if (wmod < 1) fail(s"graft_classifier_score: mod must be >= 1, got $wmod")
+        val mul = literalArg("graft_classifier_score", args, 2, "mul")
+        // the kernel's invariant is "non-negative before the shift, Java %
+        // == mathematical mod": a negative mul breaks it, and a huge mul
+        // overflows (hash % buckets) * mul before the % mod
+        if (mul < 0) fail(s"graft_classifier_score: mul must be >= 0, got $mul")
+        if (buckets - 1 > Long.MaxValue / math.max(mul, 1L)) {
+          fail(s"graft_classifier_score: (buckets - 1) * mul overflows Long " +
+            s"(buckets=$buckets, mul=$mul)")
+        }
         ClassifierScore(args.head, buckets,
-          literalArg("graft_classifier_score", args, 2, "mul"), wmod,
+          mul, wmod,
           literalArg("graft_classifier_score", args, 4, "shift"))
       }))
     ext.injectFunction((

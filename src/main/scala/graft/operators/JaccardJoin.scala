@@ -75,7 +75,6 @@ object JaccardJoin {
       ngram: Int = 3,
       num: Int = 8,
       den: Int = 10): DataFrame = {
-    require(num > 0 && den > 0 && num <= den, s"threshold num/den must be in (0,1], got $num/$den")
     val par = docs.sparkSession.sparkContext.defaultParallelism
     // docs with < ngram tokens have empty shingle sets: Jaccard undefined
     // (0/0), can never reach a positive threshold — drop before indexing
@@ -92,7 +91,39 @@ object JaccardJoin {
       // until `spark.catalog.clearCache()` or session end — a service
       // looping over DIFFERENT corpora should clear between runs
       .persist(StorageLevel.MEMORY_AND_DISK)
+    pairsFromShingles(sh, num, den)
+  }
 
+  /** Exact pairs from a persisted [[MinHash.writeCorpusIndex]] table —
+    * the build-once/query-many shape for the EXACT join: the
+    * scan+shingle stage (the expensive artifact at corpus scale) is
+    * read back as (__id, __sh) rows; only the inverted-index build,
+    * prefix self-join and verify run per query. Same output as
+    * [[nearDupPairs]] with the matching ngram. This is how q51-style
+    * pipelines amortize the shared pair graph: write the index once,
+    * derive pairs/components/weights/threshold-sweeps from it
+    * (see `graft.AmortizedBench` for the measured shape).
+    */
+  def pairsFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      num: Int = 8,
+      den: Int = 10): DataFrame = {
+    val idx = spark.read.parquet(path)
+    require(Seq("__id", "__sh").forall(idx.columns.contains),
+      s"not a writeCorpusIndex table: ${idx.columns.mkString(",")}")
+    // same persist contract as nearDupPairs' shingle stage (three
+    // consumers; CacheManager dedupes identical plans across calls)
+    val sh = idx.select(col("__id"), col("__sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    pairsFromShingles(sh, num, den)
+  }
+
+  /** Shared PPJoin stage over a (__id, __sh) frame (persisted by the
+    * caller — it feeds the inverted-index build AND both verify sides).
+    */
+  private[graft] def pairsFromShingles(sh: DataFrame, num: Int, den: Int): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, s"threshold num/den must be in (0,1], got $num/$den")
     // the index pipeline works on 8-byte shingle HASHES, not the strings:
     // the frequency agg, per-doc re-sort and prefix self-join shuffle ~3x
     // fewer bytes. Hash collisions are safe for COMPLETENESS — a string-

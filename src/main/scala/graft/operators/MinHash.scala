@@ -252,6 +252,17 @@ object MinHash {
     * the corpus band index, not O(|corpus|²). (A service reuses the
     * banded index via [[writeCorpusIndex]]; this self-contained form
     * recomputes it from `corpus` for the gate.)
+    *
+    * PRECONDITION: an id appearing in BOTH corpus and batch must denote
+    * the SAME text. The combined frame keys shingle sets by id, so a
+    * batch doc reusing a history id with DIFFERENT text attaches both
+    * variants' shingle sets in the verify join — intersection/union
+    * counts become a mix of the two and the drop decision is undefined.
+    * (Identical text is fine and well-defined: the same-id twin is
+    * excluded from candidates by the `id_b =!= id_a` guard and the
+    * duplicated verify rows collapse in the final `distinct()` — the
+    * PropertySpec self-dedup law exercises exactly this.) A service
+    * ingesting with a fresh monotone id space satisfies this trivially.
     */
   def dedupIncrement(
       corpus: DataFrame,
@@ -266,6 +277,7 @@ object MinHash {
       num: Int = 8,
       den: Int = 10,
       maxBucketSize: Option[Int] = None): DataFrame = {
+    require(b * r <= k, s"b*r must not exceed k: $b*$r > $k")
     // one combined (id, shingles, signature, isNew) frame, persisted: it
     // feeds the band explode (referenced twice by the probe self-join)
     // and the verify stage's shingle sets

@@ -339,6 +339,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(!plan.contains("documents.parquet"), "index query re-read the corpus")
   }
 
+  test("JaccardJoin.pairsFromIndex: exact pairs == in-memory pipeline, no re-shingle") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jj_idx").toString + "/idx"
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    MinHash.writeCorpusIndex(docs, "doc_id", "text", dir)
+    val fromIdx = JaccardJoin.pairsFromIndex(spark, dir, num = 6, den = 10)
+    val a = fromIdx.select("id_a", "id_b", "inter_size", "union_size")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val b = JaccardJoin.nearDupPairs(docs, "doc_id", "text", ngram = 3, num = 6, den = 10)
+      .select("id_a", "id_b", "inter_size", "union_size")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+    // the exact-pair index path never touches the raw documents table
+    val plan = fromIdx.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"), "index query re-read the corpus")
+  }
+
   test("Ivf persisted index: partition-pruned fetch, results == in-memory topK") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
     val e = Tables.embeddings(spark, "/root/testdata/sf0.01")

@@ -298,4 +298,27 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"cluster-unsafe join shapes in: ${offenders.mkString(", ")}")
   }
+
+  test("GLOBAL GUARD: no partition-less Window (single-partition global sort) in ANY registry plan") {
+    // a Window with an empty partitionSpec moves the WHOLE input to one
+    // partition (Spark's own WindowExec warning) — a scale-killer unless
+    // the input is provably bounded by something other than corpus size
+    val intentional = Map(
+      "q68_token_ids" -> ("vocabulary-rank window runs on vocab-sized rows " +
+        "(bounded by |vocab|, not corpus size) — documented at PipelineQueries.scala q68"))
+    val withGlobal = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val global = fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }
+      if (global.nonEmpty) Some(name) else None
+    }
+    val offenders = withGlobal.filterNot(intentional.contains)
+    assert(offenders.isEmpty,
+      s"single-partition global-sort windows in: ${offenders.mkString(", ")}")
+    // keep the allowlist honest: an entry whose query no longer has a
+    // global window should be deleted, not linger as dead justification
+    val stale = intentional.keys.filterNot(withGlobal.contains)
+    assert(stale.isEmpty, s"stale allowlist entries (no global window anymore): ${stale.mkString(", ")}")
+  }
 }

@@ -485,6 +485,52 @@ class PropertySpec extends SparkSpec {
     assert(incSelf === (1L to 6L).toSet -- paired)
   }
 
+  test("law: capped dedupIncrement drops ⊆ uncapped drops; degenerate buckets lose recall, real pairs survive") {
+    // the q105 gate exercises the UNCAPPED path (the cap changes results,
+    // so it can't sit under the exact oracle); this law pins the capped
+    // path's contract on a degenerate fixture instead: a boilerplate
+    // bucket above the cap is dropped WHOLESALE (its batch docs keep —
+    // the documented recall trade, boilerplate belongs to exact dedup
+    // upstream), while pairs in small buckets are unaffected — so the
+    // capped drop set is a SUBSET of the uncapped one
+    val boiler = "lorem ipsum dolor sit amet boilerplate text of the empty page"
+    val history = ((0 until 20).map(i => (i.toLong, boiler)) :+
+      (200L, (100 to 140).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val batch = ((300 until 310).map(i => (i.toLong, boiler)) :+
+      (400L, (100 to 139).map(i => s"w$i").mkString(" ") + " w999")).toDF("doc_id", "text")
+    def survivors(cap: Option[Int]) =
+      MinHash.dedupIncrement(history, batch, "doc_id", "text", maxBucketSize = cap)
+        .select("doc_id").as[Long].collect().toSet
+    val uncapped = survivors(None)
+    val capped = survivors(Some(5))
+    // uncapped: every batch boilerplate doc near-dups history boilerplate
+    // and drops; 400 near-dups history 200 and drops
+    assert(uncapped === Set.empty[Long])
+    // capped at 5: the 30-doc boilerplate buckets are dropped wholesale,
+    // so batch boilerplate survives; the real near-dup (bucket of 2)
+    // still drops — capped drops ⊆ uncapped drops, never extra drops
+    assert(capped === (300L until 310L).toSet)
+    val batchIds = (300L until 310L).toSet + 400L
+    assert((batchIds -- capped).subsetOf(batchIds -- uncapped),
+      "capped path dropped a doc the uncapped path kept")
+  }
+
+  test("law: tighter-threshold exact pairs == conditional filter of the loosest pass") {
+    // the amortization contract of q107 and AmortizedBench: ONE PPJoin
+    // pass at the loosest threshold carries exact inter/union counts,
+    // so every tighter threshold is a FILTER, not a re-join
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val loose = JaccardJoin.nearDupPairs(docs, "doc_id", "text", ngram = 3, num = 5, den = 10)
+    val filtered = loose.where(col("inter_size") * 10 >= col("union_size") * 6)
+      .select("id_a", "id_b", "inter_size", "union_size")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val direct = JaccardJoin.nearDupPairs(docs, "doc_id", "text", ngram = 3, num = 6, den = 10)
+      .select("id_a", "id_b", "inter_size", "union_size")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(filtered === direct)
+    assert(direct.nonEmpty)
+  }
+
   test("Validate: planted violations are counted exactly") {
     val child = Seq((1L, Some(10L)), (2L, Some(11L)), (3L, Some(99L)), (4L, Some(10L)), (5L, None: Option[Long]))
       .toDF("id", "fk")
