@@ -37,6 +37,75 @@ object FeatureQueries {
   private val WeightMod = 1000003L
   private val WeightShift = 500001L
 
+  private val BpeRounds = 20
+
+  /** Unrolled n-round DuckDB replay of [[Bpe.learnMerges]]'s greedy
+    * recurrence. Each round: weighted adjacent-pair counts -> argmax
+    * (cnt DESC, lhs, rhs) -> greedy non-overlapping merge via
+    * gaps-and-islands (match positions grouped into consecutive runs,
+    * applied at every other offset from the run start — consecutive
+    * matches only occur for self-pairs, where this reproduces the
+    * left-to-right fold exactly). MATERIALIZED on every multi-referenced
+    * CTE is load-bearing: inlining would re-expand the previous round's
+    * chain per reference — exponential in rounds.
+    */
+  private def bpeOracleSql(n: Int): String = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    parts += """w0 AS MATERIALIZED (
+  SELECT w, count(*)::BIGINT AS freq,
+         list_transform(range(1, length(w)+1), i ->
+           substr(w, i::INT, 1) || CASE WHEN i = length(w) THEN '</w>' ELSE '' END) AS toks
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w)"""
+    for (i <- 1 to n) {
+      val p = i - 1
+      parts += s"""pc$i AS (
+  SELECT pr[1] AS a, pr[2] AS b, sum(freq)::BIGINT AS cnt FROM (
+    SELECT freq, unnest(list_transform(range(1, len(toks)), j -> [toks[j], toks[j+1]])) AS pr
+    FROM w$p WHERE len(toks) >= 2)
+  GROUP BY 1, 2)"""
+      parts += s"m$i AS MATERIALIZED (SELECT a, b, cnt FROM pc$i ORDER BY cnt DESC, a, b LIMIT 1)"
+      parts += s"""x$i AS MATERIALIZED (
+  SELECT w, freq, unnest(toks) AS tok, unnest(range(1, len(toks)+1)) AS pos FROM w$p)"""
+      parts += s"""mt$i AS (
+  SELECT x.w, x.pos FROM (
+    SELECT w, pos, tok, lead(tok) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM x$i) x, m$i m
+  WHERE x.tok = m.a AND x.nxt = m.b)"""
+      parts += s"""ap$i AS MATERIALIZED (
+  SELECT w, pos, (pos - min(pos) OVER (PARTITION BY w, grp)) % 2 = 0 AS app
+  FROM (SELECT w, pos, pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS grp FROM mt$i))"""
+      parts += s"""w$i AS MATERIALIZED (
+  SELECT t.w, any_value(t.freq) AS freq,
+         list(CASE WHEN coalesce(a1.app, false) THEN (SELECT a || b FROM m$i) ELSE t.tok END ORDER BY t.pos) AS toks
+  FROM x$i t
+  LEFT JOIN ap$i a1 ON a1.w = t.w AND a1.pos = t.pos
+  LEFT JOIN ap$i a2 ON a2.w = t.w AND a2.pos = t.pos - 1
+  WHERE NOT coalesce(a2.app, false)
+  GROUP BY t.w)"""
+    }
+    val unions = (1 to n)
+      .map(i => s"SELECT $i AS step, a AS lhs, b AS rhs, cnt FROM m$i")
+      .mkString("\nUNION ALL\n")
+    "WITH " + parts.mkString(",\n") +
+      "\nSELECT step, lhs, rhs, cnt FROM (\n" + unions + "\n) ORDER BY step"
+  }
+
+  /** ENCODE twin of [[bpeOracleSql]]: the same n-round recurrence, but
+    * the final SELECT tokenizes the corpus with the learned vocabulary —
+    * per-doc subword count = sum over its word occurrences of the
+    * post-merge symbol count |w_n(word).toks|.
+    */
+  private def bpeEncodeOracleSql(n: Int): String = {
+    val train = bpeOracleSql(n)
+    val chain = train.substring(0, train.indexOf("\nSELECT step"))
+    chain + s""",
+dw AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+cnt AS (SELECT w, len(toks)::BIGINT AS nsub FROM w$n)
+SELECT dw.doc_id, sum(cnt.nsub)::BIGINT AS n_subwords
+FROM dw JOIN cnt ON cnt.w = dw.w
+GROUP BY dw.doc_id ORDER BY dw.doc_id"""
+  }
+
   val all: Seq[Q] = Seq(
 
     // -------------------------------------- linear quality classifier
@@ -716,5 +785,107 @@ object FeatureQueries {
         "8-gram spans per doc (corpus occurrence >= 2, overlap-merged via " +
         "gaps-and-islands) — span count + duplicated-token budget; positional " +
         "grams from one lead window, doc_id-partitioned windows only, one " +
-        "gram-frequency agg; gram strings swap for polyhashes at corpus scale"))
+        "gram-frequency agg; gram strings swap for polyhashes at corpus scale"),
+
+    // ------------------------------------------- BPE merge-rule training
+    Q("q109_bpe_merges",
+      (s, d) => {
+        // the full iterative BPE training loop (q100 is its step 1):
+        // 20 greedy merge rounds over the distinct-word frequency
+        // table. The oracle replays the identical recurrence as a
+        // 20-round unrolled SQL program — per round: weighted
+        // adjacent-pair counts, argmax with (cnt DESC, lhs, rhs)
+        // tiebreak, then the greedy non-overlapping merge applied via
+        // gaps-and-islands (every other position within a self-pair
+        // run) — proven equivalent to the fold in Bpe.mergePair by the
+        // PropertySpec random-corpus law.
+        Bpe.learnMerges(s, T.documents(s, d), "text", BpeRounds)
+          .orderBy(col("step"))
+      },
+      Some(bpeOracleSql(BpeRounds)),
+      "BPE tokenizer training, the full merge LOOP (Sennrich 2016): 20 greedy " +
+        "rounds on the distinct-word frequency table — corpus->vocab is the one " +
+        "corpus-sized shuffle, each round a vocab-sized pair-count shuffle + " +
+        "1-row argmax collect (the learned rule is the model parameter, Ivf's " +
+        "justified collect shape); plans kept flat by checkpoint-every-2-rounds"),
+
+    // ---------------------------------- perceptual-hash image dedup
+    Q("q110_phash_pairs",
+      (s, d) => {
+        // perceptual-hash near-dup detection for the multimodal family:
+        // find re-encoded copies of the same media. Corpus = packed
+        // payloads UNION their re-encode-stub variants (brightness +8,
+        // +3 noise on every 37th byte — the shape of a recompression
+        // artifact; ids offset by 1e6). aHash64 is computed scan-side
+        // (one long per payload, native codegen'd kernel; the binary
+        // payload never rides a shuffle); candidates via the pigeonhole
+        // Hamming chunk join (maxHamming=3 -> 4 chunks of 16 bits:
+        // 65536-value bucket keys, guaranteed-complete, never
+        // all-pairs). aHash is exactly invariant to the brightness
+        // shift, so variant pairs sit at hamming 0-4; the <=3 gate
+        // keeps ~most and the oracle (exact all-pairs over the same
+        // integer bit definition) proves no false positives sneak in.
+        val packed = Multimodal.pack(T.documents(s, d), "doc_id", "text")
+          .select(col("doc_id"), col("payload"))
+        val variants = packed.select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          Multimodal.reencodeStub(col("payload"), 8, 37, 3).as("payload"))
+        Multimodal.phashPairs(packed.unionByName(variants), "doc_id", "payload", maxHamming = 3)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""
+        WITH b0 AS (SELECT doc_id, hex(encode(text)) AS h,
+                      octet_length(encode(text)) AS n FROM documents),
+        x0 AS (SELECT doc_id, n, unnest(range(0, n)) AS i,
+                 unnest(list_transform(range(0, n), i ->
+                   CAST('0x' || substr(h, (2*i+1)::INT, 2) AS INT))) AS v
+               FROM b0),
+        x AS (SELECT doc_id, n, i, v FROM x0
+              UNION ALL
+              SELECT doc_id + 1000000, n, i,
+                     least(v + 8 + CASE WHEN i % 37 = 0 THEN 3 ELSE 0 END, 255)
+              FROM x0),
+        c AS (SELECT doc_id, any_value(n) AS n, (i * 64) // n AS cell,
+                sum(v)::BIGINT AS s, count(*)::BIGINT AS c
+              FROM x GROUP BY doc_id, (i * 64) // n),
+        t AS (SELECT doc_id, any_value(n) AS n, sum(s)::BIGINT AS tot FROM c GROUP BY doc_id),
+        e AS (SELECT doc_id, n, tot, unnest(range(0, 64)) AS j FROM t),
+        bits AS (SELECT e.doc_id, e.j,
+                  CASE WHEN coalesce(c.s, 0) * e.n > e.tot * coalesce(c.c, 0)
+                       THEN 1 ELSE 0 END AS bit
+                 FROM e LEFT JOIN c ON c.doc_id = e.doc_id AND c.cell = e.j),
+        v AS (SELECT doc_id, list(bit ORDER BY j) AS bv FROM bits GROUP BY doc_id),
+        nz AS (SELECT * FROM v WHERE list_sum(bv) > 0),
+        p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                len(list_filter(range(1, 65), i -> a.bv[i] <> b.bv[i]))::INT AS hamming
+              FROM nz a JOIN nz b ON a.doc_id < b.doc_id)
+        SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3 ORDER BY id_a, id_b"""),
+      "perceptual-hash (aHash64) image near-dup pairs for the multimodal family: " +
+        "re-encoded copies (brightness + sparse-noise stub) found via exact-integer " +
+        "average-hash fingerprints + pigeonhole Hamming chunk join (4 chunks x 16 " +
+        "bits for radius 3, guaranteed-complete, ids-only shuffles, no all-pairs); " +
+        "hash computed scan-side so payloads never shuffle"),
+
+    // ----------------------------------------- BPE corpus tokenization
+    Q("q111_bpe_tokenize",
+      (s, d) => {
+        // the ENCODE side of the q109 tokenizer: tokenize the corpus
+        // under the trained merges and report per-doc subword counts —
+        // the sequence-length accounting every packing/budgeting stage
+        // (q59) starts from. Tokenization is a VOCAB-sized computation:
+        // the training loop's final (word, symbols) frame already IS
+        // the tokenized lexicon, so encoding = one broadcast-sized
+        // attach join on the exploded corpus + one doc_id shuffle. The
+        // oracle replays the identical 20-round recurrence and
+        // aggregates |w20.toks| over word occurrences.
+        val (_, vocab) = Bpe.learnMergesWithVocab(s, T.documents(s, d), "text", BpeRounds)
+        Bpe.tokenizeCounts(T.documents(s, d), "doc_id", "text", vocab)
+          .orderBy(col("doc_id"))
+      },
+      Some(bpeEncodeOracleSql(BpeRounds)),
+      "BPE corpus tokenization (the encode side of q109): per-doc subword " +
+        "counts under the trained 20-rule model — the trained vocab's " +
+        "(word, symbols) frame is the lexicon, so encoding is a vocab-sized " +
+        "broadcast attach on the exploded corpus plus one doc_id shuffle; no " +
+        "per-occurrence fold, no corpus-sized merge work"))
 }

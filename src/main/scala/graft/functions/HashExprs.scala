@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType, IntegerType, LongType, StringType}
 
 /** Native Catalyst expressions for the hash-heavy LLM-data operators.
   *
@@ -203,6 +203,56 @@ case class SimHash64(child: Expression, seed: Long) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** binary payload -> long: 64-bit perceptual average-hash (aHash). See
+  * [[HashRuntime.aHash64]] for the exact-integer bit definition; pairs
+  * within a small Hamming radius are found with the same pigeonhole
+  * chunk join as simhash ([[graft.operators.SimHash.nearPairs]]).
+  */
+case class AHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"graft_ahash64 needs binary payload, got $t")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashRuntime.aHash64(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashRuntime.aHash64($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): AHash64 =
+    copy(child = newChild)
+}
+
+/** binary -> binary: deterministic re-encode stub (brightness shift +
+  * sparse saturating noise) — see [[HashRuntime.reencodeStub]]. The
+  * multimodal family's codec stand-in for "same image, different
+  * encoding"; swap the runtime body for a real codec in production.
+  */
+case class ReencodeStub(child: Expression, brightness: Int, noisePeriod: Int, noiseDelta: Int)
+    extends UnaryExpression {
+  require(noisePeriod >= 1, s"noisePeriod must be >= 1, got $noisePeriod")
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"graft_reencode needs binary payload, got $t")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashRuntime.reencodeStub(input.asInstanceOf[Array[Byte]], brightness, noisePeriod, noiseDelta)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashRuntime.reencodeStub($c, $brightness, $noisePeriod, $noiseDelta);")
+
+  override protected def withNewChildInternal(newChild: Expression): ReencodeStub =
     copy(child = newChild)
 }
 
@@ -426,6 +476,11 @@ object HashExprs {
     GraftColumnBridge.column(MinHashSignature(GraftColumnBridge.expression(c), k, seed))
   def simHash64(c: Column, seed: Long): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(c), seed))
+  def aHash64(c: Column): Column =
+    GraftColumnBridge.column(AHash64(GraftColumnBridge.expression(c)))
+  def reencodeStub(c: Column, brightness: Int, noisePeriod: Int, noiseDelta: Int): Column =
+    GraftColumnBridge.column(ReencodeStub(
+      GraftColumnBridge.expression(c), brightness, noisePeriod, noiseDelta))
   def shingles(c: Column, n: Int): Column =
     GraftColumnBridge.column(ShingleArray(GraftColumnBridge.expression(c), n))
   def winnowMins(c: Column, w: Int): Column =

@@ -196,6 +196,68 @@ object HashRuntime {
     fp
   }
 
+  /** 64-bit perceptual average-hash (aHash) of an opaque byte payload:
+    * the payload is divided into 64 equal relative-position cells (the
+    * "resize to an 8x8 thumbnail" step of classic image aHash); bit j is
+    * set iff cell j's mean byte value exceeds the global mean. The
+    * comparison is the EXACT integer cross-multiplication
+    * `cellSum_j * n > total * cellCount_j` — no floating point, so an
+    * oracle engine reproduces every bit. Exactly invariant to a uniform
+    * brightness shift (+d on every byte adds d*cnt_j*n to both sides)
+    * and robust to sparse per-byte noise, which is what makes it the
+    * standard re-encode/resize duplicate detector.
+    *
+    * Empty payloads hash to 0 (callers treat 0 as "no signal", the
+    * simhash convention). Exact up to ~190 MB payloads
+    * (255 * n^2 < 2^63); larger media should be hashed from their
+    * decoded thumbnails anyway.
+    */
+  def aHash64(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    val cellSum = new Array[Long](64)
+    val cellCnt = new Array[Long](64)
+    var tot = 0L
+    var i = 0
+    while (i < n) {
+      val v = (bytes(i) & 0xff).toLong
+      val c = ((i.toLong * 64L) / n).toInt
+      cellSum(c) += v
+      cellCnt(c) += 1L
+      tot += v
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) {
+      if (cellSum(j) * n > tot * cellCnt(j)) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+
+  /** STUB re-encode of a binary media payload: uniform brightness shift
+    * plus sparse additive noise (+`noiseDelta` on every `noisePeriod`-th
+    * byte), saturating at [0, 255] like real pixel arithmetic. A real
+    * implementation decodes and re-encodes at a different quality; this
+    * deterministic fake produces the same SHAPE of perturbation a
+    * recompression does — small, structured, non-content-changing — so
+    * the perceptual-hash match path ([[aHash64]] + hamming banding) is
+    * exercised end-to-end and an oracle can replay it byte-for-byte.
+    */
+  def reencodeStub(bytes: Array[Byte], brightness: Int, noisePeriod: Int, noiseDelta: Int): Array[Byte] = {
+    val out = new Array[Byte](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      var v = (bytes(i) & 0xff) + brightness + (if (i % noisePeriod == 0) noiseDelta else 0)
+      if (v > 255) v = 255
+      if (v < 0) v = 0
+      out(i) = v.toByte
+      i += 1
+    }
+    out
+  }
+
   /** Winnowing selection (SIGMOD'03 MOSS): distinct minima of every
     * w-long window over the hash sequence, first-occurrence order; a
     * non-empty sequence shorter than w yields its single global min.

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: opaque binary payloads with typed
@@ -53,6 +53,40 @@ object Multimodal {
       // mangle real binary payloads — PNG magic 0x89 is not valid UTF-8);
       // empty payloads yield 0
       coalesce(conv(hex(substring(col("payload"), 1, 1)), 16, 10).cast("int"), lit(0)).as("first_byte"))
+
+  /** 64-bit perceptual average-hash (aHash) of a binary payload — the
+    * classic image near-dup fingerprint: 64 relative-position cells
+    * (the 8x8-thumbnail step), bit j = cell mean above global mean, via
+    * exact integer cross-multiplication (oracle-reproducible, no fp).
+    * Exactly invariant to uniform brightness shift; robust to sparse
+    * noise — i.e. to what a re-encode/recompress does. Native codegen'd
+    * kernel ([[graft.functions.HashRuntime.aHash64]]), computed
+    * scan-side: one long per payload, the payload itself never rides a
+    * shuffle.
+    */
+  def aHash(payload: Column): Column = graft.functions.HashExprs.aHash64(payload)
+
+  /** STUB re-encode: brightness shift + sparse saturating noise (see
+    * [[graft.functions.HashRuntime.reencodeStub]]) — the deterministic
+    * stand-in for "decode, recompress at different quality". Real
+    * plumbing (binary-in/binary-out native expression), fake codec.
+    */
+  def reencodeStub(payload: Column, brightness: Int, noisePeriod: Int, noiseDelta: Int): Column =
+    graft.functions.HashExprs.reencodeStub(payload, brightness, noisePeriod, noiseDelta)
+
+  /** Perceptual-hash near-duplicate pairs over binary payloads: aHash
+    * fingerprints + the pigeonhole Hamming chunk join of
+    * [[SimHash.nearPairs]] (maxHamming+1 chunks; two fingerprints within
+    * maxHamming bits must agree on a chunk — all candidates found with
+    * (maxHamming+1) ids-only shuffled rows per doc, never all-pairs).
+    * Output: (id_a, id_b, hamming), id_a < id_b. At 100 TB the hash is
+    * computed while the media scan streams; only (id, long) pairs enter
+    * the join, and a degenerate-payload guard (fp == 0 dropped) keeps
+    * trivial media out of the buckets.
+    */
+  def phashPairs(df: DataFrame, idCol: String, payloadCol: String, maxHamming: Int): DataFrame =
+    SimHash.nearPairs(
+      df.select(col(idCol), aHash(col(payloadCol)).as("__fp")), idCol, "__fp", maxHamming)
 
   /** STUB decoder: a real implementation would hand `payload` to an image
     * /audio codec. This deterministic fake emits an 8-dim feature vector

@@ -932,4 +932,53 @@ class LlmOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(viaTable === viaFormula)
   }
+
+  test("aHash64: reference bits, brightness invariance, clamp; phashPairs finds re-encodes") {
+    // independent reference formulation over unsigned ints
+    def refHash(bs: Array[Int]): Long = {
+      val n = bs.length
+      if (n == 0) 0L
+      else {
+        val sums = new Array[Long](64); val cnts = new Array[Long](64); var tot = 0L
+        bs.indices.foreach { i =>
+          val c = (i.toLong * 64L / n).toInt; sums(c) += bs(i); cnts(c) += 1; tot += bs(i)
+        }
+        (0 until 64).foldLeft(0L)((fp, j) =>
+          if (sums(j) * n > tot * cnts(j)) fp | (1L << j) else fp)
+      }
+    }
+    val rnd = new scala.util.Random(11) // pinned seed
+    // values capped at 200 so a +20 brightness shift never saturates
+    val payloads: Seq[Array[Int]] =
+      (1 to 40).map(_ => Array.fill(1 + rnd.nextInt(300))(rnd.nextInt(201))) :+ Array.empty[Int]
+    val df = payloads.zipWithIndex
+      .map { case (p, i) => (i.toLong, p.map(_.toByte)) }.toDF("id", "pl")
+    val got = df.select(col("id"), Multimodal.aHash(col("pl")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    payloads.zipWithIndex.foreach { case (p, i) => assert(got(i.toLong) === refHash(p)) }
+    // EXACT brightness invariance (non-saturating shift, zero noise delta)
+    val shifted = df.select(col("id"),
+      Multimodal.aHash(Multimodal.reencodeStub(col("pl"), 20, 1, 0)).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(shifted === got)
+    // saturation clamps at 255 (and the stub is codegen-consistent)
+    val clamped = Seq((0L, Array(250, 100, 3).map(_.toByte))).toDF("id", "pl")
+      .select(Multimodal.reencodeStub(col("pl"), 20, 2, 10).as("r"))
+      .as[Array[Byte]].collect().head.map(_ & 0xff)
+    assert(clamped.toSeq === Seq(255, 120, 33)) // 250+20+10 caps; 100+20; 3+20+10
+    // null payload propagates null
+    val nulls = Seq((1L, null: Array[Byte])).toDF("id", "pl")
+      .select(Multimodal.aHash(col("pl")).as("h"))
+    assert(nulls.collect().head.isNullAt(0))
+    // recall: every brightness-shifted re-encode pairs with its original at
+    // hamming 0; random payloads never collide within radius 3 (P ~ 2^-47)
+    val corpus = df.where(col("id") < 40)
+      .unionByName(df.where(col("id") < 40).select((col("id") + 1000L).as("id"),
+        Multimodal.reencodeStub(col("pl"), 20, 1, 0).as("pl")))
+    val pairs = Multimodal.phashPairs(corpus, "id", "pl", maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    val selfPairs = pairs.filter { case (a, b, _) => b == a + 1000L }
+    assert(selfPairs.length === 40 && selfPairs.forall(_._3 == 0))
+    assert(pairs.length === selfPairs.length) // no false positives among noise
+  }
 }

@@ -531,6 +531,60 @@ class PropertySpec extends SparkSpec {
     assert(direct.nonEmpty)
   }
 
+  test("law: Bpe.learnMerges == in-memory Sennrich reference on random tiny-alphabet corpora") {
+    // tiny alphabet makes self-pair runs (aaaa) common — the subtle
+    // case where greedy non-overlapping merging must take every other
+    // position; the fold and the oracle's gaps-and-islands must agree
+    val rnd = new scala.util.Random(13) // pinned seed
+    for (_ <- 1 to 3) {
+      val docs = (1 to 25).map { _ =>
+        (1 to (1 + rnd.nextInt(8))).map { _ =>
+          (1 to (1 + rnd.nextInt(5))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+        }.mkString(" ")
+      }
+      // driver-side reference: the literal Sennrich recurrence
+      val vocab = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      docs.flatMap(_.toLowerCase.split(" ", -1)).filter(_.nonEmpty).foreach(w => vocab(w) += 1L)
+      val words = scala.collection.mutable.Map(vocab.keys.map { w =>
+        w -> w.zipWithIndex.map { case (c, i) =>
+          if (i == w.length - 1) s"$c</w>" else c.toString }.toVector
+      }.toSeq: _*)
+      val ref = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      var step = 1
+      var break = false
+      while (step <= 8 && !break) {
+        val pc = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+        words.foreach { case (w, toks) =>
+          toks.sliding(2).filter(_.size == 2).foreach(p => pc((p(0), p(1))) += vocab(w))
+        }
+        if (pc.isEmpty) break = true
+        else {
+          val ((a, b), cnt) = pc.minBy { case ((x, y), c) => (-c, x, y) }
+          ref += ((step, a, b, cnt))
+          words.mapValuesInPlace { (_, toks) =>
+            toks.foldLeft(Vector.empty[String]) { (acc, t) =>
+              if (acc.nonEmpty && acc.last == a && t == b) acc.init :+ (a + b)
+              else acc :+ t
+            }
+          }
+          step += 1
+        }
+      }
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val (gotRules, vocabDf) = Bpe.learnMergesWithVocab(spark, df, "text", 8)
+      val got = gotRules.orderBy(col("step")).as[(Int, String, String, Long)].collect().toSeq
+      assert(got === ref.toSeq)
+      // encode side: per-doc subword counts match the merged reference vocab
+      val refCounts: Map[Long, Long] = docs.zipWithIndex.map { case (t, i) =>
+        i.toLong -> t.toLowerCase.split(" ", -1).filter(_.nonEmpty)
+          .map(w => words(w).size.toLong).sum
+      }.toMap
+      val gotCounts = Bpe.tokenizeCounts(df, "id", "text", vocabDf)
+        .as[(Long, Long)].collect().toMap
+      assert(gotCounts === refCounts.filter(_._2 > 0L))
+    }
+  }
+
   test("Validate: planted violations are counted exactly") {
     val child = Seq((1L, Some(10L)), (2L, Some(11L)), (3L, Some(99L)), (4L, Some(10L)), (5L, None: Option[Long]))
       .toDF("id", "fk")
