@@ -887,5 +887,127 @@ GROUP BY dw.doc_id ORDER BY dw.doc_id"""
         "counts under the trained 20-rule model — the trained vocab's " +
         "(word, symbols) frame is the lexicon, so encoding is a vocab-sized " +
         "broadcast attach on the exploded corpus plus one doc_id shuffle; no " +
-        "per-occurrence fold, no corpus-sized merge work"))
+        "per-occurrence fold, no corpus-sized merge work"),
+
+    // ------------------------------------ per-source score calibration
+    Q("q112_source_calibration",
+      (s, d) => {
+        // per-DOMAIN quality calibration: classifier scores are not
+        // comparable across sources (each domain has its own length/
+        // vocabulary profile), so production filters keep the top p%
+        // PER SOURCE rather than applying one global threshold (the
+        // CCNet/quality-gate practice). Keep = top 40% per source by
+        // per-token average weight, exact, with (score DESC, doc_id)
+        // tiebreak. Scale-safety: NO per-source sort of docs — rank is
+        // assembled q103-style from the (source, avg) FREQUENCY frame,
+        // whose per-source window runs on <= 1000003 rows at ANY corpus
+        // size (avg is value-range-bounded after the non-negative
+        // shift), plus a row_number within the boundary TIE GROUP only
+        // (tie-group-sized partitions). Everything integer.
+        val ntok = size(docTokens).cast("long")
+        val score = graft.functions.HashExprs.classifierScore(
+          docTokens, buckets = 262144L, WeightMul, WeightMod, WeightShift)
+        // shifted per-token average in [0, 1000002]: numerator is
+        // non-negative, so integer div == floor in both engines
+        val awq = call_function("div", score + lit(WeightShift) * ntok, ntok)
+        val perDoc = T.documents(s, d)
+          .select(col("doc_id"), col("source"), awq.as("__awq"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val wHigher = Window.partitionBy(col("source")).orderBy(col("__awq").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val freq = perDoc.groupBy(col("source"), col("__awq"))
+          .agg(count(lit(1)).as("__cnt"))
+          .select(col("source"), col("__awq"),
+            coalesce(sum(col("__cnt")).over(wHigher), lit(0L)).as("__cum_higher"))
+        val nPer = perDoc.groupBy(col("source")).agg(count(lit(1)).as("__n"))
+        val tieW = Window.partitionBy(col("source"), col("__awq")).orderBy(col("doc_id"))
+        perDoc.join(freq, Seq("source", "__awq"))
+          .join(nPer, Seq("source"))
+          .withColumn("__tie_rk", row_number().over(tieW))
+          .select(col("doc_id"), col("source"),
+            (col("__awq") - lit(WeightShift)).as("avg_w"),
+            ((col("__cum_higher") + col("__tie_rk")) * 10 <= col("__n") * 4).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, source, string_split(lower(text), ' ') AS w FROM documents),
+        sc AS (SELECT doc_id, source, len(w)::BIGINT AS ntok,
+                 CAST(coalesce(list_sum(list_transform(w, x ->
+                   (list_reduce(list_prepend(CAST(7 AS BIGINT),
+                     list_transform(range(1, length(x)+1), i -> CAST(ascii(substr(x, i, 1)) AS BIGINT))),
+                     (a, c) -> (a*31 + c) % 1000000007) % 262144) * 2654435761 % 1000003 - 500001)),
+                   0) AS BIGINT) AS score
+               FROM t),
+        aw AS (SELECT doc_id, source, (score + 500001 * ntok) // ntok AS awq FROM sc),
+        r AS (SELECT doc_id, source, awq,
+                row_number() OVER (PARTITION BY source ORDER BY awq DESC, doc_id) AS rk,
+                count(*) OVER (PARTITION BY source) AS n
+              FROM aw)
+        SELECT doc_id, source, CAST(awq - 500001 AS BIGINT) AS avg_w,
+               rk * 10 <= n * 4 AS keep
+        FROM r ORDER BY doc_id"""),
+      "per-source quality calibration (domain-wise top-p% keep, the CCNet " +
+        "practice): exact top-40% per source by per-token average classifier " +
+        "weight — global rank assembled from the value-range-bounded (source, " +
+        "avg) frequency frame (<= 1e6-row windows at any corpus size, the q103 " +
+        "device per group) + a tie-group row_number; no per-source doc sort"),
+
+    // --------------------------------- leakage-free cluster-aware split
+    Q("q114_cluster_split",
+      (s, d) => {
+        // near-dup-aware train/val split: q45's content-hash split
+        // assigns DOCS independently, so two near-duplicate docs can
+        // straddle the boundary — silent train->eval leakage. Here the
+        // split unit is the near-dup CLUSTER: connected components over
+        // the exact pair graph (q51's machinery), every doc inherits
+        // its cluster representative's content-hash bucket, so a
+        // cluster lands wholly in train or wholly in val. Scale: the
+        // component iteration is ids-only; the rep's hash is computed
+        // map-side on the doc scan and attached by one rep-sized join.
+        val docs = T.documents(s, d)
+        val pairs = JaccardJoin.nearDupPairs(docs, "doc_id", "text", ngram = 3, num = 6, den = 10)
+          .select(col("id_a"), col("id_b"))
+        val comp = Components.connectedComponents(pairs, "id_a", "id_b")
+        val withRep = docs.select(col("doc_id"))
+          .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_rep"))
+        val repHash = docs.select(col("doc_id").as("cluster_rep"),
+          TextOps.hashBucket(col("text"), 100).as("__hb"))
+        withRep.join(repHash, Seq("cluster_rep"))
+          .select(col("doc_id"), col("cluster_rep"),
+            when(col("__hb") < 90, lit("train")).otherwise(lit("val")).as("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH RECURSIVE toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM toks),
+        pairs AS (SELECT a.doc_id AS pa, b.doc_id AS pb
+                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+                    AND len(list_intersect(a.sh, b.sh)) * 10 >=
+                        6 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))),
+        edges AS (SELECT pa AS u, pb AS v FROM pairs UNION SELECT pb, pa FROM pairs),
+        reach(id, r) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+        comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
+        rep AS (SELECT d.doc_id, coalesce(comp.c, d.doc_id) AS cluster_rep
+                FROM documents d LEFT JOIN comp ON comp.id = d.doc_id),
+        h AS (SELECT rd.doc_id AS rid,
+                CASE WHEN list_reduce(list_prepend(CAST(7 AS BIGINT),
+                       list_transform(range(1, length(rd.text)+1),
+                         i -> CAST(ascii(substr(rd.text, i, 1)) AS BIGINT))),
+                       (a, c) -> (a*31 + c) % 1000000007) % 100 < 90
+                     THEN 'train' ELSE 'val' END AS split
+              FROM documents rd)
+        SELECT rep.doc_id, rep.cluster_rep, h.split
+        FROM rep JOIN h ON h.rid = rep.cluster_rep
+        ORDER BY rep.doc_id"""),
+      "leakage-free train/val split: the split unit is the near-dup CLUSTER " +
+        "(exact pair graph -> connected components), every doc inherits its " +
+        "cluster representative's content-hash bucket — near-duplicate docs can " +
+        "never straddle train/val (the silent-contamination failure of per-doc " +
+        "splits); ids-only component rounds + one rep-sized hash attach"))
 }
