@@ -1009,5 +1009,64 @@ GROUP BY dw.doc_id ORDER BY dw.doc_id"""
         "(exact pair graph -> connected components), every doc inherits its " +
         "cluster representative's content-hash bucket — near-duplicate docs can " +
         "never straddle train/val (the silent-contamination failure of per-doc " +
-        "splits); ids-only component rounds + one rep-sized hash attach"))
+        "splits); ids-only component rounds + one rep-sized hash attach"),
+
+    // -------------------------------------- video frame-voting dedup
+    Q("q115_video_frame_dedup",
+      (s, d) => {
+        // frame-level video dedup: two "videos" match when >= 2 sampled
+        // frames agree on (frame index, perceptual hash) — the
+        // aligned-frame VOTING device video pipelines use (one
+        // corrupted frame loses one vote, not the match; a whole-file
+        // hash would lose everything). Corpus = packed payloads + the
+        // q110 re-encode variants; frames = every 2nd 64-byte slice
+        // (frameSampleStub's stride policy, built as pure expressions
+        // so the per-frame aHash stays in codegen). (k, h) keys with
+        // df > 8 are dropped BEFORE the self-join (inert at gate scale
+        // — max df here is 6 — but the guard that keeps a boilerplate
+        // frame from fanning candidates B ways at corpus scale).
+        val packed = Multimodal.pack(T.documents(s, d), "doc_id", "text")
+          .select(col("doc_id"), col("payload"))
+        val vids = packed.unionByName(packed.select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          Multimodal.reencodeStub(col("payload"), 8, 37, 3).as("payload")))
+        Multimodal.frameMatchPairs(vids, "doc_id", "payload",
+            frameSize = 64, stride = 2, maxFrameDf = 8, minVotes = 2)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""
+        WITH b0 AS (SELECT doc_id, hex(encode(text)) AS h,
+                      octet_length(encode(text)) AS n FROM documents),
+        x0 AS (SELECT doc_id, n, unnest(range(0, n)) AS i,
+                 unnest(list_transform(range(0, n), i ->
+                   CAST('0x' || substr(h, (2*i+1)::INT, 2) AS INT))) AS v
+               FROM b0),
+        x AS (SELECT doc_id, n, i, v FROM x0
+              UNION ALL
+              SELECT doc_id + 1000000, n, i,
+                     least(v + 8 + CASE WHEN i % 37 = 0 THEN 3 ELSE 0 END, 255)
+              FROM x0),
+        f AS (SELECT doc_id, i // 128 AS k, i % 128 AS p, v
+              FROM x WHERE i % 128 < 64 AND (i // 128) * 128 + 64 <= n),
+        fh AS (SELECT doc_id, k,
+                 list(CASE WHEN 64 * v > t THEN 1 ELSE 0 END ORDER BY p) AS bits
+               FROM (SELECT doc_id, k, p, v,
+                       sum(v) OVER (PARTITION BY doc_id, k) AS t FROM f)
+               GROUP BY doc_id, k),
+        nf AS (SELECT doc_id, count(*)::BIGINT AS nf FROM fh GROUP BY doc_id),
+        ok AS (SELECT k, bits FROM fh GROUP BY k, bits HAVING count(*) <= 8),
+        kept AS (SELECT fh.doc_id, fh.k, fh.bits FROM fh JOIN ok USING (k, bits)),
+        m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_match
+              FROM kept a JOIN kept b ON a.k = b.k AND a.bits = b.bits
+                AND a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT m.id_a, m.id_b, m.n_match,
+               na.nf AS frames_a, nb.nf AS frames_b
+        FROM m JOIN nf na ON na.doc_id = m.id_a JOIN nf nb ON nb.doc_id = m.id_b
+        ORDER BY m.id_a, m.id_b"""),
+      "frame-level video dedup (aligned-frame fingerprint voting): every 2nd " +
+        "64-byte frame hashed scan-side with the exact-integer aHash, videos " +
+        "pair on >= 2 (frame index, hash) agreements — one ids-only (k, h) " +
+        "equi self-join, degenerate frame keys capped before the join (df <= " +
+        "8), per-video frame counts from one agg; robust to per-frame noise"))
 }

@@ -88,6 +88,61 @@ object Multimodal {
     SimHash.nearPairs(
       df.select(col(idCol), aHash(col(payloadCol)).as("__fp")), idCol, "__fp", maxHamming)
 
+  /** Per-frame perceptual hashes of a "video" payload: frame k is the
+    * `frameSize`-byte slice at byte offset k*frameSize*stride (i.e.
+    * every `stride`-th frame is sampled, [[frameSampleStub]]'s policy,
+    * built with pure expressions so the hash stays in codegen);
+    * trailing partial frames are dropped. Output: (idCol, k, h) — one
+    * long per kept frame, the payload never leaves the scan.
+    */
+  def frameHashes(videos: DataFrame, idCol: String, payloadCol: String,
+      frameSize: Int, stride: Int): DataFrame = {
+    require(frameSize >= 1 && stride >= 1, s"frameSize/stride must be >= 1")
+    val span = frameSize * stride
+    val n = length(col(payloadCol))
+    videos.where(n >= frameSize)
+      .select(col(idCol), col(payloadCol),
+        explode(sequence(lit(0L),
+          call_function("div", (n - frameSize).cast("long"), lit(span.toLong)))).as("k"))
+      .select(col(idCol), col("k"),
+        aHash(col(payloadCol).substr(
+          (col("k") * span + 1).cast("int"), lit(frameSize))).as("h"))
+  }
+
+  /** Frame-fingerprint VOTING dedup for video-shaped media: two videos
+    * match if >= `minVotes` sampled frames agree on (frame index,
+    * perceptual hash) — the aligned-frame voting device video dedup
+    * pipelines use (robust to per-frame noise: a corrupted frame loses
+    * one vote, not the match). Output: (id_a, id_b, n_match, frames_a,
+    * frames_b), id_a < id_b.
+    *
+    * Scale shape: one (k, h) equi self-join over ids-only frame rows —
+    * never all-pairs; `maxFrameDf` drops degenerate (k, h) keys (a
+    * boilerplate frame shared by B videos would fan candidates B ways —
+    * the q95/MinHash bucket-cap reasoning) BEFORE the join; per-video
+    * frame counts come from one idCol-sized agg.
+    */
+  def frameMatchPairs(videos: DataFrame, idCol: String, payloadCol: String,
+      frameSize: Int, stride: Int, maxFrameDf: Int, minVotes: Int): DataFrame = {
+    require(maxFrameDf >= 2, s"maxFrameDf must be >= 2, got $maxFrameDf")
+    require(minVotes >= 1, s"minVotes must be >= 1, got $minVotes")
+    val fr = frameHashes(videos, idCol, payloadCol, frameSize, stride)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nf = fr.groupBy(col(idCol)).agg(count(lit(1)).as("__nf"))
+    val ok = fr.groupBy(col("k"), col("h")).agg(count(lit(1)).as("__c"))
+      .where(col("__c") <= maxFrameDf).select(col("k"), col("h"))
+    val kept = fr.join(ok, Seq("k", "h"), "left_semi")
+    val m = kept.select(col(idCol).as("id_a"), col("k"), col("h"))
+      .join(kept.select(col(idCol).as("id_b"), col("k"), col("h")), Seq("k", "h"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_match"))
+      .where(col("n_match") >= minVotes)
+    m.join(nf.select(col(idCol).as("id_a"), col("__nf").as("frames_a")), Seq("id_a"))
+      .join(nf.select(col(idCol).as("id_b"), col("__nf").as("frames_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_match"), col("frames_a"), col("frames_b"))
+  }
+
   /** STUB decoder: a real implementation would hand `payload` to an image
     * /audio codec. This deterministic fake emits an 8-dim feature vector
     * of byte-histogram moments so downstream stages (similarity, dedup)

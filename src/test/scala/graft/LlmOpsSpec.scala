@@ -981,4 +981,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(selfPairs.length === 40 && selfPairs.forall(_._3 == 0))
     assert(pairs.length === selfPairs.length) // no false positives among noise
   }
+
+  test("frameHashes / frameMatchPairs: frame slicing, brightness-invariant voting, df cap") {
+    val rnd = new scala.util.Random(17) // pinned seed
+    // payloads long enough for 3 kept frames at frameSize=4, stride=2
+    // (span 8): n >= 4 + 2*8 = 20
+    val payloads = (0 until 10).map(i => (i.toLong, Array.fill(23)(rnd.nextInt(180).toByte)))
+    val df = payloads.toDF("id", "pl")
+    // kept-frame count: k in 0..(n-frameSize) div span = (23-4)/8 = 2 -> 3 frames
+    val fr = Multimodal.frameHashes(df, "id", "pl", frameSize = 4, stride = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(fr.length === 30 && fr.groupBy(_._1).forall(_._2.map(_._2).sorted.toSeq == Seq(0L, 1L, 2L)))
+    // frame k hashes the bytes at offset k*span — independently recomputed
+    val direct = payloads.flatMap { case (id, pl) =>
+      (0 to 2).map(k => (id, k.toLong,
+        graft.functions.HashRuntime.aHash64(pl.slice(k * 8, k * 8 + 4))))
+    }.toSet
+    assert(fr.toSet === direct)
+    // brightness-only re-encode: every frame votes -> n_match = frames
+    val vids = df.unionByName(df.select((col("id") + 100L).as("id"),
+      Multimodal.reencodeStub(col("pl"), 20, 1, 0).as("pl")))
+    val m = Multimodal.frameMatchPairs(vids, "id", "pl", 4, 2, maxFrameDf = 8, minVotes = 2)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val variantPairs = m.filter { case (a, b, _, _, _) => b == a + 100L }
+    assert(variantPairs.length === 10 &&
+      variantPairs.forall { case (_, _, nm, fa, fb) => nm == 3L && fa == 3L && fb == 3L })
+    // df cap: a frame shared by MANY videos is dropped from the join —
+    // identical payloads everywhere yield no pairs under a small cap
+    val same = (0 until 12).map(i => (i.toLong, Array.fill(23)(7.toByte))).toDF("id", "pl")
+    assert(Multimodal.frameMatchPairs(same, "id", "pl", 4, 2, maxFrameDf = 8, minVotes = 1)
+      .count() === 0L)
+  }
 }
