@@ -1068,5 +1068,70 @@ GROUP BY dw.doc_id ORDER BY dw.doc_id"""
         "64-byte frame hashed scan-side with the exact-integer aHash, videos " +
         "pair on >= 2 (frame index, hash) agreements — one ids-only (k, h) " +
         "equi self-join, degenerate frame keys capped before the join (df <= " +
-        "8), per-video frame counts from one agg; robust to per-frame noise"))
+        "8), per-video frame counts from one agg; robust to per-frame noise"),
+
+    // ------------------------------- incremental media ingest dedup
+    Q("q116_phash_incremental",
+      (s, d) => {
+        // the media ingest gate, batch form (StreamingPhashDedup's
+        // oracle-checkable twin, as q105 is StreamingDedup's): history
+        // = accepted payloads' fingerprints; batch = today's arrivals
+        // (here: re-encodes of the history, ids offset 1e6 — the
+        // adversarial all-duplicates day). A batch image drops iff it
+        // is within hamming 3 of any HISTORY image or a lower-id batch
+        // image. Only batch chunk rows probe (history x history never
+        // generated); the hamming verify is computed inline from the
+        // two fingerprints on the candidate row — no second verify
+        // join. Output: every batch id with its keep decision.
+        val packed = Multimodal.pack(T.documents(s, d), "doc_id", "text")
+          .select(col("doc_id"), col("payload"))
+        val history = packed.select(col("doc_id"),
+          Multimodal.aHash(col("payload")).as("fp"))
+        val batch = packed.select((col("doc_id") + 1000000L).as("doc_id"),
+          Multimodal.aHash(
+            Multimodal.reencodeStub(col("payload"), 8, 37, 3)).as("fp"))
+        val drops = SimHash.incrementalDrops(history, batch, "doc_id", "fp", maxHamming = 3)
+          .withColumn("__dropped", lit(true))
+        batch.select(col("doc_id"))
+          .join(drops, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("__dropped").isNull.as("kept"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH b0 AS (SELECT doc_id, hex(encode(text)) AS h,
+                      octet_length(encode(text)) AS n FROM documents),
+        x0 AS (SELECT doc_id, n, unnest(range(0, n)) AS i,
+                 unnest(list_transform(range(0, n), i ->
+                   CAST('0x' || substr(h, (2*i+1)::INT, 2) AS INT))) AS v
+               FROM b0),
+        x AS (SELECT doc_id, n, i, v FROM x0
+              UNION ALL
+              SELECT doc_id + 1000000, n, i,
+                     least(v + 8 + CASE WHEN i % 37 = 0 THEN 3 ELSE 0 END, 255)
+              FROM x0),
+        c AS (SELECT doc_id, any_value(n) AS n, (i * 64) // n AS cell,
+                sum(v)::BIGINT AS s, count(*)::BIGINT AS c
+              FROM x GROUP BY doc_id, (i * 64) // n),
+        t AS (SELECT doc_id, any_value(n) AS n, sum(s)::BIGINT AS tot FROM c GROUP BY doc_id),
+        e AS (SELECT doc_id, n, tot, unnest(range(0, 64)) AS j FROM t),
+        bits AS (SELECT e.doc_id, e.j,
+                  CASE WHEN coalesce(c.s, 0) * e.n > e.tot * coalesce(c.c, 0)
+                       THEN 1 ELSE 0 END AS bit
+                 FROM e LEFT JOIN c ON c.doc_id = e.doc_id AND c.cell = e.j),
+        v AS (SELECT doc_id, list(bit ORDER BY j) AS bv FROM bits GROUP BY doc_id),
+        nz AS (SELECT * FROM v WHERE list_sum(bv) > 0),
+        drops AS (
+          SELECT DISTINCT b.doc_id
+          FROM nz b JOIN nz o ON b.doc_id >= 1000000 AND o.doc_id <> b.doc_id
+            AND (o.doc_id < 1000000 OR o.doc_id < b.doc_id)
+            AND len(list_filter(range(1, 65), i -> b.bv[i] <> o.bv[i])) <= 3)
+        SELECT d.doc_id + 1000000 AS doc_id,
+               (d.doc_id + 1000000) NOT IN (SELECT doc_id FROM drops) AS kept
+        FROM documents d ORDER BY doc_id"""),
+      "incremental media ingest dedup (the batch twin of " +
+        "StreamingPhashDedup): batch images drop when within hamming 3 of any " +
+        "accepted image or a lower-id batch image — only batch chunk rows " +
+        "probe the accepted fingerprint index (per-ingest cost scales with " +
+        "the batch, never the corpus), hamming verified inline from the two " +
+        "fingerprints on the candidate row; degenerate payloads always keep"))
 }

@@ -31,25 +31,25 @@ object SimHash {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("int")
 
-  /** Pairs (idA < idB) with hamming(simhash) <= maxHamming, found via
-    * pigeonhole chunk join (no all-pairs).
-    * Input df must have `id` (orderable) and `fp` (long) columns.
-    */
-  def nearPairs(df: DataFrame, idCol: String, fpCol: String, maxHamming: Int): DataFrame = {
+  private def requireRadius(maxHamming: Int): Unit =
     // chunks = maxHamming+1 must leave chunks of >= 4 bits: at width < 4
     // bucket keys carry so little signal that the pigeonhole join
     // degenerates toward all-pairs (and width 0 would mask every chunk to
     // 0 — ONE quadratic bucket). 64/16 = 4 bits is the floor.
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming must be in [0, 15] (chunk width 64/(maxHamming+1) >= 4 bits), got $maxHamming")
+
+  /** (id, fp) -> one row per pigeonhole chunk: (__id, __fp, chunk,
+    * bits). Fingerprint 0 (no signal — empty token stream / degenerate
+    * payload) is dropped BEFORE banding: a corpus with many trivial
+    * inputs would put them ALL in one quadratic bucket on every chunk
+    * (MinHash's empty-shingle guard, same reasoning); a genuine input
+    * collides with fp 0 with probability 2^-64.
+    */
+  private def chunkKeys(df: DataFrame, idCol: String, fpCol: String, maxHamming: Int): DataFrame = {
     val chunks = maxHamming + 1
     val width = 64 / chunks
-    val keyed = df.select(col(idCol).as("__id"), col(fpCol).as("__fp"))
-      // Empty-token docs all fingerprint to exactly 0 (no votes -> no
-      // bits), so a corpus with many trivial docs would put them ALL in
-      // one quadratic bucket on every chunk; drop them before banding
-      // (MinHash's empty-shingle guard, same reasoning). A genuine doc
-      // collides with fp 0 with probability 2^-64.
+    df.select(col(idCol).as("__id"), col(fpCol).as("__fp"))
       .where(col("__fp") =!= 0L)
       .select(
         col("__id"), col("__fp"),
@@ -60,6 +60,15 @@ object SimHash {
               .otherwise(call_function("shiftrightunsigned", col("__fp"), c * width)
                 .bitwiseAND(lit((1L << width) - 1))).as("bits")))).as("__c"))
       .select(col("__id"), col("__fp"), col("__c.chunk").as("chunk"), col("__c.bits").as("bits"))
+  }
+
+  /** Pairs (idA < idB) with hamming(simhash) <= maxHamming, found via
+    * pigeonhole chunk join (no all-pairs).
+    * Input df must have `id` (orderable) and `fp` (long) columns.
+    */
+  def nearPairs(df: DataFrame, idCol: String, fpCol: String, maxHamming: Int): DataFrame = {
+    requireRadius(maxHamming)
+    val keyed = chunkKeys(df, idCol, fpCol, maxHamming)
     val l = keyed.select(col("__id").as("id_a"), col("__fp").as("fp_a"), col("chunk"), col("bits"))
     val r = keyed.select(col("__id").as("id_b"), col("__fp").as("fp_b"), col("chunk"), col("bits"))
     l.join(r, Seq("chunk", "bits"))
@@ -67,6 +76,39 @@ object SimHash {
       .select(col("id_a"), col("id_b"), hamming(col("fp_a"), col("fp_b")).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
+  }
+
+  /** Incremental-ingest drop set over fingerprints — the
+    * [[MinHash.dedupIncrement]] policy on Hamming distance: a `batch`
+    * id drops iff it is within `maxHamming` of any `history` row (any
+    * id; history is immutable and never dropped) or of a LOWER-id row
+    * of the same batch. Returns the dropped batch ids (one `id` column).
+    *
+    * Probe asymmetry is the scale point: only batch chunk rows drive
+    * the candidate join — history×history candidates are never
+    * generated, so per-ingest cost is O(|batch| · chunks) probe rows
+    * against the history chunk index. Hamming verify is computed
+    * INLINE from the two fingerprints riding the candidate row — no
+    * second verify join (unlike shingle-set verification, the
+    * fingerprint IS the full evidence). Fingerprint-0 rows are excluded
+    * on both sides (degenerate inputs never pair — callers accept them
+    * without indexing). PRECONDITION: history and batch id spaces are
+    * disjoint (an id in both would self-pair; fresh monotone ingest ids
+    * satisfy this trivially).
+    */
+  def incrementalDrops(
+      history: DataFrame, batch: DataFrame,
+      idCol: String, fpCol: String, maxHamming: Int): DataFrame = {
+    requireRadius(maxHamming)
+    val combined = chunkKeys(history, idCol, fpCol, maxHamming).withColumn("__new", lit(false))
+      .unionByName(chunkKeys(batch, idCol, fpCol, maxHamming).withColumn("__new", lit(true)))
+    combined.where(col("__new"))
+      .select(col("__id").as("id_a"), col("__fp").as("fp_a"), col("chunk"), col("bits"))
+      .join(combined.select(col("__id").as("id_b"), col("__fp").as("fp_b"),
+        col("__new").as("__bn"), col("chunk"), col("bits")), Seq("chunk", "bits"))
+      .where(col("id_b") =!= col("id_a") && (!col("__bn") || col("id_b") < col("id_a")))
+      .where(hamming(col("fp_a"), col("fp_b")) <= maxHamming)
+      .select(col("id_a").as(idCol)).distinct()
   }
 
   /** Corpus-level simhash dedup: drop every doc that is the higher id of

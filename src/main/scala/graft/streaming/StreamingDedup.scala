@@ -112,38 +112,14 @@ object StreamingDedup {
     }
   }
 
-  private def batchDirIds(spark: SparkSession, indexPath: String): Seq[Long] = {
-    val p = new Path(indexPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .collect { case n if n.startsWith("batch=") => n.stripPrefix("batch=").toLong }
-  }
+  // index layout shared with StreamingPhashDedup — see [[BatchIndex]]
+  private def purgeBeyond(spark: SparkSession, indexPath: String, batchId: Long): Unit =
+    BatchIndex.purgeBeyond(spark, indexPath, batchId)
 
-  /** Dead-incarnation purge: a reused indexPath with a reset checkpoint
-    * restarts batchIds at 0 — directories beyond the current batch are
-    * a previous run's corpse and would surface as phantom accepted docs.
-    */
-  private def purgeBeyond(spark: SparkSession, indexPath: String, batchId: Long): Unit = {
-    val p = new Path(indexPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    batchDirIds(spark, indexPath).filter(_ > batchId)
-      .foreach(id => fs.delete(new Path(s"$indexPath/batch=$id"), true))
-  }
-
-  /** The accepted-corpus index: every batch directory with id <
-    * `beforeBatch` (a retry of batch N must not dedup against its own
-    * half-written output). Empty index when none exist yet.
-    */
   private def readIndex(
       spark: SparkSession,
       indexPath: String,
       template: DataFrame,
-      beforeBatch: Long): DataFrame = {
-    val dirs = batchDirIds(spark, indexPath).filter(_ < beforeBatch)
-      .map(id => s"$indexPath/batch=$id")
-    if (dirs.isEmpty)
-      spark.createDataFrame(new java.util.ArrayList[Row](), template.schema)
-    else spark.read.schema(template.schema).parquet(dirs: _*)
-  }
+      beforeBatch: Long): DataFrame =
+    BatchIndex.read(spark, indexPath, template, beforeBatch)
 }

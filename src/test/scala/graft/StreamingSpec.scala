@@ -639,6 +639,40 @@ class StreamingSpec extends SparkSpec {
     assert(oneShot === Set(1L, 3L, 4L, 12L))
   }
 
+  test("StreamingPhashDedup: media batches screen against the accepted fingerprint index") {
+    implicit val sqlCtx = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("graft_pdedup").toString + "/index"
+    val rnd = new scala.util.Random(23) // pinned seed
+    def img() = Array.fill(200)(rnd.nextInt(200).toByte) // headroom for +20 shift
+    def reenc(p: Array[Byte]) = p.map(b => ((b & 0xff) + 20).toByte) // hamming-0 twin
+    val p1 = img(); val p2 = img(); val p3 = img()
+    val input = MemoryStream[(Long, Array[Byte])]
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = graft.streaming.StreamingPhashDedup.run(
+        input.toDS().toDF("doc_id", "payload"), "doc_id", "payload", idx, maxHamming = 3) {
+        (survivors, _) =>
+          accepted.synchronized {
+            accepted ++= survivors.select("doc_id").as[Long].collect()
+            ()
+          }
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_pdedup_ckpt").toString)
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    try {
+      // batch 1: 2 is a re-encode of 1 (within-batch, higher id -> drops);
+      // 3 unique; 4 is an empty payload (fp 0 -> always accepted, unindexed)
+      input.addData((1L, p1), (2L, reenc(p1)), (3L, p2), (4L, Array.empty[Byte]))
+      q.processAllAvailable()
+      assert(accepted.synchronized(accepted.toSet) === Set(1L, 3L, 4L))
+      // batch 2: 10 re-encodes accepted 1 -> drops; 11 re-encodes accepted
+      // 3 -> drops; 12 is new media -> survives
+      input.addData((10L, reenc(p1)), (11L, reenc(p2)), (12L, p3))
+      q.processAllAvailable()
+      assert(accepted.synchronized(accepted.toSet) === Set(1L, 3L, 4L, 12L))
+    } finally q.stop()
+  }
+
   test("bloom filter built from a batch banlist prefilters a document STREAM scan-side") {
     // the streaming half of the q57 decontamination shape: the banlist
     // bloom is built ONCE from a batch benchmark table, then its probe —
