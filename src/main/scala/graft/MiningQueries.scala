@@ -1,0 +1,309 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Round-7 corpus-mining queries: sketch-based counting (Count-Min),
+  * margin-based cross-corpus pair mining (the CCMatrix/LASER bitext
+  * device), and scale-safe interleaved curriculum ordering.
+  *
+  * Same oracle-exactness conventions as [[LlmQueries]]: integer
+  * arithmetic wherever counts flow; float expressions are written as the
+  * SAME IEEE op sequence on both engines (in-order dot products, ordered
+  * fold for the neighbor-sum, textually-identical margin arithmetic);
+  * deterministic row sets; explicit ORDER BY in both engines.
+  */
+object MiningQueries {
+
+  private def T = Tables
+
+  /** DuckDB replay of the d CMS row hashes as a VALUES relation. */
+  private val CmsRows = "(VALUES (0, 31, 7), (1, 131, 11), (2, 1000003, 13), (3, 654435747, 17)) AS p(r, a, b)"
+
+  val all: Seq[Q] = Seq(
+
+    // ----------------------------------------- Count-Min sketch counts
+    Q("q113_cms_counts",
+      (s, d) => {
+        // sketch-flagged frequent terms: build a 4×1024 Count-Min grid
+        // over every token, then verify the sketch's point estimates
+        // against exact counts for the whole vocabulary and report the
+        // keys the sketch flags as frequent (est >= 100). The classic
+        // two-pass shape: pass 1 streams tokens into a FIXED-SIZE
+        // mergeable grid (the one shuffle moves <= d·w rows no matter
+        // the corpus — each map partition pre-collapses to its own
+        // grid), pass 2 exact-counts only what the sketch flagged. The
+        // one-sided guarantee (est >= true, so no false negatives at
+        // any threshold) is visible in the output: overcounts appear as
+        // est_count > true_count on collided buckets. The width is set
+        // LOW (1024 cells/row against a larger vocab) so collisions —
+        // the thing the min-over-rows exists to cancel — actually occur
+        // at gate scale.
+        val w = 1024
+        val toks = T.documents(s, d)
+          .select(explode(TextOps.tokens(col("text"))).as("w"))
+          .where(col("w") =!= "")
+        val grid = CountMin.sketch(toks, "w", w)
+        val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("true_count"))
+        CountMin.estimate(grid, vocab, "w", w)
+          .where(col("est_count") >= 100L)
+          .select(col("w").as("word"), col("est_count"), col("true_count"))
+          .orderBy(col("word"))
+      },
+      Some(s"""
+        WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+        tok AS (SELECT w FROM t WHERE w <> ''),
+        h AS (SELECT w, list_reduce(list_prepend(CAST(7 AS BIGINT),
+                list_transform(range(1, length(w)+1), i -> CAST(ascii(substr(w, i, 1)) AS BIGINT))),
+                (a, c) -> (a*31 + c) % 1000000007) AS wh FROM tok),
+        rb AS (SELECT ((h.wh * p.a + p.b) % 1000000007) % 1024 AS bkt, p.r
+               FROM h, $CmsRows),
+        cms AS (SELECT r, bkt, count(*)::BIGINT AS cnt FROM rb GROUP BY 1, 2),
+        vocab AS (SELECT w, any_value(wh) AS wh, count(*)::BIGINT AS true_count
+                  FROM h GROUP BY w),
+        pv AS (SELECT v.w, v.true_count, p.r,
+                      ((v.wh * p.a + p.b) % 1000000007) % 1024 AS bkt
+               FROM vocab v, $CmsRows),
+        est AS (SELECT pv.w, any_value(pv.true_count) AS true_count,
+                       min(coalesce(c.cnt, 0))::BIGINT AS est_count
+                FROM pv LEFT JOIN cms c ON c.r = pv.r AND c.bkt = pv.bkt
+                GROUP BY pv.w)
+        SELECT w AS word, est_count, true_count FROM est
+        WHERE est_count >= 100 ORDER BY word"""),
+      "Count-Min sketch term counting (Cormode-Muthukrishnan): tokens stream " +
+        "into a fixed 4x1024 integer grid (map partitions pre-collapse, the " +
+        "one shuffle moves <= d*w rows at ANY corpus size — the mergeable-" +
+        "summary property), vocabulary probes broadcast-join the grid and " +
+        "take min over rows; one-sided error (est >= true) means zero false " +
+        "negatives at any threshold"),
+
+    // --------------------------------------- margin-based pair mining
+    Q("q117_margin_pairs",
+      (s, d) => {
+        // cross-corpus pair mining with MARGIN scoring (Artetxe &
+        // Schwenk's ratio margin — the CCMatrix/LASER bitext device):
+        // raw cosine can't rank pairs across probes whose neighborhoods
+        // have different densities, so each candidate's cosine is
+        // normalized by the mean cosine of BOTH endpoints' k nearest
+        // neighbors: margin = cos(a,b) / ((avgNN_k(a) + avgNN_k(b))/2).
+        // Corpus halves (even/odd vec_id) stand in for the two
+        // languages. Candidates = each A-vector's top-1 in B; both
+        // neighbor sums come from the same two brute top-k passes
+        // (LSH/IVF swap in at scale — the margin arithmetic is
+        // candidate-source-agnostic). The k-cosine sum is an ORDERED
+        // fold over the rank-sorted list (Spark's float agg order is
+        // otherwise nondeterministic), so the oracle reproduces every
+        // bit.
+        val e = T.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val a = e.where(pmod(col("vec_id"), lit(2L)) === 0)
+        val b = e.where(pmod(col("vec_id"), lit(2L)) === 1)
+        def nn(corpus: org.apache.spark.sql.DataFrame, probes: org.apache.spark.sql.DataFrame) =
+          Similarity.bruteTopK(corpus, probes, "vec_id", "v", k = 4)
+            .groupBy(col("probe_id"))
+            .agg(
+              aggregate(
+                sort_array(collect_list(struct(col("rank"), col("cosine")))),
+                lit(0.0),
+                (acc, x) => acc + x.getField("cosine")).as("nn_sum"),
+              min(struct(col("rank"), col("neighbor_id"), col("cosine"))).as("top"))
+        val aSide = nn(b, a).select(
+          col("probe_id").as("id_a"),
+          col("top.neighbor_id").as("id_b"),
+          col("top.cosine").as("cosine"),
+          col("nn_sum").as("nn_sum_a"))
+        val bSide = nn(a, b).select(
+          col("probe_id").as("id_b"), col("nn_sum").as("nn_sum_b"))
+        aSide.join(bSide, Seq("id_b"))
+          .select(col("id_a"), col("id_b"), col("cosine"),
+            (col("cosine") * lit(2.0) / (col("nn_sum_a") / lit(4.0) + col("nn_sum_b") / lit(4.0)))
+              .as("margin"))
+          .orderBy(col("id_a"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
+        a AS (SELECT * FROM n WHERE vec_id % 2 = 0 AND nrm > 0),
+        b AS (SELECT * FROM n WHERE vec_id % 2 = 1 AND nrm > 0),
+        ab AS (SELECT pid, nid, cc,
+                      row_number() OVER (PARTITION BY pid ORDER BY cc DESC, nid) AS rnk
+               FROM (SELECT a.vec_id AS pid, b.vec_id AS nid,
+                       list_sum(list_transform(list_zip(a.v, b.v), z -> z[1]*z[2])) / (a.nrm*b.nrm) AS cc
+                     FROM a CROSS JOIN b)
+               QUALIFY rnk <= 4),
+        ba AS (SELECT pid, nid, cc,
+                      row_number() OVER (PARTITION BY pid ORDER BY cc DESC, nid) AS rnk
+               FROM (SELECT b.vec_id AS pid, a.vec_id AS nid,
+                       list_sum(list_transform(list_zip(b.v, a.v), z -> z[1]*z[2])) / (b.nrm*a.nrm) AS cc
+                     FROM b CROSS JOIN a)
+               QUALIFY rnk <= 4),
+        asum AS (SELECT pid, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(cc ORDER BY rnk)),
+                          (x, y) -> x + y) AS nn_sum
+                 FROM ab GROUP BY pid),
+        bsum AS (SELECT pid, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(cc ORDER BY rnk)),
+                          (x, y) -> x + y) AS nn_sum
+                 FROM ba GROUP BY pid),
+        atop AS (SELECT pid, nid, cc FROM ab WHERE rnk = 1)
+        SELECT atop.pid AS id_a, atop.nid AS id_b, atop.cc AS cosine,
+               atop.cc * 2.0 / (asum.nn_sum / 4.0 + bsum.nn_sum / 4.0) AS margin
+        FROM atop
+        JOIN asum ON asum.pid = atop.pid
+        JOIN bsum ON bsum.pid = atop.nid
+        ORDER BY id_a"""),
+      "margin-based cross-corpus pair mining (Artetxe-Schwenk ratio margin, " +
+        "the CCMatrix bitext-mining score): each A-vector's best B match " +
+        "scored by cosine over the MEAN of both endpoints' top-4 neighbor " +
+        "cosines — neighborhood-density-invariant ranking; neighbor sums are " +
+        "ordered folds (bit-stable), candidates from the brute top-k baseline " +
+        "(IVF/LSH swap in at scale, margin arithmetic unchanged)"),
+
+    // ------------------------------------ interleaved curriculum order
+    Q("q118_curriculum_order",
+      (s, d) => {
+        // deterministic source-interleaved training order WITHOUT a
+        // global sort: rank docs within each source (longest-first, a
+        // curriculum stand-in for any per-doc score) by a window
+        // PARTITIONED by source, then compute each doc's global
+        // position ARITHMETICALLY: position = (rank-1)·n_sources +
+        // source_index. Round-robin across sources, reproducible on any
+        // cluster layout, and no partition-less window / global sort
+        // anywhere — a 100 TB corpus can be written out already in
+        // curriculum order by range-partitioning on the computed
+        // position. The source enum is collected once (bounded by the
+        // number of DOMAINS, not rows — the Ivf centroid precedent) and
+        // folded in as a literal map.
+        val docs = T.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        val srcs = docs.select(col("source")).distinct()
+          .orderBy(col("source")).collect().map(_.getString(0))
+        val idx = map(srcs.zipWithIndex.flatMap {
+          case (src, i) => Seq(lit(src), lit(i.toLong)) }.toSeq: _*)
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+        docs
+          .withColumn("rank_in_source", row_number().over(w).cast("long"))
+          .select(col("doc_id"), col("source"), col("rank_in_source"),
+            ((col("rank_in_source") - 1L) * lit(srcs.length.toLong) +
+              element_at(idx, col("source"))).as("position"))
+          .orderBy(col("position"))
+      },
+      Some("""
+        WITH s AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS idx
+                   FROM (SELECT DISTINCT source FROM documents)),
+        ns AS (SELECT count(*)::BIGINT AS n FROM s),
+        r AS (SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id)::BIGINT
+                       AS rank_in_source
+              FROM documents)
+        SELECT r.doc_id, r.source, r.rank_in_source,
+               (r.rank_in_source - 1) * ns.n + s.idx AS position
+        FROM r JOIN s USING (source) CROSS JOIN ns
+        ORDER BY position"""),
+      "interleaved curriculum ordering: per-source longest-first rank (window " +
+        "partitioned by source) + ARITHMETIC global position (rank-1)*n_sources" +
+        " + source_idx — deterministic round-robin over domains with no global " +
+        "sort; the source enum folds in as a literal map (bounded by |domains|)"),
+
+    // --------------------------------------- temperature mixture rates
+    Q("q119_temperature_mixture",
+      (s, d) => {
+        // temperature-scaled language mixture (α = 1/2): shares derived
+        // from the corpus ITSELF — share_k ∝ √n_k, the mT5/XLM-R
+        // exponential-smoothing practice that lifts scarce languages
+        // without letting the head dominate (q93's uniform-target twin,
+        // with the target computed, not hand-specified). Weights are
+        // floor(√(n_k·1e10)) — IEEE sqrt of an exact integer, floored,
+        // bit-identical in any engine; the normalizer is a window over
+        // the |langs|-row count frame (a config-sized enum, never
+        // data). Keep decision = the registry's Knuth hash threshold;
+        // reports the full mixture audit.
+        val docs = T.documents(s, d)
+        val rates = Mixture.temperatureRatesPpm(docs, "lang", budgetDocs = 1000L)
+        val kept = docs.join(broadcast(rates.select(col("lang"), col("rate_ppm"))), Seq("lang"))
+          .where(Mixture.priorityPpm(col("doc_id")) < col("rate_ppm"))
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+        rates.join(kept, Seq("lang"), "left")
+          .select(col("lang"), col("n_docs"), col("weight"), col("rate_ppm"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH n AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang),
+        w AS (SELECT lang, n_docs,
+                     CAST(floor(sqrt(n_docs * 1.0e10)) AS BIGINT) AS weight FROM n),
+        t AS (SELECT lang, n_docs, weight,
+                     CAST(sum(weight) OVER () AS BIGINT) AS tot FROM w),
+        r AS (SELECT lang, n_docs, weight,
+                     least(1000000, (weight * 1000000 * 1000) // (tot * n_docs))::BIGINT AS rate_ppm
+              FROM t),
+        k AS (SELECT d.lang, count(*)::BIGINT AS n_kept
+              FROM documents d JOIN r USING (lang)
+              WHERE ((d.doc_id * 2654435761) % 1000000007) % 1000000 < r.rate_ppm
+              GROUP BY d.lang)
+        SELECT r.lang, r.n_docs, r.weight, r.rate_ppm,
+               coalesce(k.n_kept, 0) AS n_kept
+        FROM r LEFT JOIN k USING (lang) ORDER BY lang"""),
+      "temperature-scaled mixture resampling (alpha=1/2, the mT5/XLM-R " +
+        "smoothing): per-lang shares proportional to sqrt(n_k), computed from " +
+        "the corpus itself as floor-of-IEEE-sqrt integer weights (bit-stable), " +
+        "normalized over the |langs|-row count frame; keep decision is the " +
+        "map-side Knuth hash threshold — one count agg + one scan, no rand()"),
+
+    // ------------------------------------------ inverted index build
+    Q("q120_postings_index",
+      (s, d) => {
+        // retrieval-index construction with compression accounting: for
+        // every non-stopword term, the delta-encoded posting list's
+        // summary (df, first/last doc, and an order-sensitive hash of
+        // the gap sequence — the exact content a d-gap-compressed index
+        // shard would hold). THE scale hazard in index building is a
+        // stopword's posting list materializing as one giant array in
+        // one reducer; the df pre-pass drops df > 256 terms BEFORE any
+        // postings are collected, so the collect_list shuffle only ever
+        // carries capped groups. Two term-keyed shuffles total; the gap
+        // fold is a codegen'd higher-order function over capped arrays.
+        val docs = T.documents(s, d)
+        val posting = docs.select(col("doc_id"),
+            explode(array_distinct(filter(TextOps.tokens(col("text")), t => t =!= ""))).as("term"))
+        val dfs = posting.groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .where(col("df") <= 256L)
+        val P = 1000000007L
+        posting.join(dfs, Seq("term"))
+          .groupBy(col("term"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("arr"))
+          .select(col("term"), size(col("arr")).cast("long").as("df"),
+            element_at(col("arr"), 1).as("first_doc"),
+            element_at(col("arr"), size(col("arr"))).as("last_doc"),
+            aggregate(
+              zip_with(
+                slice(col("arr"), lit(2), size(col("arr")) - 1),
+                slice(col("arr"), lit(1), size(col("arr")) - 1),
+                (a, b) => a - b),
+              pmod(element_at(col("arr"), 1), lit(P)),
+              (acc, x) => (acc * lit(1000003L) + pmod(x, lit(P))) % lit(P)).as("delta_hash"))
+          .orderBy(col("term"))
+      },
+      Some("""
+        WITH p AS (SELECT doc_id,
+                     unnest(list_distinct(list_filter(string_split(lower(text), ' '),
+                       x -> x <> ''))) AS term
+                   FROM documents),
+        d AS (SELECT term, count(*)::BIGINT AS df FROM p GROUP BY term),
+        kept AS (SELECT term FROM d WHERE df <= 256),
+        l AS (SELECT term, list(doc_id ORDER BY doc_id) AS arr
+              FROM p JOIN kept USING (term) GROUP BY term)
+        SELECT term, len(arr)::BIGINT AS df,
+               arr[1] AS first_doc, arr[len(arr)] AS last_doc,
+               list_reduce(
+                 list_prepend(arr[1] % 1000000007,
+                   list_transform(range(2, len(arr)+1), i -> arr[i] - arr[i-1])),
+                 (a, x) -> (a * 1000003 + x % 1000000007) % 1000000007) AS delta_hash
+        FROM l ORDER BY term"""),
+      "inverted-index build with d-gap compression accounting: per-term df, " +
+        "posting-list bounds, and an order-sensitive hash of the delta-encoded " +
+        "gap sequence; stopword terms (df > 256) are dropped by a cheap count " +
+        "pre-pass BEFORE any posting list materializes — the guard that keeps " +
+        "one reducer from collecting a corpus-sized array; capped groups only " +
+        "through the collect shuffle"))
+}

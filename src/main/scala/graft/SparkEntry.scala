@@ -12,7 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def registry: Seq[Q] =
-    ParityQueries.all ++ LlmQueries.all ++ PipelineQueries.all ++ FeatureQueries.all
+    ParityQueries.all ++ LlmQueries.all ++ PipelineQueries.all ++ FeatureQueries.all ++
+      MiningQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Uses the reference's flagship dedup-then-join composition

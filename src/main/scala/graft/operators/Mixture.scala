@@ -67,4 +67,31 @@ object Mixture {
     df.join(broadcast(rates), Seq(keyCol))
       .where(priorityPpm(col(idCol)) < col("rate_ppm"))
   }
+
+  /** Temperature-scaled keep rates with α = 1/2: shares derived from the
+    * DATA (share_k ∝ √n_k) instead of a hand-specified target — the
+    * multilingual-training practice (mT5/XLM-R's exponential smoothing)
+    * that upweights scarce keys without letting the head dominate.
+    *
+    * Exactness: the weight is floor(√(n_k·10^10)) — IEEE sqrt of an
+    * exactly-representable integer (n_k·10^10 < 2^53 for n_k up to
+    * ~9·10^5 per key; larger corpora should drop the scale factor),
+    * floored, so any engine reproduces it bit-for-bit. The normalizer
+    * Σ weight is a window over the KEY-CARDINALITY frame partitioned by
+    * a constant — the frame is |keys| rows at any corpus scale, so the
+    * single partition holds a config-sized enum, never data.
+    * rate = min(1e6 ppm, weight·budget·10^6 div (Σweight·n_k)).
+    */
+  def temperatureRatesPpm(df: DataFrame, keyCol: String, budgetDocs: Long): DataFrame = {
+    require(budgetDocs > 0, s"budgetDocs must be positive, got $budgetDocs")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight", floor(sqrt(col("n_docs").cast("double") * lit(1.0e10))).cast("long"))
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(pmod(col("n_docs"), lit(1L)))
+    counts
+      .withColumn("__tot", sum(col("weight")).over(tot))
+      .withColumn("rate_ppm",
+        least(lit(1000000L),
+          expr(s"(weight * 1000000L * ${budgetDocs}L) div (__tot * n_docs)")))
+      .drop("__tot")
+  }
 }

@@ -282,6 +282,7 @@ class PlanSpec extends SparkSpec {
       "q24_ann_topk" -> "brute-force baseline: probes broadcast by design",
       "q90_knn_label" -> "brute k-NN weak-labeling: probes broadcast by design (LSH/IVF swap in at scale)",
       "q92_contrastive_pairs" -> "contrastive mining: anchors broadcast by design (brute-top-k contract)",
+      "q117_margin_pairs" -> "margin mining: probes broadcast by design (brute-top-k contract; IVF/LSH swap at scale)",
       "q33_ann_lsh" -> "probe set broadcast against bucketed candidates",
       "q42_ann_ivf" -> "centroid codebook scoring (k rows) broadcast",
       "q84_semantic_dedup" -> "centroid codebook scoring (k rows) broadcast (SemDeDup assignment)",

@@ -599,4 +599,51 @@ class PropertySpec extends SparkSpec {
     val nn = Validate.notNull(child, "fk", "nn").collect().head
     assert(nn.getLong(1) === 1L)
   }
+
+  test("law: CountMin never undercounts — estimate >= exact count for every key") {
+    // low width (16 cells/row) against a 40-key vocabulary forces the
+    // collisions the min-over-rows exists to cancel; the one-sided
+    // guarantee must hold anyway
+    val g = Gen.listOfN(200, Gen.oneOf((1 to 40).map(i => s"w$i")))
+    samples(g, 6).filter(_.nonEmpty).foreach { words =>
+      val df = words.toDF("w")
+      val vocab = df.groupBy("w").agg(count(lit(1)).as("true_count"))
+      val est = CountMin.estimate(CountMin.sketch(df, "w", 16), vocab, "w", 16)
+        .select("w", "true_count", "est_count").as[(String, Long, Long)].collect()
+      val exact = words.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      assert(est.map(_._1).toSet === exact.keySet)
+      est.foreach { case (w, t, e) =>
+        assert(t === exact(w), s"probe true_count drifted for $w")
+        assert(e >= t, s"CMS undercounted $w: est=$e < true=$t")
+      }
+    }
+  }
+
+  test("law: CountMin grids are mergeable — sketch(A ++ B) == cell-wise sum of the two grids") {
+    // the property that makes the sketch shuffle fixed-size: partition
+    // grids combine by addition, so partial aggregation IS the merge
+    val g = Gen.listOfN(120, Gen.oneOf((1 to 30).map(i => s"k$i")))
+    val as = samples(g, 3)
+    as.zip(as.reverse).foreach { case (a, b) =>
+      def cells(ws: Seq[String]): Map[(Int, Long), Long] =
+        CountMin.sketch(ws.toDF("w"), "w", 32)
+          .as[(Int, Long, Long)].collect().map { case (r, bkt, c) => (r, bkt) -> c }.toMap
+      val ga = cells(a)
+      val gb = cells(b)
+      val merged = (ga.keySet ++ gb.keySet).map(k =>
+        k -> (ga.getOrElse(k, 0L) + gb.getOrElse(k, 0L))).toMap
+      assert(cells(a ++ b) === merged)
+    }
+  }
+
+  test("law: CountMin estimate of a never-seen key is the min of its collided buckets (0 if clean)") {
+    val words = (1 to 5).map(i => s"seen$i").flatMap(w => Seq.fill(10)(w))
+    val grid = CountMin.sketch(words.toDF("w"), "w", 4096)
+    // wide grid: 5 keys in 4096 cells/row — a fresh key's 4 buckets are
+    // almost surely untouched, so the estimate must be exactly 0
+    val probe = Seq("never-seen-key-xyz").toDF("w")
+    val e = CountMin.estimate(grid, probe, "w", 4096)
+      .select("est_count").as[Long].collect().head
+    assert(e === 0L)
+  }
 }
