@@ -305,5 +305,89 @@ object MiningQueries {
         "gap sequence; stopword terms (df > 256) are dropped by a cheap count " +
         "pre-pass BEFORE any posting list materializes — the guard that keeps " +
         "one reducer from collecting a corpus-sized array; capped groups only " +
-        "through the collect shuffle"))
+        "through the collect shuffle"),
+
+    // ------------------------------------- contamination scoring
+    Q("q121_contamination_score",
+      (s, d) => {
+        // the continuous form of q52's binary decontamination: per-doc
+        // share of DISTINCT 5-grams colliding with the benchmark
+        // banlist, as exact integer ppm — the audit a pipeline logs
+        // BEFORE committing to a drop threshold (one quoted benchmark
+        // sentence and a wholesale benchmark copy both "collide", at
+        // very different scores). Same split as q52: every 20th doc is
+        // the held-out set. One distinct-(id, gram) shuffle, one
+        // banlist join (benchmark-sized), one per-doc agg.
+        val docs = T.documents(s, d)
+        val corpus = docs.where(pmod(col("doc_id"), lit(20L)) =!= 0)
+        val benchmark = docs.where(pmod(col("doc_id"), lit(20L)) === 0)
+        Decontaminate.contaminationScore(corpus, benchmark, "doc_id", "text", ngram = 5)
+          .where(col("n_hit") > 0L)
+          .select(col("doc_id"), col("n_grams"), col("n_hit"), col("score_ppm"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        g AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w)-3),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS gram
+              FROM t),
+        bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+        sc AS (SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+                      sum(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit
+               FROM g LEFT JOIN bg USING (gram)
+               WHERE g.doc_id % 20 <> 0
+               GROUP BY g.doc_id)
+        SELECT doc_id, n_grams, n_hit, (n_hit * 1000000) // n_grams AS score_ppm
+        FROM sc WHERE n_hit > 0 ORDER BY doc_id"""),
+      "contamination scoring (continuous decontamination audit): per-doc ppm " +
+        "share of distinct 5-grams colliding with the held-out benchmark — " +
+        "the report pipelines inspect before picking q52's drop threshold; " +
+        "one distinct-(id, gram) shuffle + benchmark-sized banlist join + one " +
+        "per-doc agg, all-integer arithmetic"),
+
+    // ------------------------------- cross-source duplication matrix
+    Q("q122_dup_source_matrix",
+      (s, d) => {
+        // WHERE the duplication lives: the exact near-dup pair graph
+        // (q51's threshold) aggregated into an unordered source×source
+        // matrix — the curation report that tells you which domains
+        // mirror each other (mirror sites, syndication) vs which
+        // self-duplicate (boilerplate-heavy hosts, the diagonal).
+        // Sources attach to the ids-only pair frame via two
+        // broadcast-friendly equi joins; least/greatest folds the pair
+        // to its unordered form before the count.
+        val docs = T.documents(s, d)
+        val pairs = JaccardJoin.nearDupPairs(docs, "doc_id", "text", ngram = 3, num = 6, den = 10)
+          .select(col("id_a"), col("id_b"))
+        val src = docs.select(col("doc_id"), col("source"))
+        pairs
+          .join(src.select(col("doc_id").as("id_a"), col("source").as("__sa")), Seq("id_a"))
+          .join(src.select(col("doc_id").as("id_b"), col("source").as("__sb")), Seq("id_b"))
+          .select(
+            least(col("__sa"), col("__sb")).as("source_lo"),
+            greatest(col("__sa"), col("__sb")).as("source_hi"))
+          .groupBy(col("source_lo"), col("source_hi"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("source_lo"), col("source_hi"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM toks),
+        pairs AS (SELECT a.doc_id AS pa, b.doc_id AS pb
+                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+                    AND len(list_intersect(a.sh, b.sh)) * 10 >=
+                        6 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))),
+        lab AS (SELECT least(da.source, db.source) AS source_lo,
+                       greatest(da.source, db.source) AS source_hi
+                FROM pairs
+                JOIN documents da ON da.doc_id = pairs.pa
+                JOIN documents db ON db.doc_id = pairs.pb)
+        SELECT source_lo, source_hi, count(*)::BIGINT AS n_pairs
+        FROM lab GROUP BY 1, 2 ORDER BY source_lo, source_hi"""),
+      "cross-source duplication matrix: the exact near-dup pair graph " +
+        "aggregated to unordered source x source counts — which domains " +
+        "mirror each other vs self-duplicate (the diagonal); ids-only pair " +
+        "frame + two equi source attaches + one matrix-sized agg"))
 }

@@ -100,4 +100,38 @@ object Decontaminate {
       .distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  /** Per-doc contamination SCORE — the continuous reporting form of
+    * [[contaminatedIds]]: for every corpus doc, the share of its
+    * DISTINCT n-grams that collide with the benchmark banlist, as exact
+    * integer ppm. Pipelines log this audit before committing to a drop
+    * threshold (a doc quoting one benchmark sentence and a doc that IS
+    * a benchmark doc both "collide", but at very different scores).
+    *
+    * Shape: distinct (id, gram) pairs (one shuffle), left join against
+    * the banlist (benchmark-sized — broadcast when small, AQE decides),
+    * one per-doc count/sum agg. Docs with fewer than `ngram` tokens
+    * have no n-grams and produce no row.
+    */
+  def contaminationScore(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      ngram: Int): DataFrame = {
+    require(ngram >= 1, s"ngram must be >= 1, got $ngram")
+    val banlist = benchmark
+      .select(explode(TextOps.shingles(TextOps.tokens(col(textCol)), ngram)).as("__g"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    corpus
+      .select(col(idCol), explode(TextOps.shingles(TextOps.tokens(col(textCol)), ngram)).as("__g"))
+      .distinct()
+      .join(banlist, Seq("__g"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("score_ppm", expr("(n_hit * 1000000) div n_grams"))
+  }
 }

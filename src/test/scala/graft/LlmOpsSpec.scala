@@ -812,6 +812,45 @@ class LlmOpsSpec extends SparkSpec {
     assert(s3.nonEmpty && s3.forall(_ % 4 == 0))
   }
 
+  test("Mixture.temperatureRatesPpm: sqrt weights lift scarce keys; reference arithmetic exact") {
+    val df = (1L to 500L).map(i => (i, if (i <= 400L) "big" else "small"))
+      .toDF("doc_id", "key")
+    val got = Mixture.temperatureRatesPpm(df, "key", budgetDocs = 100L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // reference recurrence: w_k = floor(sqrt(n_k * 1e10)),
+    // rate = min(1e6, w_k*1e6*budget / (tot*n_k)) — integer division
+    val wBig = math.floor(math.sqrt(400.0 * 1.0e10)).toLong
+    val wSmall = math.floor(math.sqrt(100.0 * 1.0e10)).toLong
+    val tot = wBig + wSmall
+    def rate(w: Long, n: Long) = math.min(1000000L, w * 1000000L * 100L / (tot * n))
+    assert(got("big") === ((400L, wBig, rate(wBig, 400L))))
+    assert(got("small") === ((100L, wSmall, rate(wSmall, 100L))))
+    // the temperature property: the scarce key keeps a HIGHER share of
+    // itself than the abundant key (that is what alpha < 1 is for), and
+    // un-normalized proportionality holds: w_big/w_small == sqrt(4) == 2
+    assert(got("small")._3 > got("big")._3)
+    assert(wBig === 2L * wSmall)
+  }
+
+  test("contaminationScore: planted benchmark quote scores the exact ppm share") {
+    // doc 1 = 8 tokens -> 4 distinct 5-grams, of which EXACTLY ONE (the
+    // first five tokens) is a benchmark 5-gram; doc 2 = clean; doc 3 =
+    // verbatim benchmark copy (all grams hit); doc 4 = too short for
+    // any 5-gram (no row)
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps high over fences"),
+      (2L, "completely unrelated words appear in this document here"),
+      (3L, "the quick brown fox jumps"),
+      (4L, "tiny doc")).toDF("doc_id", "text")
+    val benchmark = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val got = Decontaminate.contaminationScore(corpus, benchmark, "doc_id", "text", ngram = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((4L, 1L, 250000L)))
+    assert(got(2L) === ((4L, 0L, 0L)))
+    assert(got(3L) === ((1L, 1L, 1000000L)))
+    assert(!got.contains(4L), "docs shorter than the n-gram produce no row")
+  }
+
   test("GramMatrix: hand-computed fixed-point gram on 2 vectors; map-side merge == single") {
     import spark.implicits._
     val dim = 3

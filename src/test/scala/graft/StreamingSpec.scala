@@ -831,4 +831,33 @@ class StreamingSpec extends SparkSpec {
         s"accepted=$accepted quarantined=$quarantined")
     } finally q.stop()
   }
+
+  test("streaming CountMin: per-batch grids summed cell-wise == one batch grid over all data") {
+    // the mergeable-summary property applied at ingest: each micro-batch
+    // contributes its own fixed-size grid, the running sketch is the
+    // cell-wise SUM — no reprocessing of history, ever. The same merge
+    // is what makes the batch sketch's shuffle fixed-size.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val acc = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    def grid(df: org.apache.spark.sql.DataFrame): Map[(Int, Long), Long] =
+      operators.CountMin.sketch(df, "w", 32)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val q = input.toDF().toDF("w")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val cells = grid(batch.toDF())
+        acc.synchronized { cells.foreach { case (k, v) => acc(k) = acc.getOrElse(k, 0L) + v }; () }
+      }
+      .trigger(Trigger.ProcessingTime(0L))
+      .start()
+    val words = Seq.tabulate(90)(i => s"word${i % 9}")
+    try {
+      words.grouped(30).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(acc.synchronized(acc.toMap) === grid(words.toDF("w")))
+  }
 }
