@@ -389,5 +389,53 @@ object MiningQueries {
       "cross-source duplication matrix: the exact near-dup pair graph " +
         "aggregated to unordered source x source counts — which domains " +
         "mirror each other vs self-duplicate (the diagonal); ids-only pair " +
-        "frame + two equi source attaches + one matrix-sized agg"))
+        "frame + two equi source attaches + one matrix-sized agg"),
+
+    // --------------------------------- effective (deduplicated) tokens
+    Q("q123_effective_tokens",
+      (s, d) => {
+        // the dataset-card metric: per-source RAW vs EFFECTIVE token
+        // counts, where effective counts each distinct text once
+        // GLOBALLY, attributed to its q22 survivor's (min doc_id)
+        // source — "10 TB of tokens" means little if 40% are copies.
+        // One text-hash shuffle (the q22 shape, token count riding as
+        // any_value since identical texts tokenize identically), one
+        // source agg each side; ratio in exact integer ppm.
+        val docs = T.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_toks"), col("text"))
+        val raw = docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("raw_docs"), sum(col("n_toks")).as("raw_tokens"))
+        val surv = docs.groupBy(col("text"))
+          .agg(min(struct(col("doc_id"), col("source"))).as("__s"),
+            first(col("n_toks")).as("__t"))
+          .select(col("__s.source").as("source"), col("__t").as("n_toks"))
+        val eff = surv.groupBy(col("source"))
+          .agg(count(lit(1)).as("unique_docs"), sum(col("n_toks")).as("effective_tokens"))
+        raw.join(eff, Seq("source"))
+          .select(col("source"), col("raw_docs"), col("raw_tokens"),
+            col("unique_docs"), col("effective_tokens"),
+            expr("(effective_tokens * 1000000) div raw_tokens").as("kept_ppm"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, source,
+                     len(string_split(lower(text), ' '))::BIGINT AS n_toks, text
+                   FROM documents),
+        raw AS (SELECT source, count(*)::BIGINT AS raw_docs,
+                       sum(n_toks)::BIGINT AS raw_tokens
+                FROM t GROUP BY source),
+        surv AS (SELECT arg_min(source, doc_id) AS source,
+                        any_value(n_toks) AS n_toks
+                 FROM t GROUP BY text),
+        eff AS (SELECT source, count(*)::BIGINT AS unique_docs,
+                       sum(n_toks)::BIGINT AS effective_tokens
+                FROM surv GROUP BY source)
+        SELECT source, raw_docs, raw_tokens, unique_docs, effective_tokens,
+               (effective_tokens * 1000000) // raw_tokens AS kept_ppm
+        FROM raw JOIN eff USING (source) ORDER BY source"""),
+      "effective-token accounting (the dataset-card dedup metric): per-source " +
+        "raw vs deduplicated token counts, each distinct text counted once " +
+        "globally and attributed to its min-id survivor's source; one " +
+        "text-hash shuffle + two source-sized aggs, exact integer ppm ratio"))
 }

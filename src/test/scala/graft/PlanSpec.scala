@@ -274,6 +274,29 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
   }
 
+  test("q113 CMS grid attaches as a broadcast hash join (the fixed-size side never shuffles probes)") {
+    val q = SparkEntry.queries("q113_cms_counts")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q120 postings: the stopword df cap joins BELOW the posting-list collect") {
+    // the scale invariant: no posting list may materialize before the
+    // df <= cap join has dropped stopword terms — otherwise one reducer
+    // collects a corpus-sized array
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val plan = SparkEntry.queries("q120_postings_index")(spark, sf).queryExecution.optimizedPlan
+    val collects = plan.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(_.toString.contains("collect_list")) => a
+    }
+    assert(collects.nonEmpty, s"expected a collect_list aggregate:\n$plan")
+    collects.foreach { a =>
+      val joins = a.collect { case j: Join => j }
+      assert(joins.nonEmpty, s"no df-cap join below the collect_list aggregate:\n$a")
+    }
+  }
+
   test("GLOBAL GUARD: no nested-loop or cartesian join in ANY registry query plan") {
     // every registry plan must be cluster-safe; the only tolerated
     // nested loops are the documented k-vs-n broadcast scorings where

@@ -600,6 +600,27 @@ class PropertySpec extends SparkSpec {
     assert(nn.getLong(1) === 1L)
   }
 
+  test("law: contaminationScore n_hit>0 ids == contaminatedIds (the binary form)") {
+    // the audit and the drop decision must never disagree: a doc scores
+    // n_hit > 0 iff the binary decontamination would flag it
+    val g: Gen[(List[String], List[String])] = for {
+      vocab <- Gen.choose(3, 5)
+      corpus <- Gen.listOfN(10, Gen.choose(0, 10).flatMap(len =>
+        Gen.listOfN(len, Gen.choose(0, vocab - 1).map(i => s"w$i")).map(_.mkString(" "))))
+      bench <- Gen.listOfN(3, Gen.choose(0, 8).flatMap(len =>
+        Gen.listOfN(len, Gen.choose(0, vocab - 1).map(i => s"w$i")).map(_.mkString(" "))))
+    } yield (corpus, bench)
+    samples(g, 6).foreach { case (corpus, bench) =>
+      val c = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val b = bench.zipWithIndex.map { case (t, i) => (100L + i, t) }.toDF("id", "text")
+      val scored = Decontaminate.contaminationScore(c, b, "id", "text", ngram = 3)
+        .where(col("n_hit") > 0).select("id").as[Long].collect().toSet
+      val flagged = Decontaminate.contaminatedIds(c, b, "id", "text", ngram = 3)
+        .as[Long].collect().toSet
+      assert(scored === flagged, s"corpus=$corpus bench=$bench")
+    }
+  }
+
   test("law: CountMin never undercounts — estimate >= exact count for every key") {
     // low width (16 cells/row) against a 40-key vocabulary forces the
     // collisions the min-over-rows exists to cancel; the one-sided
