@@ -22,6 +22,17 @@ object MiningQueries {
   /** DuckDB replay of the d CMS row hashes as a VALUES relation. */
   private val CmsRows = "(VALUES (0, 31, 7), (1, 131, 11), (2, 1000003, 13), (3, 654435747, 17)) AS p(r, a, b)"
 
+  /** q124's oracle replays the minhash signature EXACTLY: the k affine
+    * coefficients come out of the same HashCoeffs LCG the native kernel
+    * uses (k=128, seed=42 — the registry defaults), inlined as literals
+    * because DuckDB cannot reproduce the wrapping 64-bit LCG itself
+    * (its BIGINT multiply errors on overflow instead of wrapping).
+    */
+  private val coeffVals: String = {
+    val (as, bs) = graft.functions.HashCoeffs.coefficients(128, 42L)
+    as.indices.map(j => s"(${j + 1}, ${as(j)}, ${bs(j)})").mkString(", ")
+  }
+
   val all: Seq[Q] = Seq(
 
     // ----------------------------------------- Count-Min sketch counts
@@ -437,5 +448,96 @@ object MiningQueries {
       "effective-token accounting (the dataset-card dedup metric): per-source " +
         "raw vs deduplicated token counts, each distinct text counted once " +
         "globally and attributed to its min-id survivor's source; one " +
-        "text-hash shuffle + two source-sized aggs, exact integer ppm ratio"))
+        "text-hash shuffle + two source-sized aggs, exact integer ppm ratio"),
+
+    // ------------------------------------ minhash estimator calibration
+    Q("q124_minhash_calibration",
+      (s, d) => {
+        // estimator calibration: for every verified near-dup pair
+        // (q23's defaults), exact Jaccard vs the MinHash ESTIMATE
+        // (agreeing signature slots / k) — the report that justifies a
+        // chosen k before trusting signature agreement as a similarity
+        // proxy (e.g. for banding-threshold tuning). Signatures come
+        // from the same corpusIndex stage the pair join consumed; the
+        // slot-agreement count is an integer fold, exact in any engine.
+        val docs = T.documents(s, d)
+        val idx = MinHash.corpusIndex(docs, "doc_id", "text")
+          .select(col("__id"), col("__sig"))
+        val pairs = MinHash.nearDupPairs(docs, "doc_id", "text")
+        pairs
+          .join(idx.select(col("__id").as("id_a"), col("__sig").as("__sa")), Seq("id_a"))
+          .join(idx.select(col("__id").as("id_b"), col("__sig").as("__sb")), Seq("id_b"))
+          .withColumn("n_agree",
+            aggregate(
+              zip_with(col("__sa"), col("__sb"), (x, y) => (x === y).cast("long")),
+              lit(0L), (acc, x) => acc + x))
+          .select(col("id_a"), col("id_b"),
+            expr("(inter_size * 1000000) div union_size").as("exact_ppm"),
+            expr("(n_agree * 1000000) div 128").as("est_ppm"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""
+        WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM toks),
+        h AS (SELECT doc_id, unnest(list_transform(sh, g ->
+                list_reduce(list_prepend(CAST(7 AS BIGINT),
+                  list_transform(range(1, length(g)+1), i -> CAST(ascii(substr(g, i, 1)) AS BIGINT))),
+                  (a, c) -> (a*31 + c) % 1000000007))) AS hv
+              FROM sh WHERE len(sh) > 0),
+        sig AS (SELECT doc_id, list(s ORDER BY j) AS sig FROM (
+                  SELECT doc_id, p.j, min((p.a * h.hv + p.b) % 1000000007) AS s
+                  FROM h, (VALUES $coeffVals) AS p(j, a, b)
+                  GROUP BY doc_id, p.j)
+                GROUP BY doc_id),
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    len(list_intersect(a.sh, b.sh)) AS inter_size,
+                    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS union_size
+                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+                    AND len(list_intersect(a.sh, b.sh)) * 10 >=
+                        8 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))))
+        SELECT p.id_a, p.id_b,
+               (p.inter_size * 1000000) // p.union_size AS exact_ppm,
+               (len(list_filter(range(1, 129), i -> sa.sig[i] = sb.sig[i])) * 1000000) // 128 AS est_ppm
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.id_a
+        JOIN sig sb ON sb.doc_id = p.id_b
+        ORDER BY p.id_a, p.id_b"""),
+      "minhash estimator calibration: exact Jaccard vs the signature " +
+        "estimate (agreeing slots / k) for every verified near-dup pair — " +
+        "the k-sizing report; the oracle replays the native kernel's LCG " +
+        "coefficients as inlined literals, so every signature slot is " +
+        "reproduced bit-for-bit; ids+signatures only through the joins"),
+
+    // -------------------------------------------- retention cohorts
+    Q("q125_retention_cohorts",
+      (s, d) => {
+        // classic cohort retention over the event stream: users
+        // cohorted by first-seen week, activity counted as distinct
+        // users per (cohort_week, weeks_since) — the triangle matrix
+        // every growth dashboard draws. Weeks are exact integer
+        // arithmetic on epoch days (no date_trunc/timezone parity
+        // risk). Two user-keyed shuffles (first-seen agg + attach) and
+        // one cohort-sized distinct agg.
+        val ev = T.events(s, d)
+          .select(col("user_id"), expr("unix_micros(cast(ts as timestamp)) div 604800000000").as("week"))
+        val first = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+        ev.join(first, Seq("user_id"))
+          .select(col("user_id"), col("cohort_week"), (col("week") - col("cohort_week")).as("week_no"))
+          .groupBy(col("cohort_week"), col("week_no"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("cohort_week"), col("week_no"))
+      },
+      Some("""
+        WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+        f AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id)
+        SELECT f.cohort_week, e.week - f.cohort_week AS week_no,
+               count(DISTINCT e.user_id)::BIGINT AS n_users
+        FROM e JOIN f USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2"""),
+      "retention cohort matrix: users cohorted by first-seen week, distinct " +
+        "active users per (cohort, weeks-since) — exact integer week " +
+        "arithmetic on epoch micros (no timezone/date_trunc parity risk); " +
+        "two user-keyed shuffles + one cohort-sized distinct agg"))
 }

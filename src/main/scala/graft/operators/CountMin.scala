@@ -56,19 +56,25 @@ object CountMin {
     * map-side and collapses in the partial aggregate; the shuffle carries
     * the fixed-size grid only.
     */
-  def sketch(keys: DataFrame, keyCol: String, width: Int): DataFrame =
+  def sketch(keys: DataFrame, keyCol: String, width: Int): DataFrame = {
+    require(width > 0, s"sketch width must be positive, got $width")
     keys
       .select(TextOps.polyHash(col(keyCol)).as("__wh"))
       .select(posexplode(rowBuckets(col("__wh"), width)).as(Seq("r", "bkt")))
       .groupBy(col("r"), col("bkt"))
       .agg(count(lit(1)).as("cnt"))
+  }
 
   /** Point estimates for every row of `probes`: min over the d bucket
     * counts, 0 for never-seen keys. Carries every `probes` column
-    * through (probe rows must be unique). The grid broadcasts; the only
+    * through (probe rows must be unique — duplicate probe rows collapse
+    * into one output row, they do not double-count). `width` must match
+    * the width the grid was built with: a mismatched width silently
+    * probes the wrong buckets. The grid broadcasts; the only
     * probe-sized shuffle is the final per-key min.
     */
   def estimate(grid: DataFrame, probes: DataFrame, keyCol: String, width: Int): DataFrame = {
+    require(width > 0, s"sketch width must be positive, got $width")
     val keep = probes.columns.map(col).toSeq
     probes
       .withColumn("__wh", TextOps.polyHash(col(keyCol)))
