@@ -539,5 +539,97 @@ object MiningQueries {
       "retention cohort matrix: users cohorted by first-seen week, distinct " +
         "active users per (cohort, weeks-since) — exact integer week " +
         "arithmetic on epoch micros (no timezone/date_trunc parity risk); " +
-        "two user-keyed shuffles + one cohort-sized distinct agg"))
+        "two user-keyed shuffles + one cohort-sized distinct agg"),
+
+    // ----------------------------------------------- BM25 retrieval
+    Q("q126_bm25_search",
+      (s, d) => {
+        // BM25 ranking (k1=1.2, b=0.75) over the corpus for a fixed
+        // query — the retrieval standard beyond q69's plain IDF: tf
+        // saturates (k1) and long documents are penalized toward the
+        // corpus-average length (b). The idf term is the RATIONAL
+        // Robertson form (N-df+0.5)/(df+0.5) WITHOUT the log — every
+        // operation stays +,*,/ on doubles, so the oracle reproduces
+        // each score bit-for-bit (ln is libm-dependent across engines;
+        // production would wrap ln around the same rational — one
+        // monotone map, same plan). Per-doc score is an ORDERED fold
+        // over the term contributions (float agg order is otherwise
+        // nondeterministic). Corpus stats attach as a 1-row broadcast
+        // (the q72/q78 device); df side is query-sized.
+        val query = Seq("spark", "vector", "stream")
+        val docs = T.documents(s, d)
+        val dl = docs.select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_toks"))
+          .withColumn("__k", lit(1))
+        val hits = docs
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+          .where(col("term").isin(query: _*))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val tf = hits.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val dfreq = hits.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+        tf.join(broadcast(dfreq), Seq("term"))
+          .join(dl, Seq("doc_id"))
+          .withColumn("__k", lit(1))
+          .join(broadcast(stats), Seq("__k"))
+          .withColumn("c", expr(
+            "((cast(n_docs as double) - cast(df as double) + 0.5) / (cast(df as double) + 0.5)) * " +
+              "((cast(tf as double) * 2.2) / (cast(tf as double) + 1.2 * " +
+              "(0.25 + (0.75 * cast(dl as double)) / (cast(total_toks as double) / cast(n_docs as double)))))"))
+          .groupBy(col("doc_id"))
+          .agg(aggregate(
+            sort_array(collect_list(struct(col("term"), col("c")))),
+            lit(0.0), (acc, x) => acc + x.getField("c")).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        dl AS (SELECT doc_id, len(w)::BIGINT AS dl FROM t),
+        stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_toks FROM dl),
+        hits AS (SELECT doc_id, unnest(w) AS term FROM t),
+        q AS (SELECT * FROM hits WHERE term IN ('spark', 'vector', 'stream')),
+        tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM q GROUP BY 1, 2),
+        df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM q GROUP BY 1),
+        c AS (SELECT tf.doc_id, tf.term,
+                ((CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5)) *
+                ((CAST(tf.tf AS DOUBLE) * 2.2) / (CAST(tf.tf AS DOUBLE) + 1.2 *
+                 (0.25 + (0.75 * CAST(dl.dl AS DOUBLE)) / (CAST(total_toks AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS c
+              FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats)
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY term)),
+                 (x, y) -> x + y) AS score
+        FROM c GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT 10"""),
+      "BM25 retrieval (k1=1.2, b=0.75, rational Robertson idf — log-free so " +
+        "every score is +,*,/ on doubles and bit-reproducible): saturating tf, " +
+        "doc-length normalization toward the corpus average; per-doc score is " +
+        "an ordered fold over term contributions; corpus stats ride a 1-row " +
+        "broadcast, df side is query-sized"),
+
+    // ------------------------------------------ shard balance audit
+    Q("q127_shard_balance",
+      (s, d) => {
+        // output-layout balance audit: the deterministic hash shard
+        // (Knuth device on doc_id, 64 shards) every writer-side
+        // repartition would use, with per-shard doc and token counts —
+        // the check that no shard hot-spots before a 100 TB write
+        // commits to the layout. Map-side assignment, one 64-key agg.
+        T.documents(s, d)
+          .select(
+            pmod(pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)), lit(64L)).as("shard"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+          .orderBy(col("shard"))
+      },
+      Some("""
+        SELECT ((doc_id * 2654435761) % 1000000007) % 64 AS shard,
+               count(*)::BIGINT AS n_docs,
+               sum(len(string_split(lower(text), ' ')))::BIGINT AS n_tokens
+        FROM documents GROUP BY 1 ORDER BY shard"""),
+      "shard-balance audit: deterministic Knuth-hash shard assignment (64 " +
+        "shards) with per-shard doc/token counts — the pre-write check that " +
+        "the output layout has no hot shard; map-side assignment, one " +
+        "shard-cardinality agg"))
 }
