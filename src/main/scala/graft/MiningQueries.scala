@@ -631,5 +631,96 @@ object MiningQueries {
       "shard-balance audit: deterministic Knuth-hash shard assignment (64 " +
         "shards) with per-shard doc/token counts — the pre-write check that " +
         "the output layout has no hot shard; map-side assignment, one " +
-        "shard-cardinality agg"))
+        "shard-cardinality agg"),
+
+    // ------------------------------------- language confusion matrix
+    Q("q128_lang_confusion",
+      (s, d) => {
+        // the langid QUALITY audit (CCNet logs this before trusting the
+        // classifier): declared `lang` column vs q26's marker-word
+        // prediction, as a confusion matrix — diagonal mass = agreement,
+        // off-diagonal cells name exactly which language pairs the
+        // classifier conflates. Scoring is map-side (q26's kernel);
+        // one |langs|²-bounded agg.
+        val (_, pred) = TextOps.languageId(
+          TextOps.tokens(col("text")), LlmQueries.LangMarkers)
+        T.documents(s, d)
+          .select(col("lang"), pred.as("pred_lang"))
+          .groupBy(col("lang"), col("pred_lang"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("lang"), col("pred_lang"))
+      },
+      Some {
+        val scoreExprs = LlmQueries.LangMarkers.map { case (lang, words) =>
+          val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"CAST(len(list_filter(string_split(lower(text), ' '), x -> list_contains($lst, x))) AS BIGINT) AS score_$lang"
+        }.mkString(",\n               ")
+        val langs = LlmQueries.LangMarkers.map(_._1)
+        val cases = langs.init.zipWithIndex.map { case (l, i) =>
+          val conds = langs.drop(i + 1).map(o => s"score_$l >= score_$o").mkString(" AND ")
+          s"WHEN $conds THEN '$l'"
+        }.mkString("\n                    ")
+        s"""
+        WITH s AS (SELECT doc_id, lang,
+               $scoreExprs
+        FROM documents),
+        p AS (SELECT lang,
+               CASE $cases
+                    ELSE '${langs.last}' END AS pred_lang
+        FROM s)
+        SELECT lang, pred_lang, count(*)::BIGINT AS n_docs
+        FROM p GROUP BY 1, 2 ORDER BY lang, pred_lang"""
+      },
+      "language-ID confusion matrix: declared lang vs the q26 marker-word " +
+        "prediction — the classifier-quality audit run before trusting langid " +
+        "gates; map-side scoring, one |langs|^2-bounded agg"),
+
+    // --------------------------------- near-dup cluster-size histogram
+    Q("q129_cluster_histogram",
+      (s, d) => {
+        // THE dedup report figure: how many near-dup clusters of each
+        // size the corpus holds (size 1 = unique docs, the long tail of
+        // big clusters = the mirror/boilerplate mass a dedup pass will
+        // reclaim). Exact pair graph (q51's threshold) -> pointer-jump
+        // components -> two ids-only aggs; singletons counted by
+        // anti-join, never by a corpus-total scalar.
+        val docs = T.documents(s, d)
+        val pairs = JaccardJoin.nearDupPairs(docs, "doc_id", "text", ngram = 3, num = 6, den = 10)
+          .select(col("id_a"), col("id_b"))
+        val comp = Components.connectedComponents(pairs, "id_a", "id_b")
+        val multi = comp.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+          .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        val single = docs.select(col("doc_id"))
+          .join(comp.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("n_clusters"))
+          .select(lit(1L).as("cluster_size"), col("n_clusters"))
+        multi.unionByName(single).orderBy(col("cluster_size"))
+      },
+      Some("""
+        WITH RECURSIVE toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM toks),
+        pairs AS (SELECT a.doc_id AS pa, b.doc_id AS pb
+                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+                    AND len(list_intersect(a.sh, b.sh)) * 10 >=
+                        6 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))),
+        edges AS (SELECT pa AS u, pb AS v FROM pairs UNION SELECT pb, pa FROM pairs),
+        reach(id, r) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+        comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
+        sizes AS (SELECT c, count(*)::BIGINT AS cluster_size FROM comp GROUP BY c),
+        multi AS (SELECT cluster_size, count(*)::BIGINT AS n_clusters
+                  FROM sizes GROUP BY cluster_size),
+        single AS (SELECT 1::BIGINT AS cluster_size, count(*)::BIGINT AS n_clusters
+                   FROM documents WHERE doc_id NOT IN (SELECT id FROM comp))
+        SELECT cluster_size, n_clusters FROM multi
+        UNION ALL SELECT cluster_size, n_clusters FROM single
+        ORDER BY cluster_size"""),
+      "near-dup cluster-size histogram (the dedup report figure): exact pair " +
+        "graph -> connected components -> cluster sizes -> histogram; " +
+        "singletons counted by an ids-only anti-join (no corpus-total " +
+        "scalar); shows the reclaimable mirror/boilerplate mass by size"))
 }
