@@ -722,5 +722,173 @@ object MiningQueries {
       "near-dup cluster-size histogram (the dedup report figure): exact pair " +
         "graph -> connected components -> cluster sizes -> histogram; " +
         "singletons counted by an ids-only anti-join (no corpus-total " +
-        "scalar); shows the reclaimable mirror/boilerplate mass by size"))
+        "scalar); shows the reclaimable mirror/boilerplate mass by size"),
+
+    // ------------------------------------------ product quantization
+    Q("q130_pq_codebooks",
+      (s, d) => {
+        // the vector-COMPRESSION half of IVF-PQ (Jegou et al., TPAMI
+        // 2011): 64-dim embeddings split into m=8 subspaces, a 16-entry
+        // sampled codebook per subspace (every 32nd vector — the Ivf
+        // seeding device, no RNG; fixed-point Lloyd plugs in when
+        // quality matters), every vector encoded as 8 argmin-L2 codes =
+        // 8 bytes instead of 256 — the compression that puts a 100 TB
+        // embedding index in memory. Reported: codebook-utilization
+        // histogram + per-cell fixed-point distortion (round(d2*2^20)
+        // summed as DECIMAL — order-independent where a double sum is
+        // not). Deterministic end-to-end -> pinned literal oracle
+        // (PinnedCorpus-guarded, the q42 device).
+        val e = T.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val books = Pq.codebooks(e, "vec_id", "v", m = 8, dims = 64, stride = 32)
+        Pq.encode(e, "vec_id", "v", books, m = 8, dims = 64)
+          .groupBy(col("subspace"), col("code"))
+          .agg(count(lit(1)).as("n_vectors"),
+            sum(round(col("dist2") * lit(1048576.0)).cast("decimal(38,0)"))
+              .cast("long").as("distortion_fp"))
+          .orderBy(col("subspace"), col("code"))
+      },
+      // Deterministic (sampled codebooks, per-row IEEE scoring,
+      // fixed-point distortion sums — verified identical at local[5] and
+      // local[16]): pinned literal oracle at the gate's sf0.01 corpus,
+      // stale-pin protection via the PinnedCorpus fingerprint guard
+      // (the q42 device).
+      Some("""
+        SELECT CAST(c1 AS INTEGER) AS subspace, CAST(c2 AS INTEGER) AS code,
+               CAST(c3 AS BIGINT) AS n_vectors, CAST(c4 AS BIGINT) AS distortion_fp
+        FROM (VALUES
+          (0, 0, 13, 1029385),
+          (0, 1, 4, 389323),
+          (0, 2, 47, 4177064),
+          (0, 3, 105, 10752341),
+          (0, 4, 11, 820246),
+          (0, 5, 27, 2493698),
+          (0, 6, 27, 3155198),
+          (0, 7, 37, 4218661),
+          (0, 8, 58, 6430314),
+          (0, 9, 27, 2646923),
+          (0, 10, 16, 1770625),
+          (0, 11, 42, 4496968),
+          (0, 12, 8, 678350),
+          (0, 13, 41, 3982071),
+          (0, 14, 11, 1437046),
+          (0, 15, 26, 2865483),
+          (1, 0, 37, 3873072),
+          (1, 1, 40, 3903765),
+          (1, 2, 34, 4199294),
+          (1, 3, 26, 2886939),
+          (1, 4, 27, 3323381),
+          (1, 5, 25, 1969967),
+          (1, 6, 51, 5167137),
+          (1, 7, 28, 2921371),
+          (1, 8, 38, 3549308),
+          (1, 9, 42, 4951548),
+          (1, 10, 18, 2339626),
+          (1, 11, 49, 5030898),
+          (1, 12, 28, 2774280),
+          (1, 13, 7, 795819),
+          (1, 14, 32, 3178946),
+          (1, 15, 18, 1909408),
+          (2, 0, 26, 2995132),
+          (2, 1, 42, 3964679),
+          (2, 2, 13, 1233665),
+          (2, 3, 14, 1223742),
+          (2, 4, 9, 808352),
+          (2, 5, 49, 4883674),
+          (2, 6, 19, 2041600),
+          (2, 7, 44, 4670397),
+          (2, 8, 37, 4098218),
+          (2, 9, 40, 3847159),
+          (2, 10, 41, 3413524),
+          (2, 11, 44, 4451247),
+          (2, 12, 16, 1414833),
+          (2, 13, 9, 1022436),
+          (2, 14, 53, 5180194),
+          (2, 15, 44, 3328869),
+          (3, 0, 7, 776758),
+          (3, 1, 64, 6552087),
+          (3, 2, 2, 99863),
+          (3, 3, 51, 4669535),
+          (3, 4, 25, 2845512),
+          (3, 5, 28, 2750611),
+          (3, 6, 39, 3452409),
+          (3, 7, 27, 2772489),
+          (3, 8, 21, 2238538),
+          (3, 9, 36, 3263800),
+          (3, 10, 44, 3939447),
+          (3, 11, 17, 1544725),
+          (3, 12, 44, 4393965),
+          (3, 13, 39, 3001326),
+          (3, 14, 19, 1808158),
+          (3, 15, 37, 3526507),
+          (4, 0, 32, 3084193),
+          (4, 1, 13, 1350346),
+          (4, 2, 34, 3101918),
+          (4, 3, 14, 1108405),
+          (4, 4, 44, 3730361),
+          (4, 5, 78, 7638547),
+          (4, 6, 32, 3151659),
+          (4, 7, 23, 2453684),
+          (4, 8, 14, 1444826),
+          (4, 9, 31, 3457266),
+          (4, 10, 16, 1820405),
+          (4, 11, 46, 4033779),
+          (4, 12, 22, 2054339),
+          (4, 13, 64, 6380863),
+          (4, 14, 19, 2003853),
+          (4, 15, 18, 1774418),
+          (5, 0, 60, 6533808),
+          (5, 1, 14, 1575076),
+          (5, 2, 6, 623562),
+          (5, 3, 9, 1054563),
+          (5, 4, 69, 7430437),
+          (5, 5, 16, 1719814),
+          (5, 6, 19, 1723883),
+          (5, 7, 15, 1512159),
+          (5, 8, 27, 2540393),
+          (5, 9, 16, 1506509),
+          (5, 10, 7, 881723),
+          (5, 11, 8, 843926),
+          (5, 12, 71, 6439232),
+          (5, 13, 19, 1629355),
+          (5, 14, 65, 6184868),
+          (5, 15, 79, 7609445),
+          (6, 0, 41, 4732923),
+          (6, 1, 31, 3161195),
+          (6, 2, 61, 6692600),
+          (6, 3, 26, 2540583),
+          (6, 4, 25, 3203751),
+          (6, 5, 6, 566580),
+          (6, 6, 9, 710887),
+          (6, 7, 57, 6075628),
+          (6, 8, 13, 1730506),
+          (6, 9, 10, 1547262),
+          (6, 10, 12, 947385),
+          (6, 11, 13, 1803027),
+          (6, 12, 18, 2007862),
+          (6, 13, 95, 10376675),
+          (6, 14, 74, 7073545),
+          (6, 15, 9, 779166),
+          (7, 0, 31, 3496494),
+          (7, 1, 27, 2601484),
+          (7, 2, 79, 7195210),
+          (7, 3, 19, 2131904),
+          (7, 4, 77, 7151374),
+          (7, 5, 25, 2089629),
+          (7, 6, 34, 3404003),
+          (7, 7, 16, 1584064),
+          (7, 8, 43, 4241557),
+          (7, 9, 28, 3057240),
+          (7, 10, 40, 3220628),
+          (7, 11, 23, 2274977),
+          (7, 12, 7, 334705),
+          (7, 13, 15, 1707337),
+          (7, 14, 24, 2615537),
+          (7, 15, 12, 1066451)) t(c1, c2, c3, c4)
+        ORDER BY subspace, code"""),
+      "product quantization (IVF-PQ's compression half): m=8 subspaces x " +
+        "16-code sampled codebooks, scan-side argmin-L2 encode (codebooks " +
+        "broadcast, scored stream collapses map-side), utilization histogram " +
+        "+ fixed-point distortion; 8 bytes/vector vs 256 — the in-memory " +
+        "index form at corpus scale"))
 }

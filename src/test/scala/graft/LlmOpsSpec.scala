@@ -851,6 +851,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(!got.contains(4L), "docs shorter than the n-gram produce no row")
   }
 
+  test("Pq: hand-computed codes on a 2-subspace fixture; codebook vectors encode to themselves") {
+    // dim 4, m=2 (subvectors of 2), stride=2 -> codebook seeds = ids 0, 2
+    //   id 0: [0,0, 10,10]   id 1: [0,1, 9,9]
+    //   id 2: [5,5,  0, 0]   id 3: [6,5,  1, 0]
+    val vecs = Seq(
+      (0L, Seq(0.0, 0.0, 10.0, 10.0)),
+      (1L, Seq(0.0, 1.0, 9.0, 9.0)),
+      (2L, Seq(5.0, 5.0, 0.0, 0.0)),
+      (3L, Seq(6.0, 5.0, 1.0, 0.0))).toDF("id", "v")
+    val books = Pq.codebooks(vecs, "id", "v", m = 2, dims = 4, stride = 2)
+    assert(books.count() === 4) // 2 seeds x 2 subspaces
+    val enc = Pq.encode(vecs, "id", "v", books, m = 2, dims = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> ((r.getInt(2), r.getDouble(3)))).toMap
+    // codebook vectors encode to themselves with zero distortion
+    assert(enc((0L, 0)) === ((0, 0.0)) && enc((0L, 1)) === ((0, 0.0)))
+    assert(enc((2L, 0)) === ((1, 0.0)) && enc((2L, 1)) === ((1, 0.0)))
+    // id 1: sub0 [0,1] -> code 0 (d2=1 vs 41); sub1 [9,9] -> code 0 (d2=2 vs 162)
+    assert(enc((1L, 0)) === ((0, 1.0)) && enc((1L, 1)) === ((0, 2.0)))
+    // id 3: sub0 [6,5] -> code 1 (d2=1 vs 61); sub1 [1,0] -> code 1 (d2=1 vs 181)
+    assert(enc((3L, 0)) === ((1, 1.0)) && enc((3L, 1)) === ((1, 1.0)))
+  }
+
   test("GramMatrix: hand-computed fixed-point gram on 2 vectors; map-side merge == single") {
     import spark.implicits._
     val dim = 3
