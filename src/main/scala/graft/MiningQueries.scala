@@ -890,5 +890,106 @@ object MiningQueries {
         "16-code sampled codebooks, scan-side argmin-L2 encode (codebooks " +
         "broadcast, scored stream collapses map-side), utilization histogram " +
         "+ fixed-point distortion; 8 bytes/vector vs 256 — the in-memory " +
-        "index form at corpus scale"))
+        "index form at corpus scale"),
+
+    // --------------------------------------- PQ asymmetric-distance search
+    Q("q131_pq_search",
+      (s, d) => {
+        // the SEARCH half of IVF-PQ: probes precompute their m x k
+        // distance TABLES to the codebooks (fixed-point — the m-term
+        // candidate sum is integer, order-independent), the 8-byte
+        // encoded corpus is ranked by m table lookups per candidate —
+        // the raw floats are never touched at query time (at corpus
+        // scale they are not even stored). Each PQ top-5 row carries
+        // in_exact_top5: whether exact L2 over the raw vectors agrees —
+        // the recall@5 audit that justifies (m, k) before committing
+        // the index. Self-matches excluded on both sides.
+        val e = T.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val probes = e.where(col("vec_id") < 10)
+        val books = Pq.codebooks(e, "vec_id", "v", m = 8, dims = 64, stride = 32)
+        val enc = Pq.encode(e, "vec_id", "v", books, m = 8, dims = 64)
+          .select(col("id"), col("subspace"), col("code"))
+        val pq = Pq.searchTopK(enc, probes, "vec_id", "v", books, m = 8, dims = 64, k = 5)
+        val cc = e.select(col("vec_id").as("neighbor_id"), col("v").as("__cv"))
+        val pp = probes.select(col("vec_id").as("probe_id"), col("v").as("__pv"))
+        val w = Window.partitionBy(col("probe_id")).orderBy(col("__d2").asc, col("neighbor_id").asc)
+        val exact = cc.join(broadcast(pp), col("probe_id") =!= col("neighbor_id"))
+          .select(col("probe_id"), col("neighbor_id"),
+            (Similarity.dot(col("__cv"), col("__cv"))
+              - lit(2.0) * Similarity.dot(col("__cv"), col("__pv"))
+              + Similarity.dot(col("__pv"), col("__pv"))).as("__d2"))
+          .withColumn("__rk", row_number().over(w))
+          .where(col("__rk") <= 5)
+          .select(col("probe_id"), col("neighbor_id"), lit(true).as("__hit"))
+        pq.join(exact, Seq("probe_id", "neighbor_id"), "left")
+          .select(col("probe_id"), col("rank"), col("neighbor_id"), col("adist_fp"),
+            coalesce(col("__hit"), lit(false)).as("in_exact_top5"))
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      // Deterministic (fixed-point tables, integer candidate sums,
+      // unique tiebreaks — verified identical at local[7] and
+      // local[16]): pinned literal oracle at the gate's sf0.01 corpus
+      // under the PinnedCorpus fingerprint guard.
+      Some("""
+        SELECT CAST(c1 AS BIGINT) AS probe_id, CAST(c2 AS INTEGER) AS rank,
+               CAST(c3 AS BIGINT) AS neighbor_id, CAST(c4 AS BIGINT) AS adist_fp,
+               CAST(c5 AS BOOLEAN) AS in_exact_top5
+        FROM (VALUES
+          (0, 1, 365, 984515, true),
+          (0, 2, 388, 1004858, false),
+          (0, 3, 214, 1052261, false),
+          (0, 4, 35, 1110133, false),
+          (0, 5, 369, 1167136, false),
+          (1, 1, 407, 1182109, true),
+          (1, 2, 353, 1283130, false),
+          (1, 3, 428, 1289709, false),
+          (1, 4, 402, 1302361, false),
+          (1, 5, 195, 1316523, true),
+          (2, 1, 407, 1325986, false),
+          (2, 2, 440, 1374650, false),
+          (2, 3, 408, 1378041, false),
+          (2, 4, 476, 1386051, false),
+          (2, 5, 145, 1447355, true),
+          (3, 1, 343, 1155103, true),
+          (3, 2, 218, 1212809, false),
+          (3, 3, 50, 1223595, false),
+          (3, 4, 305, 1245457, false),
+          (3, 5, 422, 1262809, false),
+          (4, 1, 218, 1122634, false),
+          (4, 2, 123, 1167805, false),
+          (4, 3, 139, 1205584, false),
+          (4, 4, 14, 1251965, false),
+          (4, 5, 262, 1260031, false),
+          (5, 1, 92, 1315525, false),
+          (5, 2, 332, 1317484, false),
+          (5, 3, 338, 1334412, false),
+          (5, 4, 295, 1347032, false),
+          (5, 5, 362, 1365433, false),
+          (6, 1, 120, 1287436, false),
+          (6, 2, 234, 1302102, false),
+          (6, 3, 307, 1315452, false),
+          (6, 4, 398, 1320927, false),
+          (6, 5, 115, 1323445, false),
+          (7, 1, 425, 1092918, true),
+          (7, 2, 229, 1211585, false),
+          (7, 3, 107, 1237266, false),
+          (7, 4, 490, 1262412, false),
+          (7, 5, 307, 1298376, false),
+          (8, 1, 473, 1350022, false),
+          (8, 2, 315, 1390966, false),
+          (8, 3, 217, 1408589, false),
+          (8, 4, 47, 1409815, false),
+          (8, 5, 44, 1422288, false),
+          (9, 1, 107, 1180964, true),
+          (9, 2, 471, 1268921, false),
+          (9, 3, 116, 1299695, false),
+          (9, 4, 184, 1330542, false),
+          (9, 5, 408, 1358859, false)) t(c1, c2, c3, c4, c5)
+        ORDER BY probe_id, rank"""),
+      "PQ asymmetric-distance search (IVF-PQ's query half): per-probe m x k " +
+        "fixed-point distance tables (broadcast), candidates ranked by m " +
+        "integer table lookups over the 8-byte codes — raw floats untouched " +
+        "at query time; in_exact_top5 flags agreement with exact L2 (the " +
+        "recall@5 audit for sizing m, k); group-limited top-k per probe"))
 }

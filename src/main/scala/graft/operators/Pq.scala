@@ -75,4 +75,44 @@ object Pq {
       .select(col("__id").as("id"), col("subspace"),
         col("__best.code").as("code"), col("__best.__d2").as("dist2"))
   }
+
+  /** Asymmetric-distance top-k (the PQ SEARCH side): each probe
+    * precomputes its m×k distance TABLE to the codebooks (round(d2·2^20)
+    * as integers — the fixed-point device that makes the m-term sum
+    * order-independent), the encoded corpus is ranked by the sum of m
+    * table lookups — m integer adds per candidate instead of a d-dim
+    * dot product against raw floats that are no longer stored.
+    * Returns (probe_id, rank, neighbor_id, adist_fp), ranks 1..k,
+    * deterministic tiebreak on neighbor id. `enc` is [[encode]]'s
+    * output (the 8-byte-per-vector index — at corpus scale this is THE
+    * stored artifact; raw vectors are gone).
+    *
+    * Scale shape: probe tables are |probes|·m·k rows (broadcast); the
+    * lookup join is equi on (subspace, code); the only corpus-sized
+    * shuffle carries (probe, id) partial sums, group-limited to k per
+    * probe before the final order.
+    */
+  def searchTopK(enc: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
+      books: DataFrame, m: Int, dims: Int, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val table = probes
+      .select(col(idCol).as("__pid"),
+        posexplode(subvectors(col(vecCol), m, dims)).as(Seq("subspace", "__xv")))
+      .join(broadcast(books), Seq("subspace"))
+      .select(col("__pid"), col("subspace"), col("code"),
+        round((VecExprs.dot(col("__xv"), col("__xv"))
+          - lit(2.0) * VecExprs.dot(col("__xv"), col("__cv"))
+          + col("__cc")) * lit(1048576.0)).cast("long").as("__dfp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("adist_fp").asc, col("neighbor_id").asc)
+    enc
+      .join(broadcast(table), Seq("subspace", "code"))
+      // a probe is not its own neighbor (bruteTopK's contract)
+      .where(col("__pid") =!= col("id"))
+      .groupBy(col("__pid").as("probe_id"), col("id").as("neighbor_id"))
+      .agg(sum(col("__dfp")).as("adist_fp"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("adist_fp"))
+  }
 }
