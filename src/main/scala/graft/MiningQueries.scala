@@ -991,5 +991,117 @@ object MiningQueries {
         "fixed-point distance tables (broadcast), candidates ranked by m " +
         "integer table lookups over the 8-byte codes — raw floats untouched " +
         "at query time; in_exact_top5 flags agreement with exact L2 (the " +
-        "recall@5 audit for sizing m, k); group-limited top-k per probe"))
+        "recall@5 audit for sizing m, k); group-limited top-k per probe"),
+
+    // ------------------------------------------- composed IVF-PQ search
+    Q("q132_ivfpq_search",
+      (s, d) => {
+        // the full production ANN deployment, composed from the
+        // registry's own parts: IVF coarse lists (q42's fixed-point
+        // quantizer) PRUNE the candidate set to the probe's nprobe=4
+        // closest lists, then PQ asymmetric distance (q131's integer
+        // table lookups over 8-byte codes) ranks ONLY those candidates
+        // — per probe, ~nprobe/k of the corpus is touched and the raw
+        // floats are never read at query time. This is the shape that
+        // searches a 100 TB embedding store from an in-memory index:
+        // assignment partition-pruned by list, codes 8 bytes/vector,
+        // tables broadcast.
+        val e = T.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val probes = e.where(col("vec_id") < 10)
+        val cents = Ivf.centroids(e, "vec_id", "v", stride = 16)
+        val asg = Ivf.assign(e, "vec_id", "v", cents, id = "neighbor_id")
+        val books = Pq.codebooks(e, "vec_id", "v", m = 8, dims = 64, stride = 32)
+        val enc = Pq.encode(e, "vec_id", "v", books, m = 8, dims = 64)
+          .select(col("id").as("neighbor_id"), col("subspace"), col("code"))
+        // probe -> its nprobe closest lists (centroids broadcast, k rows)
+        val pn = probes.select(col("vec_id").as("probe_id"), col("v").as("__pv"),
+          sqrt(Similarity.dot(col("v"), col("v"))).as("__pn")).where(col("__pn") > 0)
+        val wl = Window.partitionBy(col("probe_id")).orderBy(col("__c").desc, col("centroid_id").asc)
+        val lists = pn.join(broadcast(cents))
+          .select(col("probe_id"),
+            (Similarity.dot(col("__pv"), col("__kv")) / (col("__pn") * col("__kn"))).as("__c"),
+            col("centroid_id"))
+          .withColumn("__r", row_number().over(wl)).where(col("__r") <= 4)
+          .select(col("probe_id"), col("centroid_id"))
+        // candidates = union of the probed lists (ids only)
+        val cand = lists.join(asg, Seq("centroid_id"))
+          .where(col("probe_id") =!= col("neighbor_id"))
+          .select(col("probe_id"), col("neighbor_id"))
+        // PQ re-rank of candidates only: m integer lookups each
+        val table = Pq.distanceTable(probes, "vec_id", "v", books, m = 8, dims = 64)
+          .withColumnRenamed("__pid", "probe_id")
+        val wr = Window.partitionBy(col("probe_id")).orderBy(col("adist_fp").asc, col("neighbor_id").asc)
+        cand
+          .join(enc, Seq("neighbor_id"))
+          .join(broadcast(table), Seq("probe_id", "subspace", "code"))
+          .groupBy(col("probe_id"), col("neighbor_id"))
+          .agg(sum(col("__dfp")).as("adist_fp"))
+          .withColumn("rank", row_number().over(wr)).where(col("rank") <= 5)
+          .select(col("probe_id"), col("rank"), col("neighbor_id"), col("adist_fp"))
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      // Deterministic (fixed-point quantizer and tables, integer sums,
+      // unique tiebreaks — verified identical at local[9]/local[16]):
+      // pinned literal oracle under the PinnedCorpus guard.
+      Some("""
+        SELECT CAST(c1 AS BIGINT) AS probe_id, CAST(c2 AS INTEGER) AS rank,
+               CAST(c3 AS BIGINT) AS neighbor_id, CAST(c4 AS BIGINT) AS adist_fp
+        FROM (VALUES
+          (0, 1, 365, 984515),
+          (0, 2, 388, 1004858),
+          (0, 3, 190, 1179711),
+          (0, 4, 423, 1209412),
+          (0, 5, 322, 1241458),
+          (1, 1, 353, 1283130),
+          (1, 2, 402, 1302361),
+          (1, 3, 195, 1316523),
+          (1, 4, 124, 1413433),
+          (1, 5, 64, 1433668),
+          (2, 1, 98, 1469848),
+          (2, 2, 276, 1504928),
+          (2, 3, 320, 1562289),
+          (2, 4, 103, 1574829),
+          (2, 5, 62, 1597330),
+          (3, 1, 218, 1212809),
+          (3, 2, 349, 1336564),
+          (3, 3, 377, 1375344),
+          (3, 4, 444, 1443348),
+          (3, 5, 104, 1459266),
+          (4, 1, 123, 1167805),
+          (4, 2, 14, 1251965),
+          (4, 3, 262, 1260031),
+          (4, 4, 482, 1290790),
+          (4, 5, 114, 1327727),
+          (5, 1, 234, 1375066),
+          (5, 2, 487, 1432049),
+          (5, 3, 33, 1437671),
+          (5, 4, 464, 1458456),
+          (5, 5, 198, 1463806),
+          (6, 1, 115, 1323445),
+          (6, 2, 159, 1373486),
+          (6, 3, 388, 1374999),
+          (6, 4, 134, 1444997),
+          (6, 5, 232, 1573853),
+          (7, 1, 425, 1092918),
+          (7, 2, 229, 1211585),
+          (7, 3, 340, 1338378),
+          (7, 4, 36, 1345729),
+          (7, 5, 65, 1371789),
+          (8, 1, 47, 1409815),
+          (8, 2, 471, 1500852),
+          (8, 3, 235, 1527722),
+          (8, 4, 226, 1603331),
+          (8, 5, 383, 1611111),
+          (9, 1, 471, 1268921),
+          (9, 2, 116, 1299695),
+          (9, 3, 408, 1358859),
+          (9, 4, 369, 1433207),
+          (9, 5, 198, 1439792)) t(c1, c2, c3, c4)
+        ORDER BY probe_id, rank"""),
+      "composed IVF-PQ search (the production ANN deployment): coarse " +
+        "quantizer prunes to nprobe=4 lists (~nprobe/k of the corpus per " +
+        "probe), PQ integer table lookups rank only those candidates over " +
+        "8-byte codes — raw floats never read at query time; centroids, " +
+        "codebooks and distance tables all broadcast, candidates ids-only"))
 }

@@ -92,10 +92,15 @@ object Pq {
     * shuffle carries (probe, id) partial sums, group-limited to k per
     * probe before the final order.
     */
-  def searchTopK(enc: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
-      books: DataFrame, m: Int, dims: Int, k: Int): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    val table = probes
+  /** Per-probe m×k FIXED-POINT distance table to the codebooks:
+    * (__pid, subspace, code, __dfp) with __dfp = round(d2·2^20) — the
+    * integer form that makes the m-term candidate sum
+    * order-independent. |probes|·m·k rows, built map-side against the
+    * broadcast codebooks.
+    */
+  def distanceTable(probes: DataFrame, idCol: String, vecCol: String,
+      books: DataFrame, m: Int, dims: Int): DataFrame =
+    probes
       .select(col(idCol).as("__pid"),
         posexplode(subvectors(col(vecCol), m, dims)).as(Seq("subspace", "__xv")))
       .join(broadcast(books), Seq("subspace"))
@@ -103,6 +108,11 @@ object Pq {
         round((VecExprs.dot(col("__xv"), col("__xv"))
           - lit(2.0) * VecExprs.dot(col("__xv"), col("__cv"))
           + col("__cc")) * lit(1048576.0)).cast("long").as("__dfp"))
+
+  def searchTopK(enc: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
+      books: DataFrame, m: Int, dims: Int, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val table = distanceTable(probes, idCol, vecCol, books, m, dims)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("adist_fp").asc, col("neighbor_id").asc)
     enc
