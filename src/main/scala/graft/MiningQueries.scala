@@ -7,7 +7,11 @@ import graft.operators._
 
 /** Round-7 corpus-mining queries: sketch-based counting (Count-Min),
   * margin-based cross-corpus pair mining (the CCMatrix/LASER bitext
-  * device), and scale-safe interleaved curriculum ordering.
+  * device), scale-safe interleaved curriculum ordering, temperature
+  * mixture rates, inverted-index/BM25 retrieval, contamination and
+  * dedup audits (score ppm, source matrix, cluster histogram,
+  * effective tokens, minhash calibration, langid confusion), retention
+  * cohorts, shard balance, and the PQ / IVF-PQ vector-search family.
   *
   * Same oracle-exactness conventions as [[LlmQueries]]: integer
   * arithmetic wherever counts flow; float expressions are written as the

@@ -657,6 +657,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("law: Pq.searchTopK == in-memory PQ reference (codes, tables, integer sums) on random vectors") {
+    val g: Gen[List[Seq[Double]]] = Gen.listOfN(12,
+      Gen.listOfN(4, Gen.choose(-8, 8).map(_.toDouble)).map(_.toSeq))
+    samples(g, 5).foreach { vs =>
+      val vecs = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val m = 2; val dims = 4; val sub = dims / m; val stride = 4
+      val books = Pq.codebooks(vecs, "id", "v", m, dims, stride)
+      val enc = Pq.encode(vecs, "id", "v", books, m, dims).select("id", "subspace", "code")
+      val got = Pq.searchTopK(enc, vecs, "id", "v", books, m, dims, k = vs.size)
+        .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+      // independent reference: plain Scala recurrence over the same math
+      val seeds = vs.indices.filter(_ % stride == 0)
+      def subv(v: Seq[Double], s: Int) = v.slice(s * sub, (s + 1) * sub)
+      // the SAME IEEE op sequence as the Spark expression (in-order dots,
+      // x·x − 2·x·c + c·c) — algebraically-equal Σ(x−c)² rounds differently
+      def dot(a: Seq[Double], b: Seq[Double]) =
+        a.zip(b).map { case (x, y) => x * y }.sum
+      def d2(a: Seq[Double], b: Seq[Double]) =
+        dot(a, a) - 2.0 * dot(a, b) + dot(b, b)
+      def code(v: Seq[Double], s: Int): Int =
+        seeds.map(i => (d2(subv(v, s), subv(vs(i), s)), i / stride)).min._2
+      def tbl(p: Seq[Double], s: Int, c: Int): Long =
+        math.round(d2(subv(p, s), subv(vs(c * stride), s)) * 1048576.0)
+      for (p <- vs.indices; n <- vs.indices if p != n) {
+        val want = (0 until m).map(s => tbl(vs(p), s, code(vs(n), s))).sum
+        assert(got((p.toLong, n.toLong)) === want, s"probe=$p neighbor=$n")
+      }
+    }
+  }
+
   test("law: CountMin estimate of a never-seen key is the min of its collided buckets (0 if clean)") {
     val words = (1 to 5).map(i => s"seen$i").flatMap(w => Seq.fill(10)(w))
     val grid = CountMin.sketch(words.toDF("w"), "w", 4096)
