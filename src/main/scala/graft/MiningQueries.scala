@@ -1107,5 +1107,66 @@ object MiningQueries {
         "quantizer prunes to nprobe=4 lists (~nprobe/k of the corpus per " +
         "probe), PQ integer table lookups rank only those candidates over " +
         "8-byte codes — raw floats never read at query time; centroids, " +
-        "codebooks and distance tables all broadcast, candidates ids-only"))
+        "codebooks and distance tables all broadcast, candidates ids-only"),
+
+    // ------------------------------- score-vs-length correlation audit
+    Q("q133_score_length_cov",
+      (s, d) => {
+        // scorer-degeneracy audit: per-source EXACT integer covariance
+        // and variance numerators between doc length and the q96
+        // classifier score — cov_num = n·Σxy − Σx·Σy (Pearson's
+        // numerator scaled by n²; the full coefficient is one sqrt
+        // away). A quality scorer whose score is mostly explained by
+        // LENGTH is a length proxy, not a quality signal — the audit
+        // that catches it before the gate ships. Scores are truncated
+        // (div 1000) so every product/sum stays in exact Long range at
+        // any per-source cardinality the gate sees; one scan, one
+        // source-sized agg.
+        val score = graft.functions.HashExprs.classifierScore(
+          TextOps.tokens(col("text")),
+          buckets = 262144L, mul = 2654435761L, wmod = 1000003L, shift = 500001L)
+        T.documents(s, d)
+          .select(col("source"), col("n_chars").as("x"), score.as("__score"))
+          .select(col("source"), col("x"), expr("__score div 1000").as("y"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("source"), col("n"),
+            (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
+            (col("n") * col("sxx") - col("sx") * col("sx")).as("varx_num"),
+            (col("n") * col("syy") - col("sy") * col("sy")).as("vary_num"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH t AS (SELECT source, n_chars, string_split(lower(text), ' ') AS w FROM documents),
+        h AS (SELECT source, n_chars, list_transform(w, x ->
+                list_reduce(list_prepend(CAST(7 AS BIGINT),
+                  list_transform(range(1, length(x)+1), i -> CAST(ascii(substr(x, i, 1)) AS BIGINT))),
+                  (a, c) -> (a*31 + c) % 1000000007)) AS hh FROM t),
+        sc AS (SELECT source, n_chars::BIGINT AS x,
+                CAST(coalesce(list_sum(list_transform(hh, v ->
+                  ((v % 262144) * 2654435761) % 1000003 - 500001)), 0) AS BIGINT) AS score
+               FROM h),
+        b AS (SELECT source, x,
+                CASE WHEN score < 0 THEN -((-score) // 1000)
+                     ELSE score // 1000 END AS y
+              FROM sc),
+        g AS (SELECT source, count(*)::BIGINT AS n,
+                sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                sum(x*y)::BIGINT AS sxy, sum(x*x)::BIGINT AS sxx,
+                sum(y*y)::BIGINT AS syy
+              FROM b GROUP BY source)
+        SELECT source, n,
+               (n*sxy - sx*sy)::BIGINT AS cov_num,
+               (n*sxx - sx*sx)::BIGINT AS varx_num,
+               (n*syy - sy*sy)::BIGINT AS vary_num
+        FROM g ORDER BY source"""),
+      "scorer-degeneracy audit: per-source exact integer covariance/variance " +
+        "numerators between doc length and the q96 classifier score — a " +
+        "quality gate whose score is explained by LENGTH is a length proxy; " +
+        "all-integer (truncated scores keep products in Long), one scan + one " +
+        "source-sized agg, Pearson derivable from the three numerators"))
 }
