@@ -1168,5 +1168,36 @@ object MiningQueries {
         "numerators between doc length and the q96 classifier score — a " +
         "quality gate whose score is explained by LENGTH is a length proxy; " +
         "all-integer (truncated scores keep products in Long), one scan + one " +
-        "source-sized agg, Pearson derivable from the three numerators"))
+        "source-sized agg, Pearson derivable from the three numerators"),
+
+    // ------------------------------------------ activity heatmap
+    Q("q134_activity_heatmap",
+      (s, d) => {
+        // the ops-dashboard heatmap: event and distinct-user counts per
+        // (day-of-week, hour-of-day) cell — load patterning for
+        // capacity planning and anomaly baselines. Bucketing is exact
+        // integer arithmetic on epoch micros (dow 0 = Thursday, the
+        // epoch-day convention — no timezone/locale parity risk); one
+        // scan, one 168-cell agg.
+        val ev = T.events(s, d)
+          .select(expr("unix_micros(cast(ts as timestamp))").as("us"), col("user_id"))
+        ev.select(
+            pmod(expr("us div 86400000000"), lit(7L)).as("dow"),
+            pmod(expr("us div 3600000000"), lit(24L)).as("hour"),
+            col("user_id"))
+          .groupBy(col("dow"), col("hour"))
+          .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("dow"), col("hour"))
+      },
+      Some("""
+        WITH e AS (SELECT epoch_us(ts) AS us, user_id FROM events),
+        b AS (SELECT (us // 86400000000) % 7 AS dow,
+                     (us // 3600000000) % 24 AS hour, user_id FROM e)
+        SELECT dow, hour, count(*)::BIGINT AS n_events,
+               count(DISTINCT user_id)::BIGINT AS n_users
+        FROM b GROUP BY 1, 2 ORDER BY dow, hour"""),
+      "activity heatmap: event + distinct-user counts per (day-of-week, " +
+        "hour-of-day) cell — exact integer epoch arithmetic (dow 0 = " +
+        "Thursday, the epoch-day convention; no timezone parity risk); one " +
+        "scan + one 168-cell agg"))
 }
