@@ -1199,5 +1199,56 @@ object MiningQueries {
       "activity heatmap: event + distinct-user counts per (day-of-week, " +
         "hour-of-day) cell — exact integer epoch arithmetic (dow 0 = " +
         "Thursday, the epoch-day convention; no timezone parity risk); one " +
-        "scan + one 168-cell agg"))
+        "scan + one 168-cell agg"),
+
+    // ------------------------------- dedup survivorship-bias audit
+    Q("q135_dedup_bias_audit",
+      (s, d) => {
+        // the responsible-curation check dedup pipelines ship with:
+        // does cluster dedup SKEW the corpus mix? Per-lang raw vs
+        // surviving doc counts after q51's cluster-canonical dedup,
+        // with the kept share in exact ppm — a language whose share
+        // drops hardest is the one whose content was most mirrored,
+        // and the mix shift is what the training data card must
+        // disclose. Ids-only pair graph + components; the lang
+        // attach joins the survivor id set, never the iteration.
+        val docs = T.documents(s, d)
+        val surv = JaccardJoin.dedupCorpusClustered(docs, "doc_id", "text",
+            ngram = 3, num = 6, den = 10)
+          .select(col("lang"))
+        val raw = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_raw"))
+        val kept = surv.groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+        raw.join(kept, Seq("lang"), "left")
+          .select(col("lang"), col("n_raw"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            expr("(coalesce(n_kept, 0L) * 1000000) div n_raw").as("kept_ppm"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH RECURSIVE toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM toks),
+        pairs AS (SELECT a.doc_id AS pa, b.doc_id AS pb
+                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+                    AND len(list_intersect(a.sh, b.sh)) * 10 >=
+                        6 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))),
+        edges AS (SELECT pa AS u, pb AS v FROM pairs UNION SELECT pb, pa FROM pairs),
+        reach(id, r) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+        comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
+        drops AS (SELECT id FROM comp WHERE id <> c),
+        raw AS (SELECT lang, count(*)::BIGINT AS n_raw FROM documents GROUP BY lang),
+        kept AS (SELECT lang, count(*)::BIGINT AS n_kept FROM documents
+                 WHERE doc_id NOT IN (SELECT id FROM drops) GROUP BY lang)
+        SELECT r.lang, r.n_raw, coalesce(k.n_kept, 0) AS n_kept,
+               (coalesce(k.n_kept, 0) * 1000000) // r.n_raw AS kept_ppm
+        FROM raw r LEFT JOIN kept k USING (lang) ORDER BY lang"""),
+      "dedup survivorship-bias audit: per-lang raw vs surviving counts after " +
+        "cluster-canonical dedup, kept share in exact ppm — the mix-shift " +
+        "disclosure a training data card carries (the hardest-hit language " +
+        "is the most-mirrored one); ids-only pair graph + components, lang " +
+        "attaches to survivor ids only"))
 }
