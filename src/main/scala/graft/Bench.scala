@@ -49,6 +49,16 @@ object Bench {
       // queries' times (round-5 lesson: pass-2 creep on q81+). Scope each
       // query's caches to its own measurement.
       spark.catalog.clearCache()
+      // clearCache() only drops Dataset caches. localCheckpoint blocks
+      // (Components/PageRank/Bpe/Ivf/HeavyHitters iteration cuts) are
+      // freed only when the ContextCleaner GCs the driver-side RDD refs —
+      // across 3 registry passes the orphaned blocks build storage
+      // eviction pressure until a GC storm (round-7 driver run: pass-2
+      // q99-q107 at 2.7-6.6x pass-1, q102 23.3s vs 3.5s). Unpersist them
+      // eagerly; blocking so the release lands before the next
+      // measurement starts.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
     }
 
     // Unmeasured warm-up: full pass over the registry (ignore failures

@@ -466,22 +466,44 @@ GROUP BY dw.doc_id ORDER BY dw.doc_id"""
         // computed from the corpus count. Every join is an equi
         // broadcast of a value-range-bounded side; no partition-less
         // window anywhere (PlanSpec's window guard checks this).
-        import s.implicits._
-        val bi = T.documents(s, d)
+        //
+        // Round-8 constant-factor pass: the report needs only per-BUCKET
+        // (n_docs, min_s, max_s), and a score group's rank range
+        // [gt+1, gt+cnt] determines exactly how it splits across the
+        // ntile boundaries — so the whole bucket assembly runs on the
+        // score-frequency frame alone. Gone vs round 7: the corpus-sized
+        // broadcast-join-back, the corpus-sized tie-group window, two of
+        // the three persists, and the 977-row driver collect (the grand
+        // total now rides the same partition-by-constant window device
+        // as the coarse cumulative, so the plan has ZERO driver
+        // actions). Per-doc bucket labels (when a consumer needs them)
+        // remain available by joining docs to the freq frame's gt
+        // ranges — the round-7 shape.
+        // persist the COMPACT token arrays, not the exploded bigram
+        // frame (~2x the tokens, one row per bigram occurrence): the
+        // three consumers re-run the cheap explode against the small
+        // cache instead of reading back a 3-column corpus-sized one
+        val toks = T.documents(s, d)
           .select(col("doc_id"), docTokens.as("__w"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val bi = toks
           .select(col("doc_id"), explode(expr(
             "transform(slice(__w, 1, greatest(size(__w) - 1, 0)), " +
               "(x, i) -> struct(x AS w1, element_at(__w, i + 2) AS w2))")).as("__bg"))
           .select(col("doc_id"), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
         val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-        val ds = bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        // per-DISTINCT-bigram score first (vocab²-bounded join), so the
+        // corpus-sized bigram frame is joined ONCE, not once per count
+        val scored = c2.join(c1, Seq("w1"))
           .withColumn("__sc", expr("((c2 + 1L) * 1000000L) div (c1 + 1L)"))
+          .select(col("w1"), col("w2"), col("__sc"))
+        val ds = bi.join(scored, Seq("w1", "w2"))
           .groupBy(col("doc_id"))
           .agg(expr("sum(__sc) div count(1)").as("avg_s"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // score-frequency frame: one row per distinct avg_s (≤1e6+1)
+        // score-frequency frame: one row per distinct avg_s (≤1e6+1).
+        // Persisted: it feeds the row-level window AND the coarse-totals
+        // agg, and recomputing it re-runs the whole scoring pipeline.
         val freq = ds.groupBy(col("avg_s")).agg(count(lit(1)).as("__cnt"))
           .withColumn("__coarse", expr("avg_s div 1024"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -490,34 +512,42 @@ GROUP BY dw.doc_id ORDER BY dw.doc_id"""
           sum(col("__cnt")).over(
             Window.partitionBy(col("__coarse")).orderBy(col("avg_s").desc))
             - col("__cnt"))
-        // (a) docs in strictly-higher coarse ranges: ≤977 rows collected,
-        // cumulated on the driver, shipped back as a broadcast join side
-        // (this collect is also the ONLY driver action: n = Σ __ct)
-        val coarseTotals = freq.groupBy(col("__coarse"))
+        // (a) docs in strictly-higher coarse ranges + the grand total,
+        // both as windows over the ≤977-row coarse-totals frame. The
+        // partition-by-constant spec keeps the guard-visible invariant
+        // (a bounded frame, not the corpus, in one partition — the
+        // Mixture normalizer device).
+        val constPart = pmod(col("__coarse"), lit(1L))
+        val cum = freq.groupBy(col("__coarse"))
           .agg(sum(col("__cnt")).as("__ct"))
-          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
-        var running = 0L
-        val cumAbove = coarseTotals.map { case (c, ct) =>
-          val row = (c, running); running += ct; row
-        }.toSeq
-        val cumDf = cumAbove.toDF("__coarse", "__gt_coarse")
-        // ntile(3) bucket sizes: first (n mod 3) buckets get one extra row
-        val n = running
-        val b1 = n / 3 + (if (n % 3 >= 1) 1L else 0L)
-        val b2 = b1 + n / 3 + (if (n % 3 >= 2) 1L else 0L)
-        ds
-          .join(broadcast(within.select(col("avg_s"), col("__coarse"),
-            col("__gt_in_coarse"))), Seq("avg_s"))
-          .join(broadcast(cumDf), Seq("__coarse"))
-          // (c) tie-group rank: partitioned by exact score
-          .withColumn("__rn", row_number().over(
-            Window.partitionBy(col("avg_s")).orderBy(col("doc_id"))))
-          .withColumn("__rank", col("__gt_coarse") + col("__gt_in_coarse") + col("__rn"))
-          .withColumn("bucket",
-            when(col("__rank") <= b1, lit(1))
-              .when(col("__rank") <= b2, lit(2)).otherwise(lit(3)))
+          .withColumn("__gt_coarse",
+            coalesce(
+              sum(col("__ct")).over(
+                Window.partitionBy(constPart).orderBy(col("__coarse").desc)
+                  .rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)))
+          .withColumn("__n", sum(col("__ct")).over(Window.partitionBy(constPart)))
+        // each score group covers global ranks (gt, gt+cnt]; ntile(3)
+        // boundaries b1/b2 (first n%3 buckets get the extra row) cut
+        // those ranges — bucket counts are interval intersections, and
+        // a bucket's min_s/max_s come from the groups it touches
+        within
+          .join(broadcast(cum.select(col("__coarse"), col("__gt_coarse"), col("__n"))),
+            Seq("__coarse"))
+          .withColumn("__gt", col("__gt_coarse") + col("__gt_in_coarse"))
+          .withColumn("__b1", expr("__n div 3 + if(__n % 3 >= 1, 1L, 0L)"))
+          .withColumn("__b2", expr("__b1 + __n div 3 + if(__n % 3 >= 2, 1L, 0L)"))
+          .withColumn("bucket", explode(sequence(
+            when(col("__gt") + 1 <= col("__b1"), lit(1))
+              .when(col("__gt") + 1 <= col("__b2"), lit(2)).otherwise(lit(3)),
+            when(col("__gt") + col("__cnt") <= col("__b1"), lit(1))
+              .when(col("__gt") + col("__cnt") <= col("__b2"), lit(2)).otherwise(lit(3)))))
+          .withColumn("__lo", expr("CASE bucket WHEN 1 THEN 0L WHEN 2 THEN __b1 ELSE __b2 END"))
+          .withColumn("__hi", expr("CASE bucket WHEN 1 THEN __b1 WHEN 2 THEN __b2 ELSE __n END"))
           .groupBy(col("bucket"))
-          .agg(count(lit(1)).as("n_docs"),
+          .agg(
+            sum(least(col("__hi"), col("__gt") + col("__cnt"))
+              - greatest(col("__lo"), col("__gt"))).as("n_docs"),
             min(col("avg_s")).as("min_s"), max(col("avg_s")).as("max_s"))
           .orderBy(col("bucket"))
       },

@@ -123,17 +123,23 @@ object MiningQueries {
                 sort_array(collect_list(struct(col("rank"), col("cosine")))),
                 lit(0.0),
                 (acc, x) => acc + x.getField("cosine")).as("nn_sum"),
+              count(lit(1)).as("nn_cnt"),
               min(struct(col("rank"), col("neighbor_id"), col("cosine"))).as("top"))
         val aSide = nn(b, a).select(
           col("probe_id").as("id_a"),
           col("top.neighbor_id").as("id_b"),
           col("top.cosine").as("cosine"),
-          col("nn_sum").as("nn_sum_a"))
+          col("nn_sum").as("nn_sum_a"), col("nn_cnt").as("nn_cnt_a"))
         val bSide = nn(a, b).select(
-          col("probe_id").as("id_b"), col("nn_sum").as("nn_sum_b"))
+          col("probe_id").as("id_b"),
+          col("nn_sum").as("nn_sum_b"), col("nn_cnt").as("nn_cnt_b"))
+        // mean NN cosine divides by the ACTUAL neighbor count (k-capped,
+        // but fewer when a corpus half has < k usable vectors) — the
+        // Artetxe-Schwenk statistic stays honest on degenerate inputs.
         aSide.join(bSide, Seq("id_b"))
           .select(col("id_a"), col("id_b"), col("cosine"),
-            (col("cosine") * lit(2.0) / (col("nn_sum_a") / lit(4.0) + col("nn_sum_b") / lit(4.0)))
+            (col("cosine") * lit(2.0) /
+              (col("nn_sum_a") / col("nn_cnt_a") + col("nn_sum_b") / col("nn_cnt_b")))
               .as("margin"))
           .orderBy(col("id_a"))
       },
@@ -155,14 +161,14 @@ object MiningQueries {
                      FROM b CROSS JOIN a)
                QUALIFY rnk <= 4),
         asum AS (SELECT pid, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(cc ORDER BY rnk)),
-                          (x, y) -> x + y) AS nn_sum
+                          (x, y) -> x + y) AS nn_sum, count(*) AS nn_cnt
                  FROM ab GROUP BY pid),
         bsum AS (SELECT pid, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(cc ORDER BY rnk)),
-                          (x, y) -> x + y) AS nn_sum
+                          (x, y) -> x + y) AS nn_sum, count(*) AS nn_cnt
                  FROM ba GROUP BY pid),
         atop AS (SELECT pid, nid, cc FROM ab WHERE rnk = 1)
         SELECT atop.pid AS id_a, atop.nid AS id_b, atop.cc AS cosine,
-               atop.cc * 2.0 / (asum.nn_sum / 4.0 + bsum.nn_sum / 4.0) AS margin
+               atop.cc * 2.0 / (asum.nn_sum / asum.nn_cnt + bsum.nn_sum / bsum.nn_cnt) AS margin
         FROM atop
         JOIN asum ON asum.pid = atop.pid
         JOIN bsum ON bsum.pid = atop.nid
@@ -1250,5 +1256,112 @@ object MiningQueries {
         "cluster-canonical dedup, kept share in exact ppm — the mix-shift " +
         "disclosure a training data card carries (the hardest-hit language " +
         "is the most-mirrored one); ids-only pair graph + components, lang " +
-        "attaches to survivor ids only"))
+        "attaches to survivor ids only"),
+
+    // ------------------------------------- amortized dedup report
+    Q("q136_dedup_report",
+      (s, d) => {
+        // THE amortized pair-graph shape a production pipeline runs: the
+        // scan+shingle+signature corpus index is built and WRITTEN ONCE
+        // (MinHash.writeCorpusIndex — the build-once artifact every
+        // dedup consumer shares), then the full dedup report derives
+        // from the index and ids-only frames in ONE returned plan:
+        // exact PPJoin pairs over the index's shingle column
+        // (JaccardJoin.pairsFromIndex) -> pointer-jump connected
+        // components -> cluster-size histogram (q129's figure) +
+        // best-of-cluster survivors (q102's policy: longest doc, id
+        // tiebreak) -> per-lang survivorship in ppm (q135's data-card
+        // disclosure) + the corpus-total headline. The returned plan
+        // contains ZERO shingle expressions (PlanSpec pins this): the
+        // corpus is tokenized exactly once, at index-build time —
+        // q51/q102/q129/q135 each re-derive this same graph only for
+        // oracle independence; at 8 consumers the index build amortizes
+        // to ~1/8 of the family's scan+shingle cost (AmortizedBench
+        // measures the per-consumer split).
+        val docs = T.documents(s, d)
+        val idxPath = new java.io.File("target/q136_corpus_index").getAbsolutePath
+        MinHash.writeCorpusIndex(docs, "doc_id", "text", idxPath, ngram = 3)
+        val pairs = JaccardJoin.pairsFromIndex(s, idxPath, num = 6, den = 10)
+          .select(col("id_a"), col("id_b"))
+        val comp = Components.connectedComponents(pairs, "id_a", "id_b")
+        val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+        val hist = sizes.groupBy(col("cluster_size"))
+          .agg(count(lit(1)).as("n1"))
+          .select(lit("clusters").as("section"),
+            col("cluster_size").cast("string").as("key"), col("n1"),
+            (col("cluster_size") * col("n1")).as("n2"), lit(0L).as("ppm"))
+        val single = docs.select(col("doc_id"))
+          .join(comp.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("n1"))
+          .select(lit("clusters").as("section"), lit("1").as("key"),
+            col("n1"), col("n1").as("n2"), lit(0L).as("ppm"))
+        val ranked = comp.join(docs, comp("id") === docs("doc_id"))
+          .withColumn("__rk", row_number().over(
+            Window.partitionBy(col("comp"))
+              .orderBy(col("n_chars").desc, col("id").asc)))
+        val drops = ranked.where(col("__rk") =!= 1).select(col("id").as("doc_id"))
+        val raw = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_raw"))
+        val kept = docs.join(drops, Seq("doc_id"), "left_anti")
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+        val mix = raw.join(kept, Seq("lang"), "left")
+          .select(col("lang"), col("n_raw"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        val langRows = mix.select(lit("lang_mix").as("section"),
+          col("lang").as("key"), col("n_raw").as("n1"), col("n_kept").as("n2"),
+          expr("(n_kept * 1000000) div n_raw").as("ppm"))
+        val totalRow = mix.agg(sum(col("n_raw")).as("n_raw"), sum(col("n_kept")).as("n_kept"))
+          .select(lit("total").as("section"), lit("corpus").as("key"),
+            col("n_raw").as("n1"), col("n_kept").as("n2"),
+            expr("(n_kept * 1000000) div n_raw").as("ppm"))
+        hist.unionByName(single).unionByName(langRows).unionByName(totalRow)
+          .orderBy(col("section"), col("key"))
+      },
+      Some("""
+        WITH RECURSIVE toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM toks),
+        pairs AS (SELECT a.doc_id AS pa, b.doc_id AS pb
+                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+                    AND len(list_intersect(a.sh, b.sh)) * 10 >=
+                        6 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))),
+        edges AS (SELECT pa AS u, pb AS v FROM pairs UNION SELECT pb, pa FROM pairs),
+        reach(id, r) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+        comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
+        sizes AS (SELECT c, count(*)::BIGINT AS cluster_size FROM comp GROUP BY c),
+        hist AS (SELECT 'clusters' AS section, cluster_size::VARCHAR AS key,
+                        count(*)::BIGINT AS n1,
+                        (cluster_size * count(*))::BIGINT AS n2, 0::BIGINT AS ppm
+                 FROM sizes GROUP BY cluster_size),
+        single AS (SELECT 'clusters' AS section, '1' AS key, count(*)::BIGINT AS n1,
+                          count(*)::BIGINT AS n2, 0::BIGINT AS ppm
+                   FROM documents WHERE doc_id NOT IN (SELECT id FROM comp)),
+        ranked AS (SELECT comp.id,
+                     row_number() OVER (PARTITION BY c ORDER BY d.n_chars DESC, comp.id) AS rk
+                   FROM comp JOIN documents d ON d.doc_id = comp.id),
+        drops AS (SELECT id FROM ranked WHERE rk <> 1),
+        raw AS (SELECT lang, count(*)::BIGINT AS n_raw FROM documents GROUP BY lang),
+        kept AS (SELECT lang, count(*)::BIGINT AS n_kept FROM documents
+                 WHERE doc_id NOT IN (SELECT id FROM drops) GROUP BY lang),
+        mix AS (SELECT r.lang, r.n_raw, coalesce(k.n_kept, 0)::BIGINT AS n_kept
+                FROM raw r LEFT JOIN kept k USING (lang)),
+        langmix AS (SELECT 'lang_mix' AS section, lang AS key, n_raw AS n1, n_kept AS n2,
+                           ((n_kept * 1000000) // n_raw)::BIGINT AS ppm FROM mix),
+        tot AS (SELECT 'total' AS section, 'corpus' AS key, sum(n_raw)::BIGINT AS n1,
+                       sum(n_kept)::BIGINT AS n2,
+                       ((sum(n_kept) * 1000000) // sum(n_raw))::BIGINT AS ppm FROM mix)
+        SELECT section, key, n1, n2, ppm FROM hist
+        UNION ALL SELECT section, key, n1, n2, ppm FROM single
+        UNION ALL SELECT section, key, n1, n2, ppm FROM langmix
+        UNION ALL SELECT section, key, n1, n2, ppm FROM tot
+        ORDER BY section, key"""),
+      "amortized dedup report (build-once/query-many, the production " +
+        "pair-graph shape): corpus index written ONCE (scan+shingle+" +
+        "signature), then pairs -> components -> cluster-size histogram + " +
+        "best-of-cluster survivors + per-lang survivorship ppm in one " +
+        "derived plan with ZERO re-shingling (PlanSpec-pinned); composes " +
+        "q129 + q102 + q135 over one shared graph"))
 }

@@ -66,7 +66,10 @@ object CountMin {
   }
 
   /** Point estimates for every row of `probes`: min over the d bucket
-    * counts, 0 for never-seen keys. Carries every `probes` column
+    * counts — 0 when any of the key's buckets is untouched; a never-seen
+    * key whose d buckets ALL collide with seen keys returns the
+    * (one-sided CMS guarantee) min of the collided counts, never an
+    * underestimate. Carries every `probes` column
     * through (probe rows must be unique — duplicate probe rows collapse
     * into one output row, they do not double-count). `width` must match
     * the width the grid was built with: a mismatched width silently

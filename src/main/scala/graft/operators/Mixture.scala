@@ -50,7 +50,8 @@ object Mixture {
     df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_docs"))
       .join(broadcast(shares), Seq(keyCol))
       .withColumn("rate_ppm",
-        least(lit(1000000L), expr(s"(__share_ppm * ${budgetDocs}L) div n_docs")))
+        least(lit(1000000L),
+          expr(s"(CAST(__share_ppm AS DECIMAL(38,0)) * ${budgetDocs}L) div n_docs")))
       .drop("__share_ppm")
   }
 
@@ -81,9 +82,19 @@ object Mixture {
     * a constant — the frame is |keys| rows at any corpus scale, so the
     * single partition holds a config-sized enum, never data.
     * rate = min(1e6 ppm, weight·budget·10^6 div (Σweight·n_k)).
+    *
+    * Overflow: the numerator weight·10^6·budget reaches ~10^14·budget
+    * (weight tops out near 9.5·10^7 at the documented n_k cap), which
+    * wraps a non-ANSI Long once budgetDocs exceeds ~10^5 — so both
+    * products are computed in DECIMAL(38,0) and only the integral
+    * quotient (≤ budget·10^6 by weight ≤ Σweight) lands back in a Long.
+    * That bounds budgetDocs at ~9.2·10^12 before the QUOTIENT itself
+    * could exceed Long, which the require guards.
     */
   def temperatureRatesPpm(df: DataFrame, keyCol: String, budgetDocs: Long): DataFrame = {
     require(budgetDocs > 0, s"budgetDocs must be positive, got $budgetDocs")
+    require(budgetDocs <= 9000000000000L,
+      s"budgetDocs above 9e12 overflows the ppm quotient, got $budgetDocs")
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_docs"))
       .withColumn("weight", floor(sqrt(col("n_docs").cast("double") * lit(1.0e10))).cast("long"))
     val tot = org.apache.spark.sql.expressions.Window.partitionBy(pmod(col("n_docs"), lit(1L)))
@@ -91,7 +102,8 @@ object Mixture {
       .withColumn("__tot", sum(col("weight")).over(tot))
       .withColumn("rate_ppm",
         least(lit(1000000L),
-          expr(s"(weight * 1000000L * ${budgetDocs}L) div (__tot * n_docs)")))
+          expr(s"(CAST(weight AS DECIMAL(38,0)) * 1000000 * ${budgetDocs}L)" +
+            s" div (CAST(__tot AS DECIMAL(38,0)) * n_docs)")))
       .drop("__tot")
   }
 }

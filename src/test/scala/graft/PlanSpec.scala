@@ -297,6 +297,48 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q136 amortized dedup report: derived plan reads the persisted index, never re-shingles") {
+    // the build-once/query-many pin: the index WRITE (the one
+    // scan+shingle pass) happens before the returned plan; the returned
+    // plan itself must contain zero shingle expressions and must scan
+    // the written index table
+    val df = SparkEntry.queries("q136_dedup_report")(spark, sf)
+    val plan = df.queryExecution.optimizedPlan
+    assert(!plan.toString.toLowerCase.contains("shingle"),
+      s"q136's derived plan must read the corpus index, not re-shingle:\n$plan")
+    // the components iteration checkpoints its frontier (LogicalRDD cuts
+    // lineage), so the index scan is pinned on the pairs stage directly:
+    // it must read the written index table and contain zero shingle
+    // expressions (the PPJoin runs over the index's materialized __sh)
+    val pairsPlan = JaccardJoin
+      .pairsFromIndex(spark, new java.io.File("target/q136_corpus_index").getAbsolutePath,
+        num = 6, den = 10)
+      .queryExecution.optimizedPlan
+    assert(!pairsPlan.toString.toLowerCase.contains("shingle"),
+      s"pair derivation must not re-shingle:\n$pairsPlan")
+    // the index read may sit behind the pair stage's persist (an
+    // InMemoryRelation wrapping the scan) — collect paths from both
+    val scanPaths = pairsPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        m.cachedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.rootPaths.map(_.toString)
+        }.flatten
+    }.flatten
+    assert(scanPaths.exists(_.contains("q136_corpus_index")),
+      s"expected a scan of the persisted corpus index, got: ${scanPaths.mkString(", ")}")
+    // (no contrast pin on q129: its pair stage ALSO vanishes behind the
+    // components checkpoint cut in the final plan, so a string check
+    // there would assert nothing — the amortization claim rests on the
+    // two direct pins above)
+  }
+
   test("GLOBAL GUARD: no nested-loop or cartesian join in ANY registry query plan") {
     // every registry plan must be cluster-safe; the only tolerated
     // nested loops are the documented k-vs-n broadcast scorings where
