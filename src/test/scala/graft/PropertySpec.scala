@@ -585,6 +585,79 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("law: Unigram.train == in-memory Viterbi-EM reference on random tiny-alphabet corpora") {
+    // replays the WHOLE training run — seed substring counts, fixed-
+    // point log2 scores, Viterbi ties (fewer pieces, longest-first),
+    // count-proxy pruning, single-char floors — in plain Scala; any
+    // divergence in the distributed dataflow (agg, explode, plan-
+    // constant piece table) breaks equality
+    val rnd = new scala.util.Random(29) // pinned seed
+    val maxLen = 3; val seedSize = 12; val rounds = 3
+    for (_ <- 1 to 3) {
+      val docs = (1 to 20).map { _ =>
+        (1 to (1 + rnd.nextInt(6))).map { _ =>
+          (1 to (1 + rnd.nextInt(6))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+        }.mkString(" ")
+      }
+      // -------- in-memory reference
+      val freq = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      docs.flatMap(_.toLowerCase.split(" ", -1)).filter(_.nonEmpty).foreach(w => freq(w) += 1L)
+      val subCnt = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      freq.foreach { case (w, f) =>
+        for (i <- 0 until w.length; j <- (i + 1) to math.min(w.length, i + maxLen))
+          subCnt(w.substring(i, j)) += f
+      }
+      val singles = subCnt.filter(_._1.length == 1).toArray
+      val multi = subCnt.filter(_._1.length > 1).toArray
+        .sortBy { case (p, c) => (-c, p) }.take(seedSize)
+      var vocab = (singles ++ multi).sortBy(_._1)
+      def viterbi(w: String, scores: Map[String, Long]): Seq[String] = {
+        val NegInf = Long.MinValue / 4
+        val best = Array.fill(w.length + 1)(NegInf); best(0) = 0L
+        val np = new Array[Int](w.length + 1)
+        val back = new Array[Int](w.length + 1)
+        for (i <- 1 to w.length; len <- math.min(maxLen, i) to 1 by -1) {
+          val j = i - len
+          if (best(j) > NegInf) scores.get(w.substring(j, i)).foreach { sc =>
+            val cand = best(j) + sc
+            if (cand > best(i) || (cand == best(i) && np(j) + 1 < np(i))) {
+              best(i) = cand; np(i) = np(j) + 1; back(i) = j
+            }
+          }
+        }
+        var pos = w.length
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (pos > 0) { out.prepend(w.substring(back(pos), pos)); pos = back(pos) }
+        out.toSeq
+      }
+      for (_ <- 1 to rounds) {
+        val total = vocab.map(_._2).sum
+        val scores = vocab.map { case (p, c) =>
+          p -> (graft.functions.UnigramRuntime.log2fp(c)
+            - graft.functions.UnigramRuntime.log2fp(total))
+        }.toMap
+        val cnt = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+        freq.foreach { case (w, f) => viterbi(w, scores).foreach(p => cnt(p) += f) }
+        val withCnt = vocab.map { case (p, _) => (p, cnt(p)) }
+        val (sgl, ml) = withCnt.partition(_._1.length == 1)
+        val keepN = ml.length - ml.length * 1 / 5
+        val kept = ml.sortBy { case (p, c) => (-c, p) }.take(keepN).filter(_._2 > 0L)
+        vocab = (sgl.map { case (p, c) => (p, math.max(1L, c)) } ++ kept).sortBy(_._1)
+      }
+      val totF = vocab.map(_._2).sum
+      val ref = vocab.map { case (p, c) =>
+        (p, c, graft.functions.UnigramRuntime.log2fp(c)
+          - graft.functions.UnigramRuntime.log2fp(totF))
+      }.toSeq
+      // -------- distributed run
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val got = operators.Unigram.train(spark, df, "text",
+          maxPieceLen = maxLen, seedSize = seedSize, emRounds = rounds)
+        .orderBy(col("piece")).as[(String, Long, Long)].collect().toSeq
+      assert(got === ref)
+    }
+  }
+
   test("Validate: planted violations are counted exactly") {
     val child = Seq((1L, Some(10L)), (2L, Some(11L)), (3L, Some(99L)), (4L, Some(10L)), (5L, None: Option[Long]))
       .toDF("id", "fk")
@@ -684,6 +757,84 @@ class PropertySpec extends SparkSpec {
         val want = (0 until m).map(s => tbl(vs(p), s, code(vs(n), s))).sum
         assert(got((p.toLong, n.toLong)) === want, s"probe=$p neighbor=$n")
       }
+    }
+  }
+
+  test("law: QuantileSketch merge is exact — sketch(A ++ B) == merge(sketch(A), sketch(B)), any order") {
+    val agg = QuantileSketch.aggregator(width = 64, cellShift = 10)
+    def sk(xs: List[Long]): Array[Long] = xs.foldLeft(agg.zero)(agg.reduce)
+    val g = Gen.listOf(Gen.choose(0L, 70000L)) // past the universe: clamp path too
+    samples(Gen.zip(g, g), 20).foreach { case (a, b) =>
+      val m = agg.merge(sk(a), sk(b))
+      assert(sk(a ++ b).toSeq === m.toSeq)
+      assert(agg.merge(sk(b), sk(a)).toSeq === m.toSeq)
+    }
+  }
+
+  test("law: QuantileSketch estimate's cell contains the exact order statistic (the q99 rank check)") {
+    val width = 64; val shift = 10 // 64 cells of 1024 over [0, 65536)
+    val agg = QuantileSketch.aggregator(width, shift)
+    val g = Gen.nonEmptyListOf(Gen.choose(0L, 65535L)) // in-universe: the bound's contract
+    samples(g, 20).foreach { xs =>
+      val cells = xs.foldLeft(agg.zero)(agg.reduce)
+      val sorted = xs.sorted
+      val n = xs.size.toLong
+      for (q <- Seq(50L, 90L, 99L)) {
+        val r = (n * q + 99L) / 100L // ceil rank, the query's arithmetic
+        val cum = cells.scanLeft(0L)(_ + _).tail
+        val cell = cum.indexWhere(_ >= r)
+        val est = cell.toLong << shift
+        val exact = sorted((r - 1L).toInt)
+        assert(est <= exact && exact < est + (1L << shift),
+          s"p$q: exact order stat $exact outside estimate cell [$est, ${est + (1L << shift)})")
+      }
+    }
+  }
+
+  test("law: Pq.residualFrame subtracts each vector's assigned (argmax-cosine) centroid exactly") {
+    val g: Gen[List[Seq[Double]]] = Gen.listOfN(12,
+      Gen.listOfN(4, Gen.choose(-8, 8).map(_.toDouble)).map(_.toSeq))
+    samples(g, 4).foreach { vs =>
+      val vecs = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val stride = 4
+      // refine = 0 so centroids ARE corpus seed vectors — the in-memory
+      // reference replays the same argmax-cosine (larger-id tiebreak)
+      val cents = Ivf.centroids(vecs, "id", "v", stride, refine = 0)
+      val asg = Ivf.assign(vecs, "id", "v", cents, id = "rid")
+      val got = Pq.residualFrame(vecs, "id", "v", asg, cents, "rid")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getSeq[Double](2))).toMap
+      def dot(a: Seq[Double], b: Seq[Double]) =
+        a.zip(b).map { case (x, y) => x * y }.sum
+      def nrm(a: Seq[Double]) = math.sqrt(dot(a, a))
+      val seeds = vs.indices.filter(i => i % stride == 0 && nrm(vs(i)) > 0)
+      for (i <- vs.indices if nrm(vs(i)) > 0 && seeds.nonEmpty) {
+        val best = seeds.map(sdx =>
+          (dot(vs(i), vs(sdx)) / (nrm(vs(i)) * nrm(vs(sdx))), sdx.toLong)).max
+        val expect = vs(i).zip(vs(best._2.toInt)).map { case (x, c) => x - c }
+        val (gotCid, gotRes) = got(i.toLong)
+        assert(gotCid === best._2, s"vec $i assigned to $gotCid, expected ${best._2}")
+        assert(gotRes === expect, s"vec $i residual mismatch")
+      }
+    }
+  }
+
+  test("law: Pq.refineCodebooks never increases total encode distortion (Lloyd descent)") {
+    val g: Gen[List[Seq[Double]]] = Gen.listOfN(16,
+      Gen.listOfN(4, Gen.choose(-8, 8).map(_.toDouble)).map(_.toSeq))
+    samples(g, 4).foreach { vs =>
+      val vecs = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val m = 2; val dims = 4
+      val seed = Pq.codebooks(vecs, "id", "v", m, dims, stride = 5)
+      def total(b: org.apache.spark.sql.DataFrame): Long =
+        Pq.encode(vecs, "id", "v", b, m, dims)
+          .agg(sum(round(col("dist2") * 1048576.0).cast("long"))).as[Long].collect().head
+      val t0 = total(seed)
+      val t1 = total(Pq.refineCodebooks(vecs, "id", "v", seed, m, dims, rounds = 1))
+      // slack of one fixed-point ulp per (vector, subspace): re-centered
+      // means are rounded to 2^-20 before re-encoding
+      assert(t1 <= t0 + vs.size * m,
+        s"refinement increased total distortion: $t0 -> $t1")
     }
   }
 

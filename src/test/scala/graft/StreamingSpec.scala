@@ -151,6 +151,107 @@ class StreamingSpec extends SparkSpec {
     assert(!all.contains(Upd("a", "old", 1)), s"recovered state lost the champion: $all")
   }
 
+  test("QuantileSketch over a stream (complete mode) == batch sketch — mergeable-summary property") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val sk = udaf(graft.operators.QuantileSketch.aggregator(width = 64, cellShift = 10),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val q = input.toDS().toDF("v").groupBy().agg(sk(col("v")).as("cells"))
+      .writeStream.format("memory").queryName("qs_stream").outputMode("complete")
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    try {
+      input.addData(1L, 500L, 1024L, 70000L)
+      q.processAllAvailable()
+      input.addData(2048L, 3000L, 64L)
+      q.processAllAvailable()
+      val streamed = spark.table("qs_stream").collect().head.getSeq[Long](0)
+      val all = Seq(1L, 500L, 1024L, 70000L, 2048L, 3000L, 64L)
+      val aggr = graft.operators.QuantileSketch.aggregator(width = 64, cellShift = 10)
+      val want = all.foldLeft(aggr.zero)(aggr.reduce).toSeq
+      assert(streamed === want)
+    } finally q.stop()
+  }
+
+  /** Run `body` with the RocksDB state-store provider set (required by
+    * transformWithState; restored after).
+    */
+  private def withRocksDb[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("transformWithState twin: KeepLatestTws final state == batch Dedup.keepLatest") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[Upd]
+      val deduped = graft.streaming.KeepLatestTws[String, Upd](
+        input.toDS(), _.iso, (a, b) => a.v > b.v)
+      val q = deduped.writeStream.format("memory").queryName("kl_tws")
+        .outputMode("update").trigger(Trigger.ProcessingTime(0L)).start()
+      try {
+        input.addData(Upd("a", "a", 1), Upd("a", "b", 2))
+        q.processAllAvailable()
+        input.addData(Upd("a", "c", 3), Upd("b", "x", 1))
+        q.processAllAvailable()
+        input.addData(Upd("a", "d", 4))
+        q.processAllAvailable()
+        val updates = spark.table("kl_tws").as[Upd].collect()
+        val finalState = updates.groupBy(_.iso).map { case (k, vs) => k -> vs.maxBy(_.v).capital }
+        val batch = operators.Dedup.keepLatest(
+            Seq(Upd("a", "a", 1), Upd("a", "b", 2), Upd("a", "c", 3), Upd("b", "x", 1), Upd("a", "d", 4))
+              .toDF(), Seq("iso"), Seq(col("v")))
+          .select("iso", "capital").as[(String, String)].collect().toMap
+        assert(finalState === batch)
+        assert(batch === Map("a" -> "d", "b" -> "x"))
+        // emit-on-change contract holds on the new API too
+        assert(updates.count(_.iso == "a") <= 3)
+      } finally q.stop()
+    }
+  }
+
+  test("transformWithState twin: KeepLatestTws state survives a checkpointed restart") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_tws_src").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_tws_state").toString
+      val emitted = scala.collection.mutable.ArrayBuffer.empty[Upd]
+      def appendRows(rows: Upd*): Unit =
+        rows.toDF().coalesce(1).write.mode("append").parquet(srcDir)
+      def start() = {
+        val stream = spark.readStream
+          .schema(Seq.empty[Upd].toDF().schema)
+          .parquet(srcDir)
+          .as[Upd]
+        graft.streaming.KeepLatestTws[String, Upd](stream, _.iso, (a, b) => a.v > b.v)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[Upd], _: Long) =>
+            val rows = batch.collect()
+            emitted.synchronized { emitted ++= rows; () }
+          }
+          .option("checkpointLocation", ckpt)
+          .outputMode("update")
+          .trigger(Trigger.ProcessingTime(0L))
+          .start()
+      }
+      appendRows(Upd("a", "x", 5))
+      val q1 = start()
+      try { q1.processAllAvailable() } finally q1.stop()
+      assert(emitted.synchronized(emitted.toSet) === Set(Upd("a", "x", 5)))
+      appendRows(Upd("a", "old", 1), Upd("b", "y", 2))
+      val q2 = start()
+      try { q2.processAllAvailable() } finally q2.stop()
+      val all = emitted.synchronized(emitted.toSet)
+      assert(all.contains(Upd("b", "y", 2)))
+      assert(!all.contains(Upd("a", "old", 1)), s"recovered state lost the champion: $all")
+    }
+  }
+
   test("KeepLatest transition: champion updates, stale rows ignored, TTL set") {
     val f = KeepLatest.transition[String, Upd]((a, b) => a.v > b.v, ttlMs = Some(60000L)) _
     val s0 = TestGroupState.create[Upd](
