@@ -9,7 +9,11 @@ import graft.operators.{Components, JaccardJoin, MinHash}
 /** Build-once/query-many demonstration for the shared near-dup pair
   * graph (not a registry query — registry queries stay independent for
   * the oracle, so q51/q102/q106/q107 each re-derive their pair graph;
-  * this main measures what a PIPELINE deployment does instead):
+  * this main measures what a PIPELINE deployment does instead). Since
+  * round 8 the composed shape ALSO lives under the oracle as
+  * q136_dedup_report (index build once -> pairs -> components ->
+  * histogram + survivors + lang mix in one plan, PlanSpec-pinned); this
+  * main remains the per-stage cost breakdown:
   *
   *   1. persist the corpus index ONCE ([[MinHash.writeCorpusIndex]] —
   *      the expensive scan+shingle+signature artifact at 100 TB);

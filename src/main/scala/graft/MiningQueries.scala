@@ -1651,5 +1651,227 @@ object MiningQueries {
         "document Viterbi segmentation as ONE codegen'd scan expression " +
         "(piece table as plan constant, no per-word explode); per-language " +
         "fertility report (pieces per kiloword) — the figure that exposes " +
-        "languages under-served by the trained vocabulary"))
+        "languages under-served by the trained vocabulary"),
+
+    // ------------------------------------ PCA top principal direction
+    Q("q141_power_iteration",
+      (s, d) => {
+        // embedding PCA's eigen step, downstream of q94's Gram
+        // reduction: the corpus-sized work is the ONE map-side-combined
+        // d×d Gram aggregation; the 64×64 result is a MODEL-sized
+        // summary, and the power iteration on it is driver BigInteger
+        // arithmetic — the MLlib RowMatrix.computePrincipalComponents
+        // split exactly. 12 rounds of integer matvec + max-abs
+        // renormalization (truncating division — DuckDB's `//`, Spark's
+        // `div` and BigInteger all truncate toward zero, verified), so
+        // the oracle replays the WHOLE recurrence in HUGEINT as an
+        // unrolled SQL program (the q109 BPE device) — no pinning.
+        // Output: the fixed-point top eigenvector (max-abs component =
+        // ±2^20) and the Rayleigh-quotient eigenvalue in Gram units.
+        import s.implicits._
+        val vecs = T.embeddings(s, d)
+          .select(col("embedding").cast("array<double>").as("v"))
+          .as[Seq[Double]]
+        val gram = vecs.select(graft.functions.GramMatrix.gram(64, 1048576L).toColumn)
+          .toDF("g")
+          .select(posexplode(col("g")).as(Seq("pos", "gram_fp")))
+          .select((col("pos") / 64).cast("long").as("i"),
+            pmod(col("pos"), lit(64)).cast("long").as("j"), col("gram_fp"))
+          .where(col("i") <= col("j") && col("i") < 64)
+        PowerIteration.topEigen(s, gram, d = 64, rounds = 12)
+          .orderBy(col("i"))
+      },
+      Some(powerIterationOracleSql(12)),
+      "PCA top principal direction (embedding whitening's eigen step): " +
+        "ONE distributed map-side-combined Gram reduction, then 12 power-" +
+        "iteration rounds of exact BigInteger matvec + max-abs truncating " +
+        "renormalization on the MODEL-sized 64x64 summary (the MLlib " +
+        "computePrincipalComponents driver-local-eig split); oracle replays " +
+        "the full recurrence in HUGEINT as an unrolled SQL program"),
+
+    // ------------------------------------- embedding anisotropy audit
+    Q("q142_anisotropy_audit",
+      (s, d) => {
+        // the audit that motivates all-but-the-top post-processing (Mu
+        // & Viswanath 2018): embedding corpora concentrate mass on one
+        // dominant direction, which drowns cosine similarity — measure
+        // it. Projects every vector onto q141's learned top direction
+        // (exact integer dot on the fixed-point values) and reports the
+        // 10 most-aligned vectors plus the corpus-level explained-mass
+        // share in ppm: Σ(f·v)²·10^6 div (|v|²·Σ|f|²) — all integer,
+        // so the oracle replays the FULL pipeline (power iteration +
+        // projections + ratio) in HUGEINT SQL. The explained share is
+        // the signal: a high ppm says cosine scores are dominated by
+        // one common direction and ABTT removal will sharpen retrieval
+        // (q24/q131's metric space).
+        import s.implicits._
+        val e = T.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val gram = e.select(col("v")).as[Seq[Double]]
+          .select(graft.functions.GramMatrix.gram(64, 1048576L).toColumn)
+          .toDF("g")
+          .select(posexplode(col("g")).as(Seq("pos", "gram_fp")))
+          .select((col("pos") / 64).cast("long").as("i"),
+            pmod(col("pos"), lit(64)).cast("long").as("j"), col("gram_fp"))
+          .where(col("i") <= col("j") && col("i") < 64)
+        val top = PowerIteration.topEigen(s, gram, d = 64, rounds = 12)
+          .orderBy(col("i")).collect().map(_.getLong(1))
+        val vLit = typedLit(top.toSeq)
+        val withF = e
+          .select(col("vec_id"),
+            transform(col("v"), x => floor(x * lit(1048576.0)).cast("long")).as("f"))
+          .select(col("vec_id"),
+            aggregate(zip_with(col("f"), vLit, (a, b) => a * b),
+              lit(0L), (acc, t) => acc + t).as("proj_fp"),
+            aggregate(zip_with(col("f"), col("f"), (a, b) => a * b),
+              lit(0L), (acc, t) => acc + t).as("ff"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // corpus mass ratio: one 1-row agg (decimal-exact squares), the
+        // scalar is driver arithmetic on BigInteger — same bounded
+        // contract as the direction itself
+        val r = withF.agg(
+          sum(col("proj_fp").cast("decimal(19,0)") * col("proj_fp").cast("decimal(19,0)"))
+            .as("num"),
+          sum(col("ff").cast("decimal(38,0)")).as("sff")).collect()(0)
+        val vv = top.map(x => BigInt(x) * BigInt(x)).sum
+        val explained = (BigInt(r.getDecimal(0).toBigInteger) * 1000000L /
+          (vv * BigInt(r.getDecimal(1).toBigInteger))).toLong
+        withF.select(col("vec_id"), col("proj_fp"), lit(explained).as("explained_ppm"))
+          .orderBy(abs(col("proj_fp")).desc, col("vec_id").asc)
+          .limit(10)
+      },
+      Some(projectionOracleSql(12)),
+      "embedding anisotropy audit (the all-but-the-top diagnostic, Mu & " +
+        "Viswanath 2018): exact integer projection of every vector onto " +
+        "q141's top direction — 10 most-aligned vectors + the corpus " +
+        "explained-mass share in ppm (high = cosine similarity dominated by " +
+        "one common direction, ABTT removal indicated); fully integer, " +
+        "oracle replays power iteration + projections + ratio in HUGEINT"),
+
+    // ------------------------------------------ Z-order layout audit
+    Q("q143_zorder_layout",
+      (s, d) => {
+        // THE multi-dimensional layout decision a 100 TB table commits
+        // to at write time: sorting by one key gives perfect pruning on
+        // that key and NONE on any other; a Z-order (Morton) curve
+        // interleaves the key bits so every dimension gets partial
+        // locality. This query QUANTIFIES the trade on lineitem's
+        // (orderkey, partkey): shard 64 ways by (a) the natural
+        // orderkey layout and (b) the Morton code, then report each
+        // layout's per-shard partkey min/max spans — the exact
+        // statistics a file-skipping reader (parquet row-group /
+        // Delta-style data skipping) prunes with. scan_ppm is the
+        // expected fraction of the value space a partkey point query
+        // must read: ~1e6 (no pruning) under the natural layout,
+        // a small fraction under Z-order. Bit interleave is the SAME
+        // generated integer expression text on both engines.
+        val li = T.lineitem(s, d).select(
+          pmod(col("l_orderkey"), lit(4096L)).as("ok"),
+          pmod(col("l_partkey"), lit(4096L)).as("pk"))
+        val z = li
+          .withColumn("z", expr(ZorderExpr))
+          .withColumn("shard_nat", expr("ok div 64"))
+          .withColumn("shard_z", expr("z div 262144"))
+        def spans(shardCol: String, label: String) = z
+          .groupBy(col(shardCol).as("shard"))
+          .agg(min(col("pk")).as("mn"), max(col("pk")).as("mx"))
+          .select(lit(label).as("layout"), col("shard"), col("mn"), col("mx"))
+        spans("shard_nat", "natural").unionByName(spans("shard_z", "zorder"))
+          .groupBy(col("layout"))
+          .agg(count(lit(1)).as("n_shards"),
+            sum(col("mx") - col("mn") + 1).as("total_span"),
+            max(col("mx") - col("mn") + 1).as("max_span"),
+            expr("(sum(mx - mn + 1) * 1000000) div (count(1) * 4096)").as("scan_ppm"))
+          .orderBy(col("layout"))
+      },
+      Some(s"""
+        WITH b AS (SELECT l_orderkey % 4096 AS ok, l_partkey % 4096 AS pk FROM lineitem),
+        zc AS (SELECT ok, pk, $ZorderExpr AS z FROM b),
+        sh AS (SELECT 'natural' AS layout, ok // 64 AS shard, min(pk) AS mn, max(pk) AS mx
+               FROM zc GROUP BY 1, 2
+               UNION ALL
+               SELECT 'zorder' AS layout, z // 262144 AS shard, min(pk) AS mn, max(pk) AS mx
+               FROM zc GROUP BY 1, 2)
+        SELECT layout, count(*)::BIGINT AS n_shards,
+               CAST(sum(mx - mn + 1) AS BIGINT) AS total_span,
+               CAST(max(mx - mn + 1) AS BIGINT) AS max_span,
+               CAST((sum(mx - mn + 1) * 1000000) // (count(*) * 4096) AS BIGINT) AS scan_ppm
+        FROM sh GROUP BY layout ORDER BY layout"""),
+      "Z-order (Morton) layout audit: shard lineitem 64 ways by natural " +
+        "orderkey vs interleaved (orderkey, partkey) bits and report each " +
+        "layout's per-shard partkey min/max spans — the file-skipping " +
+        "statistics a 100 TB reader prunes with; scan_ppm quantifies the " +
+        "secondary-dimension pruning Z-order buys (natural layout: ~1e6 = " +
+        "no pruning); bit interleave is one shared integer expression text"))
+
+  /** q143: 24-bit Morton code of two 12-bit dims — ONE expression text
+    * evaluated verbatim by both engines (pure shifts/masks/adds).
+    * (A `def`, not a `val`: `all` is initialized first in this object
+    * and interpolates this into its oracle string — a later `val` would
+    * still be null at that point.)
+    */
+  private def ZorderExpr: String =
+    (0 until 12).map(b =>
+      s"(((ok >> $b) & 1) << ${2 * b + 1}) + (((pk >> $b) & 1) << ${2 * b})")
+      .mkString(" + ")
+
+  /** q142: shared DuckDB prelude — q141's power-iteration chain, then
+    * per-vector fixed-point projections onto the learned direction.
+    */
+  private def projectionOracleSql(rounds: Int): String = {
+    val xf = s"x$rounds"
+    s"""${powerIterationPrelude(rounds)},
+       |e2 AS MATERIALIZED (SELECT vec_id, list_transform(embedding::DOUBLE[],
+       |        x -> CAST(floor(x * 1048576) AS BIGINT)) AS f FROM embeddings),
+       |pr AS MATERIALIZED (
+       |  SELECT e2.vec_id,
+       |         CAST(sum(e2.f[i.i + 1] * CAST($xf.x AS BIGINT)) AS BIGINT) AS proj_fp,
+       |         CAST(sum(e2.f[i.i + 1] * e2.f[i.i + 1]) AS BIGINT) AS ff
+       |  FROM e2, range(0, 64) i(i) JOIN $xf ON $xf.i = i.i
+       |  GROUP BY e2.vec_id),
+       |vv AS (SELECT sum(CAST(x AS HUGEINT) * x) AS vv FROM $xf),
+       |tot AS (SELECT sum(CAST(proj_fp AS HUGEINT) * proj_fp) AS num,
+       |               sum(CAST(ff AS HUGEINT)) AS sff FROM pr),
+       |ppm AS (SELECT CAST((num * 1000000) // ((SELECT vv FROM vv) * sff) AS BIGINT) AS explained_ppm
+       |        FROM tot)
+       |SELECT vec_id, proj_fp, (SELECT explained_ppm FROM ppm) AS explained_ppm
+       |FROM pr ORDER BY abs(proj_fp) DESC, vec_id LIMIT 10""".stripMargin
+  }
+
+  /** The WITH-clause body shared by q141's and q142's oracles: q94's
+    * fixed-point Gram + `rounds` unrolled matvec/renormalize rounds in
+    * HUGEINT. Every x_r is referenced twice downstream (the next matvec
+    * + its own renormalizer) — MATERIALIZED stops DuckDB's
+    * per-reference inlining from going exponential in rounds (the q109
+    * BPE lesson).
+    */
+  private def powerIterationPrelude(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = if (r == 1) "x0" else s"x${r - 1}"
+      s"""y$r AS MATERIALIZED (SELECT G.i, sum(G.g * $prev.x) AS y FROM G JOIN $prev ON $prev.i = G.j GROUP BY G.i),
+         |m$r AS MATERIALIZED (SELECT max(abs(y)) AS m FROM y$r),
+         |x$r AS MATERIALIZED (SELECT i, (y * 1048576) // m AS x FROM y$r, m$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT list_transform(embedding::DOUBLE[],
+       |             x -> CAST(floor(x * 1048576) AS BIGINT)) AS f FROM embeddings),
+       |p AS MATERIALIZED (SELECT i.i AS i, j.j AS j, sum(f[i.i + 1] * f[j.j + 1]) AS gram_fp
+       |      FROM e, range(0, 64) i(i), range(0, 64) j(j)
+       |      WHERE j.j >= i.i GROUP BY 1, 2),
+       |up AS MATERIALIZED (SELECT i, j, CAST(gram_fp AS HUGEINT) AS g FROM p),
+       |G AS MATERIALIZED (SELECT i, j, g FROM up UNION ALL SELECT j AS i, i AS j, g FROM up WHERE i <> j),
+       |x0 AS MATERIALIZED (SELECT i, CAST(1048576 AS HUGEINT) AS x FROM range(0, 64) t(i)),
+       |$roundCtes""".stripMargin
+  }
+
+  /** DuckDB replay of q141: the prelude chain + the Rayleigh quotient. */
+  private def powerIterationOracleSql(rounds: Int): String = {
+    val xf = s"x$rounds"
+    s"""${powerIterationPrelude(rounds)},
+       |num AS (SELECT sum(xa.x * G.g * xb.x) AS n
+       |        FROM G JOIN $xf xa ON xa.i = G.i JOIN $xf xb ON xb.i = G.j),
+       |den AS (SELECT sum(x * x) AS dd FROM $xf)
+       |SELECT $xf.i, CAST($xf.x AS BIGINT) AS v_fp,
+       |       CAST((SELECT n FROM num) // (SELECT dd FROM den) AS BIGINT) AS lambda_fp
+       |FROM $xf ORDER BY i""".stripMargin
+  }
 }
