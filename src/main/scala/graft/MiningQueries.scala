@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1668,17 +1669,7 @@ object MiningQueries {
         // unrolled SQL program (the q109 BPE device) — no pinning.
         // Output: the fixed-point top eigenvector (max-abs component =
         // ±2^20) and the Rayleigh-quotient eigenvalue in Gram units.
-        import s.implicits._
-        val vecs = T.embeddings(s, d)
-          .select(col("embedding").cast("array<double>").as("v"))
-          .as[Seq[Double]]
-        val gram = vecs.select(graft.functions.GramMatrix.gram(64, 1048576L).toColumn)
-          .toDF("g")
-          .select(posexplode(col("g")).as(Seq("pos", "gram_fp")))
-          .select((col("pos") / 64).cast("long").as("i"),
-            pmod(col("pos"), lit(64)).cast("long").as("j"), col("gram_fp"))
-          .where(col("i") <= col("j") && col("i") < 64)
-        PowerIteration.topEigen(s, gram, d = 64, rounds = 12)
+        PowerIteration.topEigen(s, embeddingGramUpper(s, d), d = 64, rounds = 12)
           .orderBy(col("i"))
       },
       Some(powerIterationOracleSql(12)),
@@ -1704,17 +1695,9 @@ object MiningQueries {
         // the signal: a high ppm says cosine scores are dominated by
         // one common direction and ABTT removal will sharpen retrieval
         // (q24/q131's metric space).
-        import s.implicits._
         val e = T.embeddings(s, d)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        val gram = e.select(col("v")).as[Seq[Double]]
-          .select(graft.functions.GramMatrix.gram(64, 1048576L).toColumn)
-          .toDF("g")
-          .select(posexplode(col("g")).as(Seq("pos", "gram_fp")))
-          .select((col("pos") / 64).cast("long").as("i"),
-            pmod(col("pos"), lit(64)).cast("long").as("j"), col("gram_fp"))
-          .where(col("i") <= col("j") && col("i") < 64)
-        val top = PowerIteration.topEigen(s, gram, d = 64, rounds = 12)
+        val top = PowerIteration.topEigen(s, embeddingGramUpper(s, d), d = 64, rounds = 12)
           .orderBy(col("i")).collect().map(_.getLong(1))
         val vLit = typedLit(top.toSeq)
         val withF = e
@@ -1802,7 +1785,401 @@ object MiningQueries {
         "layout's per-shard partkey min/max spans — the file-skipping " +
         "statistics a 100 TB reader prunes with; scan_ppm quantifies the " +
         "secondary-dimension pruning Z-order buys (natural layout: ~1e6 = " +
-        "no pruning); bit interleave is one shared integer expression text"))
+        "no pruning); bit interleave is one shared integer expression text"),
+
+    // ---------------------------------------- PCA second component
+    Q("q144_pca_two_components",
+      (s, d) => {
+        // completes the eigen family: top TWO principal directions via
+        // exact-integer Hotelling deflation (G2 = G − rank-one removal
+        // of the found component, per-entry truncating div). Same
+        // execution split as q141 — the corpus-sized work is the ONE
+        // distributed Gram reduction; both 12-round iterations run on
+        // the 64×64 driver-local summary. lambda2 is PC2's explained
+        // variance with PC1's mass removed — the (λ1, λ2) pair is the
+        // spectral-decay figure that says how many components ABTT /
+        // whitening should strip. Oracle replays Gram + both chains +
+        // the deflation in HUGEINT (DuckDB `//`, Spark `div` and BigInt
+        // `/` all truncate toward zero — verified).
+        PowerIteration.topTwoEigen(s, embeddingGramUpper(s, d), d = 64, rounds = 12)
+          .orderBy(col("i"))
+      },
+      Some(pcaTwoOracleSql(12)),
+      "PCA top-2 principal directions by exact-integer Hotelling deflation " +
+        "on the distributed Gram summary: second 12-round power iteration " +
+        "on G - (lambda1 x1 x1^T) div (x1^T x1); (lambda1, lambda2) is the " +
+        "spectral-decay figure deciding how many directions whitening " +
+        "strips; oracle replays Gram + deflation + both chains in HUGEINT"),
+
+    // ---------------------------------------- compaction bin packing
+    Q("q145_compaction_plan",
+      (s, d) => {
+        // the OPTIMIZE/small-files planner a 100 TB table runs
+        // continuously: each document is an input file (n_chars bytes)
+        // in its source "directory"; pack files in doc_id order into
+        // ~4096-byte output groups by cutting the running byte total at
+        // target boundaries — bin = bytes_before div target, the
+        // streaming first-fit that needs ONE per-source window (no
+        // global sort, no driver state; at 100 TB each source/partition
+        // plans independently). A file straddling a boundary joins the
+        // bin where its start offset lies, so a bin overruns target by
+        // at most one file — max_bin_bytes discloses the overrun bound.
+        // fill_ppm = planned-bin fullness vs perfect packing.
+        val target = 4096L
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val binned = T.documents(s, d)
+          .select(col("source"), col("doc_id"), col("n_chars").cast("long").as("bytes"))
+          .withColumn("before", coalesce(sum(col("bytes")).over(w), lit(0L)))
+          .withColumn("bin", expr(s"before div $target"))
+        binned.groupBy(col("source"), col("bin"))
+          .agg(count(lit(1)).as("files"), sum(col("bytes")).as("bytes"))
+          .groupBy(col("source"))
+          .agg(sum(col("files")).as("files"), sum(col("bytes")).as("bytes"),
+            count(lit(1)).as("n_bins"), max(col("bytes")).as("max_bin_bytes"),
+            expr(s"(sum(bytes) + ${target - 1}) div $target").as("ideal_bins"),
+            expr(s"sum(bytes) * 1000000 div (count(1) * $target)").as("fill_ppm"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH f AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) AS bytes FROM documents),
+        b AS (SELECT source, bytes,
+                COALESCE(sum(bytes) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096 AS bin
+              FROM f),
+        g AS (SELECT source, bin, count(*) AS files, sum(bytes) AS bytes
+              FROM b GROUP BY 1, 2)
+        SELECT source, CAST(sum(files) AS BIGINT) AS files,
+               CAST(sum(bytes) AS BIGINT) AS bytes,
+               count(*)::BIGINT AS n_bins,
+               CAST(max(bytes) AS BIGINT) AS max_bin_bytes,
+               CAST((sum(bytes) + 4095) // 4096 AS BIGINT) AS ideal_bins,
+               CAST(sum(bytes) * 1000000 // (count(*) * 4096) AS BIGINT) AS fill_ppm
+        FROM g GROUP BY source ORDER BY source"""),
+      "small-files compaction planner (the continuous OPTIMIZE job): pack " +
+        "per-source files into ~4096-byte groups by cutting the running " +
+        "byte total at target boundaries — one per-source window, no global " +
+        "sort; reports planned vs ideal bin counts, fill ppm, and the " +
+        "straddle-overrun bound (max_bin_bytes)"),
+
+    // ------------------------------------ incremental MV refresh
+    Q("q146_incremental_refresh",
+      (s, d) => {
+        // materialized-view delta maintenance — the 100 TB pattern
+        // where the base aggregate is a STORED artifact and only the
+        // delta (partitions newer than the cutoff) is scanned raw;
+        // refreshed state = merge of the two partial aggregates, exact
+        // for commutative-monoid stats (count/sum/min/max; avg derives
+        // at read time). Both halves are computed from the table here
+        // (the gate harness stores no MV), but the PLAN is the point:
+        // the merge stage sees two |event_type|-sized aggregate frames,
+        // never the base rows — swapping the base branch for a parquet
+        // read of yesterday's aggregate is a one-line change. Cutoff in
+        // exact epoch micros (2024-01-20T00:00Z), the q125 convention.
+        val cutUs = 1705708800000000L
+        val ev = T.events(s, d).select(col("event_type"),
+          expr("unix_micros(cast(ts as timestamp))").as("us"),
+          col("value").cast("decimal(10,2)").as("v"))
+        def half(df: DataFrame): DataFrame = df.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          min(col("us")).as("mn"), max(col("us")).as("mx"))
+        half(ev.where(col("us") < cutUs))           // base: stands for the stored MV
+          .unionByName(half(ev.where(col("us") >= cutUs))) // delta: the raw scan
+          .groupBy(col("event_type"))
+          .agg(sum(col("n")).as("n_events"),
+            sum(col("sv")).cast("double").as("sum_value"),
+            min(col("mn")).as("first_us"), max(col("mx")).as("last_us"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        SELECT event_type, count(*)::BIGINT AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value,
+               min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      "incremental materialized-view refresh: base-aggregate + " +
+        "delta-aggregate merged by a second-stage mergeable agg " +
+        "(count/sum/min/max monoid) — the merge stage never touches base " +
+        "rows, so refresh cost scales with the delta, not the corpus; " +
+        "oracle is the full recompute the merge must equal"),
+
+    // ----------------------------------------- join strategy advisor
+    Q("q147_join_advisor",
+      (s, d) => {
+        // the explain-before-you-run audit a 100 TB join deserves:
+        // per-key count frames (ndv-sized, never row-sized) yield exact
+        // left cardinality, key multiplicity and join output size, and
+        // a CASE mirror of the planner's own decision rule — broadcast
+        // when the build side is small, salt when one key's share is
+        // >100x uniform, shuffle otherwise (q43 demonstrates the salted
+        // execution itself). est_out_rows is EXACT (sum of cl*cr over
+        // matching keys) — the number AQE only discovers at runtime.
+        // the two 1-row stat frames (probe-side and build-side) combine
+        // via union + a second-stage max-merge agg, NOT a join — a
+        // constant-key join of 1-row frames constant-folds into the
+        // nested-loop shape the GLOBAL plan guard (rightly) bans
+        def audit(name: String, left: DataFrame, lk: String,
+            right: DataFrame, rk: String): DataFrame = {
+          val nl = lit(null).cast("long")
+          val lc = left.groupBy(col(lk).as("k")).agg(count(lit(1)).as("cl"))
+          val rc = right.groupBy(col(rk).as("k")).agg(count(lit(1)).as("cr"))
+          lc.join(rc, Seq("k"), "left")
+            .agg(sum(col("cl")).as("left_rows"), count(lit(1)).as("left_ndv"),
+              max(col("cl")).as("max_left_mult"),
+              coalesce(sum(col("cl") * col("cr")), lit(0L)).as("est_out_rows"))
+            .withColumn("right_rows", nl)
+            .unionByName(rc.agg(sum(col("cr")).as("right_rows"))
+              .select(nl.as("left_rows"), nl.as("left_ndv"),
+                nl.as("max_left_mult"), nl.as("est_out_rows"), col("right_rows")))
+            .groupBy(lit(name).as("join_name"))
+            .agg(max(col("left_rows")).as("left_rows"),
+              max(col("right_rows")).as("right_rows"),
+              max(col("left_ndv")).as("left_ndv"),
+              max(col("max_left_mult")).as("max_left_mult"),
+              max(col("est_out_rows")).as("est_out_rows"))
+        }
+        val a = audit("lineitem_orders", T.lineitem(s, d), "l_orderkey",
+            T.orders(s, d), "o_orderkey")
+          .unionByName(audit("lineitem_part", T.lineitem(s, d), "l_partkey",
+            T.part(s, d), "p_partkey"))
+          .unionByName(audit("orders_customer", T.orders(s, d), "o_custkey",
+            T.customer(s, d), "c_custkey"))
+          .unionByName(audit("nation_region", T.nation(s, d), "n_regionkey",
+            T.region(s, d), "r_regionkey"))
+        a.withColumn("strategy", expr(JoinStrategyCase))
+          .select(col("join_name"), col("left_rows"), col("right_rows"),
+            col("left_ndv"), col("max_left_mult"), col("est_out_rows"),
+            col("strategy"))
+          .orderBy(col("join_name"))
+      },
+      Some(s"""
+        WITH
+        lo AS (SELECT l_orderkey AS k, count(*) AS cl FROM lineitem GROUP BY 1),
+        oo AS (SELECT o_orderkey AS k, count(*) AS cr FROM orders GROUP BY 1),
+        lp AS (SELECT l_partkey AS k, count(*) AS cl FROM lineitem GROUP BY 1),
+        pp AS (SELECT p_partkey AS k, count(*) AS cr FROM part GROUP BY 1),
+        oc AS (SELECT o_custkey AS k, count(*) AS cl FROM orders GROUP BY 1),
+        cc AS (SELECT c_custkey AS k, count(*) AS cr FROM customer GROUP BY 1),
+        nr AS (SELECT n_regionkey AS k, count(*) AS cl FROM nation GROUP BY 1),
+        rr AS (SELECT r_regionkey AS k, count(*) AS cr FROM region GROUP BY 1),
+        u AS (
+          SELECT 'lineitem_orders' AS join_name, sum(cl) AS left_rows,
+                 (SELECT count(*) FROM orders) AS right_rows,
+                 count(*) AS left_ndv, max(cl) AS max_left_mult,
+                 COALESCE(sum(cl * cr), 0) AS est_out_rows
+          FROM lo LEFT JOIN oo USING (k)
+          UNION ALL
+          SELECT 'lineitem_part', sum(cl), (SELECT count(*) FROM part),
+                 count(*), max(cl), COALESCE(sum(cl * cr), 0)
+          FROM lp LEFT JOIN pp USING (k)
+          UNION ALL
+          SELECT 'orders_customer', sum(cl), (SELECT count(*) FROM customer),
+                 count(*), max(cl), COALESCE(sum(cl * cr), 0)
+          FROM oc LEFT JOIN cc USING (k)
+          UNION ALL
+          SELECT 'nation_region', sum(cl), (SELECT count(*) FROM region),
+                 count(*), max(cl), COALESCE(sum(cl * cr), 0)
+          FROM nr LEFT JOIN rr USING (k))
+        SELECT join_name, CAST(left_rows AS BIGINT) AS left_rows,
+               CAST(right_rows AS BIGINT) AS right_rows,
+               CAST(left_ndv AS BIGINT) AS left_ndv,
+               CAST(max_left_mult AS BIGINT) AS max_left_mult,
+               CAST(est_out_rows AS BIGINT) AS est_out_rows,
+               $JoinStrategyCase AS strategy
+        FROM u ORDER BY join_name"""),
+      "join strategy advisor: exact per-key count frames (ndv-sized) give " +
+        "left cardinality, max key multiplicity and the EXACT join output " +
+        "size AQE only learns at runtime, plus a CASE mirror of the " +
+        "planner rule — broadcast small build sides, salt >100x-uniform " +
+        "keys, shuffle otherwise"),
+
+    // ------------------------------------------ bucketed co-located join
+    Q("q148_bucketed_join",
+      (s, d) => {
+        // the co-located join layout that deletes the dominant shuffle
+        // of a 100 TB star join: both sides WRITTEN bucketed by the
+        // join key (the write-once cost every later join amortizes —
+        // the q136 build-once discipline applied to JOINS), then the
+        // fact-dim join runs bucket-to-bucket: SortMergeJoin with ZERO
+        // ShuffleExchange on either input (PlanSpec pins this). The
+        // MERGE hint keeps the gate-scale dim from being broadcast so
+        // the pinned plan is the one a 100 TB fact table actually gets;
+        // 16 buckets here stands in for the thousands a cluster uses.
+        graft.sinks.Bucketing.writeBucketed(
+          T.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+          "graft_bucketed_lineitem", "l_orderkey", buckets = 16)
+        graft.sinks.Bucketing.writeBucketed(
+          T.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+          "graft_bucketed_orders", "o_orderkey", buckets = 16)
+        s.table("graft_bucketed_lineitem").hint("merge")
+          .join(s.table("graft_bucketed_orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_extendedprice").cast("decimal(12,2)") *
+              (lit(1).cast("decimal(10,2)") - col("l_discount").cast("decimal(10,2)")))
+              .cast("double").as("revenue"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderpriority, count(*)::BIGINT AS n_items,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1 ORDER BY 1"""),
+      "bucketed co-located join: fact and dim written bucketed by the join " +
+        "key, then joined bucket-to-bucket — SortMergeJoin with ZERO " +
+        "shuffle on either input (plan-pinned), the write-once layout that " +
+        "deletes a 100 TB star join's dominant shuffle; oracle is the " +
+        "plain join the layout must not change"),
+
+    // -------------------------------------------- partition pruning
+    Q("q149_partition_pruning",
+      (s, d) => {
+        // partition pruning — the first-order scan reducer at 100 TB:
+        // the event log written date-partitioned (the universal log
+        // layout), then a one-day query prunes 29 of 30 day partitions
+        // AT PLANNING TIME — the scan's PartitionFilters select exactly
+        // one directory (PlanSpec pins this; no parquet footer of any
+        // other day is even opened). Day arithmetic in exact epoch
+        // micros (the q125 convention); 2024-01-18 = day 19740.
+        graft.sinks.Bucketing.resetManagedTable(s, "graft_partitioned_events")
+        T.events(s, d)
+          .select(col("event_type"),
+            expr("unix_micros(cast(ts as timestamp))").as("us"),
+            col("value").cast("decimal(10,2)").as("v"))
+          .withColumn("day", expr("us div 86400000000"))
+          .write.mode("overwrite").format("parquet").partitionBy("day")
+          .saveAsTable("graft_partitioned_events")
+        s.table("graft_partitioned_events")
+          .where(col("day") === lit(19740L))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("v")).cast("double").as("sum_value"),
+            min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        SELECT event_type, count(*)::BIGINT AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value,
+               min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+        FROM events WHERE epoch_us(ts) // 86400000000 = 19740
+        GROUP BY 1 ORDER BY 1"""),
+      "partition pruning: the event log written day-partitioned, a one-day " +
+        "query prunes 29/30 partitions at planning time (plan-pinned: the " +
+        "scan's PartitionFilters select exactly one directory) — the " +
+        "first-order scan reducer on any 100 TB log; oracle filters the " +
+        "same day arithmetically over the raw table"),
+
+    // ------------------------------------------- dataset manifest
+    Q("q150_dataset_manifest",
+      (s, d) => {
+        // dataset versioning's primitive: an ORDER-INDEPENDENT content
+        // fingerprint per source + corpus total, so two dataset
+        // versions diff by comparing one tiny manifest instead of
+        // re-reading payloads. Combines q29's per-doc rolling hash with
+        // two abelian reducers — sum mod 1e9+7 (HUGEINT-exact in the
+        // oracle, DECIMAL(38) here) and bit_xor — both order- and
+        // partitioning-independent, so the manifest is map-side
+        // partial-agged, mergeable across shards (the q146 monoid
+        // discipline), and bit-identical at any parallelism. ROLLUP
+        // gives the per-source rows and the corpus-total row in one
+        // |sources|-bounded shuffle.
+        T.documents(s, d)
+          .select(col("source"), col("n_chars").cast("long").as("nc"),
+            TextOps.docFingerprint(TextOps.tokens(col("text"))).as("fp"))
+          .rollup(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("total_chars"),
+            expr("CAST(sum(CAST(fp AS DECIMAL(38,0))) % 1000000007 AS BIGINT)")
+              .as("fp_sum"),
+            expr("bit_xor(fp)").as("fp_xor"))
+          .select(coalesce(col("source"), lit("TOTAL")).as("source"),
+            col("n_docs"), col("total_chars"), col("fp_sum"), col("fp_xor"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH t AS (SELECT source, CAST(n_chars AS BIGINT) AS nc,
+                          string_split(lower(text), ' ') AS w FROM documents),
+        h AS (SELECT source, nc,
+                     list_transform(w, x ->
+                       list_reduce(list_prepend(CAST(7 AS BIGINT),
+                         list_transform(range(1, length(x)+1), i -> CAST(ascii(substr(x, i, 1)) AS BIGINT))),
+                         (a, c) -> (a*31 + c) % 1000000007)) AS wh
+              FROM t),
+        f AS (SELECT source, nc,
+                     list_reduce(list_prepend(CAST(7 AS BIGINT), wh),
+                                 (acc, x) -> (acc*1000003 + x) % 1000000007) AS fp
+              FROM h)
+        SELECT COALESCE(source, 'TOTAL') AS source, count(*)::BIGINT AS n_docs,
+               CAST(sum(nc) AS BIGINT) AS total_chars,
+               CAST(sum(CAST(fp AS HUGEINT)) % 1000000007 AS BIGINT) AS fp_sum,
+               bit_xor(fp) AS fp_xor
+        FROM f GROUP BY ROLLUP(source) ORDER BY source"""),
+      "dataset manifest: order-independent per-source content fingerprint " +
+        "(sum-mod-p + bit_xor of q29's per-doc rolling hash — abelian, so " +
+        "map-side partial-agged, shard-mergeable, parallelism-invariant) + " +
+        "doc/char counts, with the corpus-total row via ROLLUP — the " +
+        "version-diff primitive that replaces payload re-reads"))
+
+  /** q141/q142/q144: the ONE distributed corpus-sized stage of the eigen
+    * family — GramMatrix's map-side-combined d×d reduction, unpacked to
+    * upper-triangle (i, j, gram_fp) rows.
+    */
+  private def embeddingGramUpper(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T.embeddings(s, d)
+      .select(col("embedding").cast("array<double>").as("v")).as[Seq[Double]]
+      .select(graft.functions.GramMatrix.gram(64, 1048576L).toColumn).toDF("g")
+      .select(posexplode(col("g")).as(Seq("pos", "gram_fp")))
+      .select((col("pos") / 64).cast("long").as("i"),
+        pmod(col("pos"), lit(64)).cast("long").as("j"), col("gram_fp"))
+      .where(col("i") <= col("j") && col("i") < 64)
+  }
+
+  /** q147: the advisor decision rule — ONE expression text evaluated
+    * verbatim by both engines over the audited stats columns. The 100000
+    * build-side threshold is rows (a stand-in for Spark's
+    * autoBroadcastJoinThreshold bytes); the salt trigger fires when one
+    * key holds a >100x-uniform share of the probe side.
+    */
+  private def JoinStrategyCase: String =
+    "CASE WHEN right_rows <= 100000 THEN 'broadcast' " +
+      "WHEN max_left_mult * left_ndv > 100 * left_rows THEN 'salted_shuffle' " +
+      "ELSE 'shuffle' END"
+
+  /** q144: the deflated (second) power-iteration chain over G2 —
+    * identical recurrence to the x-chain, z-prefixed names.
+    */
+  private def deflatedRoundsSql(rounds: Int): String =
+    (1 to rounds).map { r =>
+      val prev = if (r == 1) "z0" else s"z${r - 1}"
+      s"""zy$r AS MATERIALIZED (SELECT G2.i, sum(G2.g * $prev.x) AS y FROM G2 JOIN $prev ON $prev.i = G2.j GROUP BY G2.i),
+         |zm$r AS MATERIALIZED (SELECT max(abs(y)) AS m FROM zy$r),
+         |z$r AS MATERIALIZED (SELECT i, (y * 1048576) // m AS x FROM zy$r, zm$r)""".stripMargin
+    }.mkString(",\n")
+
+  /** DuckDB replay of q144: q141's prelude chain, the exact-integer
+    * Hotelling deflation G2 = G − (λ1·x·xᵀ) div (xᵀx), the z-chain over
+    * G2, and both Rayleigh quotients.
+    */
+  private def pcaTwoOracleSql(rounds: Int): String = {
+    val xf = s"x$rounds"
+    val zf = s"z$rounds"
+    s"""${powerIterationPrelude(rounds)},
+       |n1 AS (SELECT sum(xa.x * G.g * xb.x) AS n FROM G JOIN $xf xa ON xa.i = G.i JOIN $xf xb ON xb.i = G.j),
+       |d1 AS (SELECT sum(x * x) AS dd FROM $xf),
+       |G2 AS MATERIALIZED (SELECT G.i, G.j,
+       |        G.g - (((SELECT n FROM n1) // (SELECT dd FROM d1)) * xa.x * xb.x) // (SELECT dd FROM d1) AS g
+       |      FROM G JOIN $xf xa ON xa.i = G.i JOIN $xf xb ON xb.i = G.j),
+       |z0 AS (SELECT i, CAST(1048576 AS HUGEINT) AS x FROM range(0, 64) t(i)),
+       |${deflatedRoundsSql(rounds)},
+       |n2 AS (SELECT sum(za.x * G2.g * zb.x) AS n FROM G2 JOIN $zf za ON za.i = G2.i JOIN $zf zb ON zb.i = G2.j),
+       |d2 AS (SELECT sum(x * x) AS dd FROM $zf)
+       |SELECT $xf.i, CAST($xf.x AS BIGINT) AS v1_fp, CAST($zf.x AS BIGINT) AS v2_fp,
+       |       CAST((SELECT n FROM n1) // (SELECT dd FROM d1) AS BIGINT) AS lambda1_fp,
+       |       CAST((SELECT n FROM n2) // (SELECT dd FROM d2) AS BIGINT) AS lambda2_fp
+       |FROM $xf JOIN $zf ON $zf.i = $xf.i ORDER BY $xf.i""".stripMargin
+  }
 
   /** q143: 24-bit Morton code of two 12-bit dims — ONE expression text
     * evaluated verbatim by both engines (pure shifts/masks/adds).

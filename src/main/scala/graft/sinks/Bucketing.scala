@@ -19,14 +19,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
+  /** Drop `tableName` AND clear its leftover managed location. A fresh
+    * per-JVM metastore forgets managed tables, but their warehouse
+    * directories survive the JVM — and Spark refuses to create a
+    * managed table over an existing location (LOCATION_ALREADY_EXISTS),
+    * so `mode("overwrite")` alone is not re-runnable across sessions.
+    * Must run BEFORE the write, never after: downstream DataFrames stay
+    * lazily bound to the table until their action runs.
+    */
+  def resetManagedTable(spark: SparkSession, tableName: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    val p = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      tableName.toLowerCase(java.util.Locale.ROOT))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
   /** Write `df` as a managed parquet table bucketed+sorted by `key`. */
-  def writeBucketed(df: DataFrame, tableName: String, key: String, buckets: Int): Unit =
+  def writeBucketed(df: DataFrame, tableName: String, key: String, buckets: Int): Unit = {
+    resetManagedTable(df.sparkSession, tableName)
     df.write
       .mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(tableName)
+  }
 
   /** Join two same-bucketed tables on their bucket key. With matching
     * bucket counts the planner produces a zero-Exchange join (asserted

@@ -339,6 +339,75 @@ class PlanSpec extends SparkSpec {
     // two direct pins above)
   }
 
+  test("q148 bucketed join is co-located: SortMergeJoin over bucketed scans, no join-input shuffle") {
+    val df = SparkEntry.queries("q148_bucketed_join")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    // the scans advertise the bucket layout the join rides on
+    assert(plan.contains("Bucketed: true"), plan)
+    // the MERGE hint held: no broadcast fallback hiding the claim
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+    // only the post-join agg + final sort may shuffle; an un-bucketed
+    // join would add one hash-repartition per input (4 total)
+    val shuffles = "ShuffleExchange".r.findAllIn(plan).size
+    assert(shuffles <= 2, s"expected <=2 shuffles (agg + sort), got $shuffles:\n$plan")
+  }
+
+  test("q149 partitioned scan prunes to exactly the one queried day partition") {
+    val df = SparkEntry.queries("q149_partition_pruning")(spark, sf)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, df.queryExecution.sparkPlan.toString)
+    val s0 = scans.head
+    // the day predicate lands in PartitionFilters (planning-time prune),
+    // NOT in dataFilters (which would scan every footer then discard)
+    assert(s0.partitionFilters.exists(_.toString.contains("19740")),
+      s"day predicate missing from PartitionFilters: ${s0.partitionFilters}")
+    assert(!s0.dataFilters.exists(_.toString.contains("19740")),
+      s"day predicate leaked into dataFilters: ${s0.dataFilters}")
+    // behavioral proof: every file the scan actually selected lives
+    // under the one queried day directory
+    val parts = s0.selectedPartitions
+    assert(parts.partitionCount === 1,
+      s"expected 1 selected partition, got ${parts.partitionCount}")
+  }
+
+  test("AQE splits a skewed sort-merge-join partition at runtime (skew=true in the final plan)") {
+    // the runtime complement to q43's write-time salting: one hot key
+    // (100k rows, ~40x the uniform share) would pin a 100 TB join to a
+    // single straggler reducer; AQE's skew-join rule must detect and
+    // split it WITHOUT any query rewrite. Evidence is the finalized
+    // adaptive plan marking the join skew=true — only present after
+    // execution, so this is a runtime behavior test, not a static pin.
+    val prev = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // keep the SMJ
+      val left = spark.range(0, 102000).select(
+        when(col("id") < 100000L, lit(0L)).otherwise(pmod(col("id"), lit(20)) + 1).as("k"),
+        concat(lit("payload-padding-payload-padding-"), col("id")).as("p"))
+      val right = spark.range(0, 21).select(col("id").as("k"), (col("id") * 10).as("v"))
+      // NO same-key agg downstream: reusing the join's hash
+      // partitioning makes AQE (rightly) skip the split, since
+      // re-splitting would force the exchange back in
+      val j = left.join(right, Seq("k")).select(col("k"), col("v"), length(col("p")).as("lp"))
+      j.collect() // AQE finalizes plans only on execution
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the hot-key join partition as skewed:\n$plan")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("GLOBAL GUARD: no nested-loop or cartesian join in ANY registry query plan") {
     // every registry plan must be cluster-safe; the only tolerated
     // nested loops are the documented k-vs-n broadcast scorings where

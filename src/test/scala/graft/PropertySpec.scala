@@ -848,4 +848,91 @@ class PropertySpec extends SparkSpec {
       .select("est_count").as[Long].collect().head
     assert(e === 0L)
   }
+
+  test("law: PowerIteration.topTwoEigen replays the exact integer recurrence; PSD spectra decay") {
+    // gram built from random integer vectors => symmetric PSD input
+    val g: Gen[List[Seq[Long]]] = Gen.listOfN(6,
+      Gen.listOfN(4, Gen.choose(-50L, 50L)).map(_.toSeq))
+    samples(g, 6).foreach { vs =>
+      val d = 4; val rounds = 8; val s = BigInt(1L << 20)
+      val gm = Array.tabulate(d, d)((i, j) =>
+        vs.map(v => BigInt(v(i)) * BigInt(v(j))).sum)
+      val upper = (for (i <- 0 until d; j <- i until d)
+        yield (i.toLong, j.toLong, gm(i)(j).toLong)).toDF("i", "j", "gram_fp")
+      // independent in-test replay of the defined recurrence
+      def iterate(g2: (Int, Int) => BigInt): Array[BigInt] = {
+        var x = Array.fill(d)(s)
+        for (_ <- 1 to rounds) {
+          val y = Array.tabulate(d)(i => (0 until d).map(j => g2(i, j) * x(j)).sum)
+          val m = y.map(_.abs).max
+          x = y.map(v => v * s / m)
+        }
+        x
+      }
+      def ray(g2: (Int, Int) => BigInt, x: Array[BigInt]): BigInt =
+        (for (i <- 0 until d; j <- 0 until d) yield x(i) * g2(i, j) * x(j)).sum /
+          x.map(v => v * v).sum
+      val nonDegenerate = // all-zero matvec (e.g. all vs zero) is a require()d error
+        gm.exists(_.exists(_ != 0))
+      if (nonDegenerate) {
+        val x1 = iterate((i, j) => gm(i)(j))
+        val l1 = ray((i, j) => gm(i)(j), x1)
+        val vv = x1.map(v => v * v).sum
+        def defl(i: Int, j: Int): BigInt = gm(i)(j) - (l1 * x1(i) * x1(j)) / vv
+        val x2 = iterate(defl)
+        val l2 = ray(defl, x2)
+        val got = PowerIteration.topTwoEigen(spark, upper, d, rounds)
+          .orderBy(col("i")).collect()
+          .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        assert(got.map(_._1).toSeq === x1.map(_.toLong).toSeq, "v1 mismatch")
+        assert(got.map(_._2).toSeq === x2.map(_.toLong).toSeq, "v2 mismatch")
+        assert(got.head._3 === l1.toLong && got.head._4 === l2.toLong)
+        // PSD spectral decay: the deflated Rayleigh quotient cannot
+        // exceed the dominant one (truncation only ever shrinks mass)
+        assert(l2 <= l1, s"lambda2 $l2 > lambda1 $l1 on PSD input")
+      }
+    }
+  }
+
+  test("law: compaction binning (q145's recurrence) conserves files and bounds bin overrun") {
+    val g: Gen[List[Long]] = Gen.nonEmptyListOf(Gen.choose(1L, 900L))
+    val target = 1024L
+    samples(g, 8).foreach { sizes =>
+      val files = sizes.zipWithIndex.map { case (b, i) => ("s0", i.toLong, b) }
+        .toDF("source", "doc_id", "bytes")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val bins = files
+        .withColumn("before", coalesce(sum(col("bytes")).over(w), lit(0L)))
+        .withColumn("bin", expr(s"before div $target"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("files"), sum(col("bytes")).as("bytes"),
+          max(col("bytes")).as("max_file"))
+        .collect()
+      assert(bins.map(_.getLong(1)).sum === sizes.size.toLong, "files not conserved")
+      assert(bins.map(_.getLong(2)).sum === sizes.sum, "bytes not conserved")
+      // a bin holds the files whose START offset lies in its window, so
+      // it can overrun target only by the tail of its LAST file
+      bins.foreach { r =>
+        assert(r.getLong(2) < target + r.getLong(3),
+          s"bin ${r.getLong(0)} bytes ${r.getLong(2)} >= target + max_file")
+      }
+    }
+  }
+
+  test("law: per-key count-frame join size (q147's est_out_rows) equals the actual join cardinality") {
+    val kv: Gen[List[Long]] = Gen.listOf(Gen.choose(0L, 12L))
+    samples(Gen.zip(kv, kv), 8).foreach { case (lks, rks) =>
+      val l = lks.zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "lv")
+      val r = rks.zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "rv")
+      val actual = l.join(r, Seq("k")).count()
+      val lc = l.groupBy(col("k")).agg(count(lit(1)).as("cl"))
+      val rc = r.groupBy(col("k")).agg(count(lit(1)).as("cr"))
+      val est = lc.join(rc, Seq("k"), "left")
+        .agg(coalesce(sum(col("cl") * col("cr")), lit(0L)))
+        .as[Long].collect().head
+      assert(est === actual, s"est $est != actual $actual")
+    }
+  }
 }
