@@ -2119,7 +2119,238 @@ object MiningQueries {
         "(sum-mod-p + bit_xor of q29's per-doc rolling hash — abelian, so " +
         "map-side partial-agged, shard-mergeable, parallelism-invariant) + " +
         "doc/char counts, with the corpus-total row via ROLLUP — the " +
-        "version-diff primitive that replaces payload re-reads"))
+        "version-diff primitive that replaces payload re-reads"),
+
+    // --------------------------------------------- manifest diff
+    Q("q151_manifest_diff",
+      (s, d) => {
+        // what q150's manifest is FOR: diffing two dataset versions by
+        // comparing |sources|-sized manifests instead of re-reading
+        // payloads. v2 derives deterministically from v1 to exercise
+        // every outcome: src3 dropped (removed), src5 ingested twice
+        // (changed — and the case that shows why the manifest carries
+        // BOTH reducers: bit_xor cancels on even duplication, sum-mod-p
+        // catches it), src7 re-labeled src99 (an added/removed pair).
+        // The diff itself is a manifest-sized full outer join; nothing
+        // corpus-sized moves after the two fingerprint aggs.
+        val docs = T.documents(s, d).select(col("source"),
+          TextOps.docFingerprint(TextOps.tokens(col("text"))).as("fp"))
+        def manifest(df: DataFrame, n: String, fs: String, fx: String) =
+          df.groupBy(col("source")).agg(count(lit(1)).as(n),
+            expr("CAST(sum(CAST(fp AS DECIMAL(38,0))) % 1000000007 AS BIGINT)").as(fs),
+            expr("bit_xor(fp)").as(fx))
+        val v2 = docs.where(col("source") =!= "src3")
+          .withColumn("source",
+            when(col("source") === "src7", lit("src99")).otherwise(col("source")))
+          .unionByName(docs.where(col("source") === "src5"))
+        manifest(docs, "n1", "s1", "x1")
+          .join(manifest(v2, "n2", "s2", "x2"), Seq("source"), "full_outer")
+          .select(col("source"),
+            coalesce(col("n1"), lit(0L)).as("n_docs_v1"),
+            coalesce(col("n2"), lit(0L)).as("n_docs_v2"),
+            expr(ManifestStatusCase).as("status"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH t AS (SELECT source,
+                          list_reduce(list_prepend(CAST(7 AS BIGINT),
+                            list_transform(string_split(lower(text), ' '), x ->
+                              list_reduce(list_prepend(CAST(7 AS BIGINT),
+                                list_transform(range(1, length(x)+1), i -> CAST(ascii(substr(x, i, 1)) AS BIGINT))),
+                                (a, c) -> (a*31 + c) % 1000000007))),
+                            (acc, x) -> (acc*1000003 + x) % 1000000007) AS fp
+                   FROM documents),
+        v2 AS (SELECT CASE WHEN source = 'src7' THEN 'src99' ELSE source END AS source, fp
+               FROM t WHERE source <> 'src3'
+               UNION ALL SELECT source, fp FROM t WHERE source = 'src5'),
+        m1 AS (SELECT source, count(*) AS n1,
+                      CAST(sum(CAST(fp AS HUGEINT)) % 1000000007 AS BIGINT) AS s1,
+                      bit_xor(fp) AS x1 FROM t GROUP BY 1),
+        m2 AS (SELECT source, count(*) AS n2,
+                      CAST(sum(CAST(fp AS HUGEINT)) % 1000000007 AS BIGINT) AS s2,
+                      bit_xor(fp) AS x2 FROM v2 GROUP BY 1)
+        SELECT COALESCE(m1.source, m2.source) AS source,
+               COALESCE(n1, 0)::BIGINT AS n_docs_v1,
+               COALESCE(n2, 0)::BIGINT AS n_docs_v2,
+               $ManifestStatusCase AS status
+        FROM m1 FULL OUTER JOIN m2 ON m1.source = m2.source
+        ORDER BY source"""),
+      "manifest-based dataset version diff: two |sources|-sized manifests " +
+        "full-outer-joined into added/removed/changed/unchanged statuses — " +
+        "no payload re-read; the duplicated-source case shows why the " +
+        "manifest carries both reducers (bit_xor cancels on even " +
+        "duplication, sum-mod-p catches it)"),
+
+    // --------------------------------------------- triangle counting
+    Q("q152_triangle_count",
+      (s, d) => {
+        // triangle counting by degree-ordered edge orientation (the
+        // classic distributed device): orient every edge from its
+        // lower-(degree, id) endpoint, so each node's out-degree is
+        // bounded by O(√m) and the wedge join materializes Σ outdeg²
+        // = O(m^1.5) rows — where the naive formulation's Σ deg² goes
+        // quadratic on the hottest hub. That bound is the difference
+        // between a plan that survives a power-law graph at 100 TB and
+        // one that dies on one key. Graph: parts co-ordered in the same
+        // order — edge building is per-key quadratic only in ORDER size
+        // (≤7 here), never corpus size. Three ids-only equi-joins;
+        // exact integer result; ties (equal degree) orient a→b, which
+        // the a<b edge normalization makes total. The deterministic
+        // 1-in-4 orderkey stratum is DISCLOSED graph definition, not a
+        // silent cap: the co-order graph's DENSITY grows with sf (more
+        // orders touch each part), so the full graph's wedge count
+        // grows superlinearly in the corpus — a property of this demo
+        // graph, not of the algorithm, whose O(m^1.5) bound in the
+        // graph size m is exactly what the orientation buys (measured
+        // in the oracle engine at sf0.1: full graph 1.20M edges/6.3s
+        // vs stratum 300k edges/1.1s).
+        val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val ip = T.lineitem(s, d)
+          .where(pmod(col("l_orderkey"), lit(4)) === 0)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val e = ip.as("x").join(ip.as("y"),
+            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+          .persist(mem)
+        val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+        val o = e
+          .join(deg.select(col("v").as("a"), col("dg").as("da")), Seq("a"))
+          .join(deg.select(col("v").as("b"), col("dg").as("db")), Seq("b"))
+          .select(
+            when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("u"),
+            when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("v"))
+          .persist(mem)
+        val w = o.as("o1").join(o.as("o2"), col("o1.v") === col("o2.u"))
+          .select(col("o1.u").as("x"), col("o2.v").as("z"))
+        val tri = w.join(o.as("o3"),
+            col("o3.u") === col("x") && col("o3.v") === col("z"))
+          .agg(count(lit(1)).as("n_triangles"))
+        // 1-row stat frames merge via union + max-agg (the q147 device;
+        // a constant-key join would constant-fold to a nested loop)
+        val nl = lit(null).cast("long")
+        e.agg(count(lit(1)).as("n_edges"))
+          .select(col("n_edges"), nl.as("max_degree"), nl.as("n_triangles"))
+          .unionByName(deg.agg(max(col("dg")).as("max_degree"))
+            .select(nl.as("n_edges"), col("max_degree"), nl.as("n_triangles")))
+          .unionByName(tri
+            .select(nl.as("n_edges"), nl.as("max_degree"), col("n_triangles")))
+          .groupBy(lit("parts_co_ordered").as("graph"))
+          .agg(max(col("n_edges")).as("n_edges"),
+            max(col("max_degree")).as("max_degree"),
+            max(col("n_triangles")).as("n_triangles"))
+      },
+      Some("""
+        WITH ip AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+                    WHERE l_orderkey % 4 = 0),
+        e AS (SELECT DISTINCT a.p AS a, b.p AS b FROM ip a JOIN ip b ON a.o = b.o AND a.p < b.p),
+        deg AS (SELECT v, count(*) AS dg
+                FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY v),
+        o AS (SELECT CASE WHEN da.dg <= db.dg THEN e.a ELSE e.b END AS u,
+                     CASE WHEN da.dg <= db.dg THEN e.b ELSE e.a END AS v
+              FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b),
+        w AS (SELECT o1.u AS x, o2.v AS z FROM o o1 JOIN o o2 ON o1.v = o2.u)
+        SELECT 'parts_co_ordered' AS graph,
+               (SELECT count(*) FROM e)::BIGINT AS n_edges,
+               (SELECT max(dg) FROM deg)::BIGINT AS max_degree,
+               count(*)::BIGINT AS n_triangles
+        FROM w JOIN o o3 ON o3.u = w.x AND o3.v = w.z"""),
+      "triangle counting with degree-ordered orientation: out-degree " +
+        "bounded O(sqrt m) so the wedge join is O(m^1.5) — survives " +
+        "power-law hubs where naive wedge counting goes quadratic; graph = " +
+        "parts co-ordered per order (per-key fanout bounded by order " +
+        "size); three ids-only equi-joins, exact count"),
+
+    // ------------------------------------------------ Pareto skyline
+    Q("q153_pareto_front",
+      (s, d) => {
+        // multi-criteria curation needs the SKYLINE, not a scalar blend:
+        // docs not strictly dominated on (stopword evidence UP, length
+        // DOWN) — every scalar weighting of the two criteria picks its
+        // winner FROM this set, so the front is what a curation review
+        // actually inspects. The naive skyline is an all-pairs NOT
+        // EXISTS (quadratic, cluster-hostile — that shape is the
+        // ORACLE's job); Skyline.front2d is the bucketed prefix-max
+        // decomposition: bucket count bounded by the length VALUE
+        // RANGE, one bounded agg, two windows, zero self-joins (the
+        // q103 coarse-cumulative device). Strict dominance keeps ties
+        // deterministic: duplicate points survive together.
+        val stopArr = typedLit(TextOps.Stopwords)
+        val m = T.documents(s, d).select(col("doc_id"),
+          size(filter(TextOps.tokens(col("text")),
+            x => array_contains(stopArr, x))).cast("long").as("n_stop"),
+          col("n_chars").cast("long").as("n_chars"))
+        Skyline.front2d(m, col("n_chars"), col("n_stop"), bucketWidth = 64)
+          .select(col("doc_id"), col("n_stop"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val stop = TextOps.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""
+        WITH m AS (SELECT doc_id,
+                          CAST(len(list_filter(string_split(lower(text), ' '),
+                            x -> list_contains($stop, x))) AS BIGINT) AS n_stop,
+                          CAST(n_chars AS BIGINT) AS n_chars
+                   FROM documents)
+        SELECT d.doc_id, d.n_stop, d.n_chars FROM m d
+        WHERE NOT EXISTS (SELECT 1 FROM m o
+                          WHERE o.n_stop > d.n_stop AND o.n_chars < d.n_chars)
+        ORDER BY d.doc_id"""
+      },
+      "2-D Pareto front (skyline) over (stopword evidence up, length " +
+        "down): the set every scalar quality weighting picks its winner " +
+        "from; scale shape is Skyline.front2d's bucketed prefix-max (value-" +
+        "range-bounded buckets + two windows, zero self-joins) while the " +
+        "oracle states the quadratic NOT-EXISTS definition directly"),
+
+    // -------------------------------------- forward as-of attribution
+    Q("q154_attribution",
+      (s, d) => {
+        // conversion attribution — the FORWARD as-of join that completes
+        // the temporal family (q08 enriches backward: latest version AT
+        // a time; this attaches the NEXT event AFTER a time, bounded by
+        // a window): each click gets the first purchase by the same
+        // user within 30 minutes, ties to the smallest purchase id.
+        // EnrichJoin.asOfJoinForward is join-FREE — tag, union, one
+        // per-user descending window carrying the nearest later
+        // purchase backward — where the naive formulation is a range
+        // join plus a per-click top-1; at 100 TB that is one keyed
+        // shuffle versus a bucket-exploded join. Tolerance arithmetic
+        // in exact epoch micros.
+        val ev = T.events(s, d).select(col("event_id"), col("user_id"),
+          col("event_type"), expr("unix_micros(cast(ts as timestamp))").as("us"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("us"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("us").as("p_us"))
+        EnrichJoin.asOfJoinForward(clicks, purchases, "user_id", "us", "p_us",
+            carry = Seq("purchase_id"), toleranceUs = 1800000000L,
+            buildTie = "purchase_id")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("us").as("click_us"), col("purchase_id"),
+            col("asof_delay").as("delay_us"))
+          .orderBy(col("click_id"))
+      },
+      Some("""
+        WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+                   WHERE event_type = 'click'),
+        p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS us FROM events
+              WHERE event_type = 'purchase'),
+        j AS (SELECT c.event_id AS click_id, p.purchase_id, p.us - c.us AS delay_us,
+                     row_number() OVER (PARTITION BY c.event_id
+                                        ORDER BY p.us, p.purchase_id) AS rn
+              FROM c JOIN p ON p.user_id = c.user_id
+                           AND p.us >= c.us AND p.us <= c.us + 1800000000)
+        SELECT c.event_id AS click_id, c.user_id, c.us AS click_us,
+               j.purchase_id, j.delay_us
+        FROM c LEFT JOIN j ON j.click_id = c.event_id AND j.rn = 1
+        ORDER BY click_id"""),
+      "conversion attribution: forward as-of join with tolerance — each " +
+        "click attached to the first same-user purchase within 30 min " +
+        "(smallest-id ties), via the join-free tag/union/one-window scan " +
+        "(one keyed shuffle; the naive shape is a range join + per-click " +
+        "top-1); oracle states that naive definition directly"))
 
   /** q141/q142/q144: the ONE distributed corpus-sized stage of the eigen
     * family — GramMatrix's map-side-combined d×d reduction, unpacked to
@@ -2135,6 +2366,15 @@ object MiningQueries {
         pmod(col("pos"), lit(64)).cast("long").as("j"), col("gram_fp"))
       .where(col("i") <= col("j") && col("i") < 64)
   }
+
+  /** q151: the version-diff verdict — ONE expression text evaluated
+    * verbatim by both engines over the joined manifest columns.
+    */
+  private def ManifestStatusCase: String =
+    "CASE WHEN n1 IS NULL THEN 'added' " +
+      "WHEN n2 IS NULL THEN 'removed' " +
+      "WHEN n1 = n2 AND s1 = s2 AND x1 = x2 THEN 'unchanged' " +
+      "ELSE 'changed' END"
 
   /** q147: the advisor decision rule — ONE expression text evaluated
     * verbatim by both engines over the audited stats columns. The 100000

@@ -83,4 +83,65 @@ object EnrichJoin {
         Seq(col("__side"))): _*)
     carried.where(col("__side") === 1).drop("__side")
   }
+
+  /** FORWARD as-of join with tolerance — the attribution shape: for each
+    * probe row, attach the build row with the SMALLEST
+    * `buildTs >= probeTs` for the same key, provided
+    * `buildTs - probeTs <= toleranceUs`; otherwise the carried columns
+    * (and `asof_delay`) are null. Both ts columns must be exact integer
+    * epoch micros (LONG) — tolerance arithmetic stays integer-exact.
+    *
+    * Ties (two build rows at the same ts) resolve to the smallest
+    * `buildTie` value, making the result deterministic without a
+    * uniqueness precondition (unlike [[asOfJoin]]'s pre-dedup contract).
+    *
+    * Same scale shape as [[asOfJoin]]: tag, union, ONE per-key window
+    * (descending scan carrying the nearest later build row backward),
+    * no join at all — at 100 TB this is one shuffle on the key versus a
+    * range join's bucket explosion.
+    */
+  def asOfJoinForward(
+      probe: DataFrame,
+      build: DataFrame,
+      key: String,
+      probeTs: String,
+      buildTs: String,
+      carry: Seq[String],
+      toleranceUs: Long,
+      buildTie: String): DataFrame = {
+    require(toleranceUs >= 0, s"toleranceUs must be >= 0, got $toleranceUs")
+    val probeCols = probe.columns.toSeq
+    val p = probe
+      .withColumn("__side", lit(1))
+      .withColumn("__ts", col(probeTs))
+      .select((probeCols.map(col) ++
+        carry.map(c => lit(null).cast(build.schema(c).dataType).as(s"__c_$c")) ++
+        Seq(col("__side"), col("__ts"), lit(null).cast("long").as("__tie"))): _*)
+    val b = build
+      .withColumn("__side", lit(0))
+      .withColumn("__ts", col(buildTs))
+      .select((probeCols.map(c =>
+          if (c == key) col(c) else lit(null).cast(probe.schema(c).dataType).as(c)) ++
+        carry.map(c => col(c).as(s"__c_$c")) ++
+        Seq(col("__side"), col("__ts"), col(buildTie).cast("long").as("__tie"))): _*)
+    // descending time scan: at equal ts the build row sorts first
+    // (inclusive >=), and among equal-ts builds the LAST seen — i.e.
+    // the carried one — is the smallest tiebreak (desc order)
+    val w = Window
+      .partitionBy(col(key))
+      .orderBy(col("__ts").desc, col("__side").asc, col("__tie").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = p.unionByName(b).select(
+      (probeCols.map(col) ++
+        carry.map(c => last(col(s"__c_$c"), ignoreNulls = true).over(w).as(c)) ++
+        Seq(
+          (last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w)
+            - col("__ts")).as("asof_delay"),
+          col("__side"))): _*)
+    val within = col("asof_delay").isNotNull && col("asof_delay") <= toleranceUs
+    carried.where(col("__side") === 1).select(
+      (probeCols.map(col) ++
+        carry.map(c => when(within, col(c)).otherwise(lit(null)).as(c)) :+
+        when(within, col("asof_delay")).otherwise(lit(null)).as("asof_delay")): _*)
+  }
 }

@@ -921,6 +921,63 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("law: asOfJoinForward == brute-force nearest-later-within-tolerance reference") {
+    val tol = 10L
+    val g = Gen.zip(
+      Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("u1", "u2", "u3"), Gen.choose(0L, 40L))),
+      Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("u1", "u2", "u3"), Gen.choose(0L, 40L))))
+    samples(g, 10).foreach { case (ps, bs) =>
+      val probe = ps.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("pid", "k", "pts")
+      val build = bs.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("bid", "k", "bts")
+      val got = EnrichJoin.asOfJoinForward(probe, build, "k", "pts", "bts",
+          carry = Seq("bid"), toleranceUs = tol, buildTie = "bid")
+        .select("pid", "bid").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      val want = ps.zipWithIndex.map { case ((k, t), i) =>
+        val cands = bs.zipWithIndex
+          .filter { case ((bk, bt), _) => bk == k && bt >= t && bt - t <= tol }
+          .map { case ((_, bt), bi) => (bt, bi.toLong) }
+        i.toLong -> (if (cands.isEmpty) -1L else cands.min._2)
+      }.toMap
+      assert(got === want, s"probe: $ps build: $bs")
+    }
+  }
+
+  test("law: Skyline.front2d == brute-force strict-dominance skyline") {
+    val g: Gen[List[(Long, Long)]] = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0L, 200L), Gen.choose(0L, 50L)))
+    samples(g, 10).foreach { pts =>
+      val df = pts.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+        .toDF("id", "x", "y")
+      val got = Skyline.front2d(df, col("x"), col("y"), bucketWidth = 16)
+        .select("id").as[Long].collect().toSet
+      val want = pts.zipWithIndex.collect {
+        case ((x, y), i) if !pts.exists { case (ox, oy) => ox < x && oy > y } => i.toLong
+      }.toSet
+      assert(got === want, s"points: $pts")
+    }
+  }
+
+  test("law: dataset-manifest reducers are abelian — agg(A ++ B) == combine(agg(A), agg(B))") {
+    val P = 1000000007L
+    val g: Gen[List[Long]] = Gen.nonEmptyListOf(Gen.choose(0L, P - 1))
+    def m(xs: List[Long]): (Long, Long, Long) = {
+      val r = xs.toDF("fp").agg(
+        count(lit(1)),
+        expr("CAST(sum(CAST(fp AS DECIMAL(38,0))) % 1000000007 AS BIGINT)"),
+        expr("bit_xor(fp)")).collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    samples(Gen.zip(g, g), 6).foreach { case (a, b) =>
+      val (na, sa, xa) = m(a); val (nb, sb, xb) = m(b)
+      val combined = (na + nb, (sa + sb) % P, xa ^ xb)
+      assert(m(a ++ b) === combined,
+        s"manifest not shard-mergeable for a=$a b=$b")
+    }
+  }
+
   test("law: per-key count-frame join size (q147's est_out_rows) equals the actual join cardinality") {
     val kv: Gen[List[Long]] = Gen.listOf(Gen.choose(0L, 12L))
     samples(Gen.zip(kv, kv), 8).foreach { case (lks, rks) =>

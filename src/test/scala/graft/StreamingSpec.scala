@@ -933,6 +933,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming manifest: per-batch manifests merged by the abelian combine == one batch manifest") {
+    // q150's versioning primitive at ingest time: each micro-batch
+    // contributes a |sources|-sized manifest, the running manifest is
+    // the per-source (n add, sum mod p, xor) combine — history is never
+    // reprocessed, and the result is the batch manifest bit-for-bit
+    // (the PropertySpec abelian law, exercised through a real stream).
+    implicit val sqlCtx = spark.sqlContext
+    val P = 1000000007L
+    val input = MemoryStream[(String, Long)]
+    val acc = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
+    def manifest(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long, Long)] =
+      df.groupBy(col("source")).agg(
+          count(lit(1)),
+          expr("CAST(sum(CAST(fp AS DECIMAL(38,0))) % 1000000007 AS BIGINT)"),
+          expr("bit_xor(fp)"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val q = input.toDF().toDF("source", "fp")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val m = manifest(batch.toDF())
+        acc.synchronized {
+          m.foreach { case (k, (n, s, x)) =>
+            val (n0, s0, x0) = acc.getOrElse(k, (0L, 0L, 0L))
+            acc(k) = (n0 + n, (s0 + s) % P, x0 ^ x)
+          }
+          ()
+        }
+      }
+      .trigger(Trigger.ProcessingTime(0L))
+      .start()
+    val rows = Seq.tabulate(60)(i => (s"src${i % 4}", (i * 1234567L) % P))
+    try {
+      rows.grouped(20).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(acc.synchronized(acc.toMap) === manifest(rows.toDF("source", "fp")))
+  }
+
   test("streaming CountMin: per-batch grids summed cell-wise == one batch grid over all data") {
     // the mergeable-summary property applied at ingest: each micro-batch
     // contributes its own fixed-size grid, the running sketch is the
