@@ -2350,7 +2350,111 @@ object MiningQueries {
         "click attached to the first same-user purchase within 30 min " +
         "(smallest-id ties), via the join-free tag/union/one-window scan " +
         "(one keyed shuffle; the naive shape is a range join + per-click " +
-        "top-1); oracle states that naive definition directly"))
+        "top-1); oracle states that naive definition directly"),
+
+    // ----------------------------------------------- sessionization
+    Q("q155_sessionization",
+      (s, d) => {
+        // gap-based sessionization with session STATS — the complement
+        // of q37's session-window AGGREGATE: sessions become first-
+        // class rows (gaps-and-islands: a 30-min silence starts a new
+        // session), then the depth histogram every engagement dashboard
+        // draws: sessions per depth with total/max duration. Two
+        // user-keyed windows (lag + running sum — same shuffle, Spark
+        // plans ONE exchange) + two bounded aggs; the (us, event_id)
+        // order is total, so session boundaries are deterministic.
+        // Exact epoch-micros arithmetic (the q125 convention).
+        val w1 = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        val sess = T.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            expr("unix_micros(cast(ts as timestamp))").as("us"))
+          .withColumn("__new",
+            when(col("us") - lag(col("us"), 1).over(w1) > 1800000000L
+              || lag(col("us"), 1).over(w1).isNull, 1L).otherwise(0L))
+          .withColumn("__sess", sum(col("__new")).over(
+            w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("__sess"))
+          .agg(count(lit(1)).as("depth"),
+            (max(col("us")) - min(col("us"))).as("dur_us"))
+        sess.groupBy(col("depth"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(col("dur_us")).as("total_dur_us"),
+            max(col("dur_us")).as("max_dur_us"))
+          .orderBy(col("depth"))
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        m AS (SELECT user_id, event_id, us,
+                     CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                            > 1800000000 OR
+                          lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+                     THEN 1 ELSE 0 END AS nw
+              FROM e),
+        x AS (SELECT user_id, us,
+                     sum(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+              FROM m),
+        sess AS (SELECT user_id, sess, count(*) AS depth, max(us) - min(us) AS dur_us
+                 FROM x GROUP BY 1, 2)
+        SELECT CAST(depth AS BIGINT) AS depth, count(*)::BIGINT AS n_sessions,
+               CAST(sum(dur_us) AS BIGINT) AS total_dur_us,
+               CAST(max(dur_us) AS BIGINT) AS max_dur_us
+        FROM sess GROUP BY depth ORDER BY depth"""),
+      "gap-based sessionization (30-min silence = new session) with " +
+        "sessions as first-class rows, then the depth histogram with " +
+        "total/max durations — two user-keyed windows sharing ONE " +
+        "shuffle + bounded aggs; (us, event_id) ordering is total so " +
+        "boundaries are deterministic"),
+
+    // ----------------------------------------- drift detection (OLS)
+    Q("q156_value_drift",
+      (s, d) => {
+        // metric drift detection: per event type, the EXACT
+        // least-squares slope of value-vs-time — the monitoring figure
+        // that says a metric is trending. All five sufficient
+        // statistics (n, Σx, Σy, Σxy, Σx²) are integer sums in
+        // DECIMAL(38,0) (x = micros since 2024-01-01 ≤ 2.6e12, so Σx²
+        // ≤ ~7e28 at this corpus; y in exact cents), ONE map-side-
+        // combined agg per group, and the slope is the closed-form
+        // rational (nΣxy − ΣxΣy)·10⁶ div (nΣx² − (Σx)²) — truncating
+        // integer division both engines share, units cents/second.
+        // Sufficient statistics are a monoid: the same five sums merge
+        // across shards/days (the q146 refresh discipline).
+        val x = expr("CAST(unix_micros(cast(ts as timestamp)) - 1704067200000000 AS DECIMAL(38,0))")
+        val y = expr("CAST(CAST(value AS DECIMAL(10,2)) * 100 AS DECIMAL(38,0))")
+        T.events(s, d)
+          .select(col("event_type"), x.as("x"), y.as("y"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("event_type"), col("n").cast("long").as("n_events"),
+            expr("CAST((sy * 100) div n AS BIGINT)").as("mean_cents_x100"),
+            expr("CAST(((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx) AS BIGINT)")
+              .as("slope_cents_per_s"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH e AS (SELECT event_type,
+                          CAST(epoch_us(ts) - 1704067200000000 AS HUGEINT) AS x,
+                          CAST(CAST(value AS DECIMAL(10,2)) * 100 AS HUGEINT) AS y
+                   FROM events),
+        m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x * y) AS sxy, sum(x * x) AS sxx
+              FROM e GROUP BY 1)
+        SELECT event_type, CAST(n AS BIGINT) AS n_events,
+               CAST((sy * 100) // n AS BIGINT) AS mean_cents_x100,
+               CAST(((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx) AS BIGINT)
+                 AS slope_cents_per_s
+        FROM m ORDER BY event_type"""),
+      "metric drift detection: exact per-group least-squares slope of " +
+        "value vs time from five integer sufficient statistics (one " +
+        "map-side-combined agg; the stats are a monoid, so they merge " +
+        "across shards/days like q146's refresh) — closed-form rational " +
+        "slope in cents/second, truncating div shared by both engines"))
 
   /** q141/q142/q144: the ONE distributed corpus-sized stage of the eigen
     * family — GramMatrix's map-side-combined d×d reduction, unpacked to
