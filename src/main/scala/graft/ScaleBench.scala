@@ -37,7 +37,9 @@ object ScaleBench {
     "q120_postings_index",    // inverted index with df-cap
     "q126_bm25_search",       // postings + corpus stats + ranking
     "q109_bpe_merges",        // 20 BPE rounds over the word table
-    "q130_pq_codebooks")      // PQ train + encode over embeddings
+    "q130_pq_codebooks",      // PQ train + encode over embeddings
+    "q136_dedup_report",      // amortized index build + full dedup report
+    "q152_triangle_count")    // degree-oriented wedge join
 
   private def ensureScaled(spark: SparkSession, srcDir: String, r: Int, outDir: String): Unit = {
     val done = new java.io.File(s"$outDir/_DONE")
@@ -63,9 +65,15 @@ object ScaleBench {
             * lit(0.001f) * col("__rep").cast("float")))
       .drop("__rep")
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    // partkey offset too: each replica is a DISJOINT copy of the
+    // co-order graph, so graph probes (q152) measure the algorithm's
+    // scaling on r× the graph — NOT the data-shape densification a
+    // shared part space would add (q152's scaladoc documents that
+    // separate, superlinear property of the full graph)
     spark.read.parquet(s"$srcDir/lineitem.parquet")
       .crossJoin(rep)
       .withColumn("l_orderkey", col("l_orderkey") + col("__rep") * lit(1000000000L))
+      .withColumn("l_partkey", col("l_partkey") + col("__rep") * lit(1000000000L))
       .drop("__rep")
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
     done.createNewFile()
