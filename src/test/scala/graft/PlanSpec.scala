@@ -373,6 +373,29 @@ class PlanSpec extends SparkSpec {
       s"expected 1 selected partition, got ${parts.partitionCount}")
   }
 
+  test("q154 forward as-of is join-FREE: no Join node anywhere in the optimized plan") {
+    // the operator's whole point: tag/union/one-window replaces the
+    // range join + per-probe top-1 a naive attribution would plan
+    val plan = SparkEntry.queries("q154_attribution")(spark, sf)
+      .queryExecution.optimizedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.isEmpty, s"expected a join-free plan, found:\n$plan")
+  }
+
+  test("q155 sessionization: both user windows ride ONE user_id shuffle; session agg reuses it") {
+    val plan = SparkEntry.queries("q155_sessionization")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // one hashpartitioning(user_id...) exchange feeds lag + running sum;
+    // the (user_id, __sess) agg is satisfied by the subset partitioning,
+    // so only the depth agg and final sort may add exchanges
+    val userShuffles = "hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(userShuffles === 1, s"expected exactly 1 user_id shuffle, got $userShuffles:\n$plan")
+    val shuffles = "ShuffleExchange".r.findAllIn(plan).size
+    assert(shuffles <= 3, s"expected <=3 shuffles (user window, depth agg, sort), got $shuffles:\n$plan")
+  }
+
   test("AQE splits a skewed sort-merge-join partition at runtime (skew=true in the final plan)") {
     // the runtime complement to q43's write-time salting: one hot key
     // (100k rows, ~40x the uniform share) would pin a 100 TB join to a
