@@ -2454,7 +2454,173 @@ object MiningQueries {
         "value vs time from five integer sufficient statistics (one " +
         "map-side-combined agg; the stats are a monoid, so they merge " +
         "across shards/days like q146's refresh) — closed-form rational " +
-        "slope in cents/second, truncating div shared by both engines"))
+        "slope in cents/second, truncating div shared by both engines"),
+
+    // --------------------------------------------- funnel conversion
+    Q("q157_funnel",
+      (s, d) => {
+        // the ordered conversion funnel, day-scoped: a (user, day)
+        // cohort "reaches" stage 2 only if a click happens AT/AFTER the
+        // day's first view, stage 3 only if a purchase happens at/after
+        // that click (strict stage order — an early purchase without a
+        // preceding view->click chain does not count; the gate corpus
+        // funnels 1617 -> 345 -> 56 of 4006 cohorts). Plan: three
+        // stacked cohort-keyed min-windows — each references the
+        // previous stage's time, a sequential dependency no single agg
+        // expresses — ALL riding ONE (user_id, day) exchange, then the
+        // cohort agg reuses the same partitioning. The funnel itself is
+        // a 1-row frame stacked to 3 stage rows — conversion ppm vs all
+        // cohorts and vs the previous stage, truncating div. Day =
+        // us div 86400000000 (exact; us >= 0 so floor == truncate).
+        val wc = Window.partitionBy(col("user_id"), col("day"))
+        val staged = T.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("unix_micros(cast(ts as timestamp))").as("us"))
+          .withColumn("day", expr("us div 86400000000"))
+          .withColumn("__v",
+            min(when(col("event_type") === "view", col("us"))).over(wc))
+          .withColumn("__c",
+            min(when(col("event_type") === "click" && col("us") >= col("__v"),
+              col("us"))).over(wc))
+          .withColumn("__p",
+            min(when(col("event_type") === "purchase" && col("us") >= col("__c"),
+              col("us"))).over(wc))
+        val cohorts = staged.groupBy(col("user_id"), col("day"))
+          .agg(min(col("__v")).as("v"), min(col("__c")).as("c"),
+            min(col("__p")).as("p"))
+        val totals = cohorts.agg(
+          count(lit(1)).as("n_cohorts"),
+          sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("s1"),
+          sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("s2"),
+          sum(when(col("p").isNotNull, 1L).otherwise(0L)).as("s3"))
+        totals
+          .select(expr(
+            "stack(3, '1_view', s1, n_cohorts, " +
+              "'2_click', s2, s1, " +
+              "'3_purchase', s3, s2) AS (stage, n_reached, prev)"),
+            col("n_cohorts"))
+          .select(col("stage"), col("n_reached"),
+            expr("(n_reached * 1000000) div n_cohorts").as("ppm_of_cohorts"),
+            expr("CASE WHEN prev = 0 THEN 0 ELSE (n_reached * 1000000) div prev END")
+              .as("ppm_of_prev"))
+          .orderBy(col("stage"))
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+                          epoch_us(ts) // 86400000000 AS day FROM events),
+        y AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+                OVER (PARTITION BY user_id, day) AS v FROM e),
+        z AS (SELECT *, min(CASE WHEN event_type = 'click' AND us >= v THEN us END)
+                OVER (PARTITION BY user_id, day) AS c FROM y),
+        zz AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND us >= c THEN us END)
+                OVER (PARTITION BY user_id, day) AS p FROM z),
+        u AS (SELECT user_id, day, min(v) AS v, min(c) AS c, min(p) AS p
+              FROM zz GROUP BY 1, 2),
+        a AS (SELECT count(*) AS n_cohorts,
+                sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS s1,
+                sum(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS s2,
+                sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS s3
+              FROM u),
+        f AS (SELECT '1_view' AS stage, s1 AS n_reached, n_cohorts AS prev, n_cohorts FROM a
+              UNION ALL SELECT '2_click', s2, s1, n_cohorts FROM a
+              UNION ALL SELECT '3_purchase', s3, s2, n_cohorts FROM a)
+        SELECT stage, CAST(n_reached AS BIGINT) AS n_reached,
+               CAST((n_reached * 1000000) // n_cohorts AS BIGINT) AS ppm_of_cohorts,
+               CAST(CASE WHEN prev = 0 THEN 0
+                    ELSE (n_reached * 1000000) // prev END AS BIGINT) AS ppm_of_prev
+        FROM f ORDER BY stage"""),
+      "ordered conversion funnel (view -> click-after-view -> " +
+        "purchase-after-click) over (user, day) cohorts: three stacked " +
+        "cohort-keyed min-windows — each references the previous stage's " +
+        "time, a sequential dependency no single agg expresses — ALL " +
+        "riding ONE (user_id, day) shuffle the cohort agg then reuses; " +
+        "per-stage reach counts + conversion ppm vs total and vs the " +
+        "previous stage, truncating div shared by both engines"),
+
+    // ---------------------------------- intra-doc repetition filters
+    Q("q158_repetition_audit",
+      (s, d) => {
+        // Gopher-style intra-document repetition filters (Rae et al.
+        // 2021, MassiveText quality rules): a doc whose single most
+        // frequent word BIGRAM claims too large a share of all bigram
+        // positions, or whose duplicated TRIGRAMS cover too many trigram
+        // positions, is boilerplate/spam-shaped. Exact integer ppm;
+        // thresholds (80000 / 100000 ppm) are calibrated to this
+        // synthetic corpus the way Gopher's 0.18/0.18 were to
+        // MassiveText — the RULE is the operator, the constant is
+        // corpus-tuned. Plan: token array materialized ONCE per doc
+        // (positionalGrams over an attribute, not a re-inlined split —
+        // the q97/q108 HOF lesson), both gram sizes exploded in one
+        // pass, ONE corpus-sized (doc, k, gram) count agg (map-side
+        // combined), then doc-sized and |sources|-sized aggs. Everything
+        // downstream of the count agg is keyed by doc_id — no
+        // corpus-sized join, no window, nothing global.
+        val byK = T.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            split(lower(col("text")), " ").as("__w"))
+          .select(col("source"), col("doc_id"),
+            explode(flatten(array(
+              transform(TextOps.positionalGrams(col("__w"), 2),
+                g => struct(lit(2L).as("k"), g.as("g"))),
+              transform(TextOps.positionalGrams(col("__w"), 3),
+                g => struct(lit(3L).as("k"), g.as("g")))))).as("kg"))
+          .select(col("source"), col("doc_id"),
+            col("kg.k").as("k"), col("kg.g").as("g"))
+          .groupBy(col("source"), col("doc_id"), col("k"), col("g"))
+          .agg(count(lit(1)).as("c"))
+        val perDoc = byK.groupBy(col("source"), col("doc_id"))
+          .agg(max(when(col("k") === 2, col("c"))).as("top2"),
+            sum(when(col("k") === 2, col("c"))).as("n2"),
+            sum(when(col("k") === 3 && col("c") >= 2, col("c"))
+              .otherwise(lit(0L))).as("dup3"),
+            sum(when(col("k") === 3, col("c"))).as("n3"))
+          .select(col("source"),
+            expr("(top2 * 1000000) div n2").as("top2ppm"),
+            expr("(dup3 * 1000000) div n3").as("dup3ppm"))
+        perDoc.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("top2ppm") > 80000 || col("dup3ppm") > 100000, 1L)
+              .otherwise(0L)).as("n_flagged"),
+            sum(col("top2ppm")).as("__sum_top2"),
+            max(col("dup3ppm")).as("max_dup_trigram_ppm"))
+          .select(col("source"), col("n_docs"), col("n_flagged"),
+            expr("(n_flagged * 1000000) div n_docs").as("flag_ppm"),
+            expr("__sum_top2 div n_docs").as("mean_top_bigram_ppm"),
+            col("max_dup_trigram_ppm"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, source, string_split(lower(text), ' ') AS w FROM documents),
+        g AS (SELECT doc_id, source, 2 AS k, w[i] || ' ' || w[i+1] AS g
+              FROM t, unnest(range(1, len(w))) AS u(i)
+              UNION ALL
+              SELECT doc_id, source, 3 AS k, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+              FROM t, unnest(range(1, len(w) - 1)) AS u(i)),
+        c AS (SELECT doc_id, source, k, g, count(*) AS c FROM g GROUP BY ALL),
+        d AS (SELECT doc_id, source,
+                max(CASE WHEN k = 2 THEN c END) AS top2,
+                sum(CASE WHEN k = 2 THEN c END) AS n2,
+                sum(CASE WHEN k = 3 AND c >= 2 THEN c ELSE 0 END) AS dup3,
+                sum(CASE WHEN k = 3 THEN c END) AS n3
+              FROM c GROUP BY 1, 2),
+        m AS (SELECT source,
+                (top2 * 1000000) // n2 AS top2ppm,
+                (dup3 * 1000000) // n3 AS dup3ppm
+              FROM d)
+        SELECT source, count(*)::BIGINT AS n_docs,
+               CAST(sum(CASE WHEN top2ppm > 80000 OR dup3ppm > 100000
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+               CAST((sum(CASE WHEN top2ppm > 80000 OR dup3ppm > 100000
+                         THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS flag_ppm,
+               CAST(sum(top2ppm) // count(*) AS BIGINT) AS mean_top_bigram_ppm,
+               CAST(max(dup3ppm) AS BIGINT) AS max_dup_trigram_ppm
+        FROM m GROUP BY source ORDER BY source"""),
+      "Gopher-style intra-document repetition filters (Rae et al. 2021): " +
+        "top-bigram position share + duplicated-trigram coverage per doc " +
+        "in exact integer ppm, flag rates per source — one pass explodes " +
+        "both gram sizes, ONE corpus-sized (doc, k, gram) count agg, " +
+        "then doc- and |sources|-sized aggs; no join, no window, nothing " +
+        "global"))
 
   /** q141/q142/q144: the ONE distributed corpus-sized stage of the eigen
     * family — GramMatrix's map-side-combined d×d reduction, unpacked to

@@ -396,6 +396,32 @@ class PlanSpec extends SparkSpec {
     assert(shuffles <= 3, s"expected <=3 shuffles (user window, depth agg, sort), got $shuffles:\n$plan")
   }
 
+  test("q157 funnel: three stage windows + cohort agg all ride ONE (user_id, day) shuffle") {
+    val plan = SparkEntry.queries("q157_funnel")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the three stage min-windows and the cohort agg all cluster by
+    // (user_id, day): one hash exchange serves all four operators; the
+    // only other exchange is the 1-row global funnel agg
+    val userShuffles = "hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(userShuffles === 1, s"expected exactly 1 (user_id, day) shuffle, got $userShuffles:\n$plan")
+  }
+
+  test("q158 repetition audit: no Join and no Window anywhere in the optimized plan") {
+    // the whole audit is three nested aggregations — a plan with a join
+    // (count-frame join-back) or a window (per-doc rank) would pay a
+    // corpus-sized stage the agg-only shape avoids
+    val plan = SparkEntry.queries("q158_repetition_audit")(spark, sf)
+      .queryExecution.optimizedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(joins.isEmpty && windows.isEmpty,
+      s"expected agg-only plan, found ${joins.size} joins / ${windows.size} windows:\n$plan")
+  }
+
   test("AQE splits a skewed sort-merge-join partition at runtime (skew=true in the final plan)") {
     // the runtime complement to q43's write-time salting: one hot key
     // (100k rows, ~40x the uniform share) would pin a 100 TB join to a
