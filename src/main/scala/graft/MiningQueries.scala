@@ -2620,7 +2620,93 @@ object MiningQueries {
         "in exact integer ppm, flag rates per source — one pass explodes " +
         "both gram sizes, ONE corpus-sized (doc, k, gram) count agg, " +
         "then doc- and |sources|-sized aggs; no join, no window, nothing " +
-        "global"))
+        "global"),
+
+    // ------------------------------------ LM-perplexity quality filter
+    Q("q159_perplexity_filter",
+      (s, d) => {
+        // CCNet's quality filter (Wenzek et al. 2020): score every doc's
+        // cross-entropy under a reference LM trained on a trusted slice,
+        // flag the high-perplexity tail. Trusted slice = the corpus's
+        // 'en' documents (CCNet's Wikipedia stand-in); model = add-one-
+        // smoothed bigram LM. ALL probabilities are fixed-point integer
+        // log2 values from the exact UnigramRuntime.log2fp recurrence,
+        // evaluated column-wise over the bounded distinct-count frame
+        // (BigramLm.log2Frame) — the oracle replays the identical
+        // 16-round program in HUGEINT, so per-doc bits-per-token (Q16)
+        // is hash-exact. Per-bigram bits = log2fp(c1(w1)+V) −
+        // log2fp(c2(w1,w2)+1); unseen w2 in a seen context costs the
+        // full den_fp (numerator log2fp(1)=0); unseen context costs
+        // log2fp(V). At the gate corpus the en-trained LM separates:
+        // ~12% of en docs flagged vs ~75% of other langs at the
+        // 322000 (≈4.91 bits/token) threshold — the corpus-calibrated
+        // constant, same convention as q158's. Scale: training counts
+        // are one trusted-slice shuffle; the log2 frame is distinct-
+        // count-sized; scoring is two equi-joins keyed (w1,w2)/(w1) —
+        // at 100 TB the LM tables are vocab-capped (CCNet ships a FIXED
+        // vocab model) and broadcast; here exact-complete for the
+        // oracle. V and unk-bits ride 1-row broadcasts (the q126
+        // device).
+        val docs = T.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            split(lower(col("text")), " ").as("__w"))
+        val pairs = docs
+          .select(col("doc_id"), col("lang"),
+            explode(BigramLm.bigramPairs(col("__w"))).as("bg"))
+          .select(col("doc_id"), col("lang"),
+            col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val c2 = pairs.where(col("lang") === "en")
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+        val vfr = c2.select(col("w1").as("w")).union(c2.select(col("w2").as("w")))
+          .distinct().agg(count(lit(1)).as("V")).withColumn("__k", lit(1))
+        val c1v = c1.withColumn("__k", lit(1))
+          .join(broadcast(vfr), Seq("__k")).drop("__k")
+        val vals = c2.select((col("c2") + lit(1L)).as("val"))
+          .union(c1v.select((col("c1") + col("V")).as("val")))
+          .union(vfr.select(col("V").cast("long").as("val")))
+          .distinct()
+        // lg is consumed three times (den/num/unk) and its lineage pulls
+        // the whole train chain — persist the bounded distinct-count frame
+        val lg = BigramLm.log2Frame(vals)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val den = c1v.join(lg, c1v("c1") + c1v("V") === lg("val"))
+          .select(col("w1"), col("l2fp").as("den_fp"))
+        val num = c2.join(lg, c2("c2") + lit(1L) === lg("val"))
+          .select(col("w1"), col("w2"), col("l2fp").as("num_fp"))
+        val pairBits = num.join(den, Seq("w1"))
+          .select(col("w1"), col("w2"), (col("den_fp") - col("num_fp")).as("pb"))
+        val unk = vfr.join(lg, vfr("V").cast("long") === lg("val"))
+          .select(col("l2fp").as("unk_fp")).withColumn("__k", lit(1))
+        pairs
+          .join(pairBits, Seq("w1", "w2"), "left")
+          .join(den, Seq("w1"), "left")
+          .withColumn("__k", lit(1))
+          .join(broadcast(unk), Seq("__k"))
+          .select(col("doc_id"), col("lang"),
+            coalesce(col("pb"), col("den_fp"), col("unk_fp")).as("bits"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(expr("sum(bits) div count(1)").as("xent_fp"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            expr("sum(xent_fp) div count(1)").as("mean_xent_fp"),
+            max(col("xent_fp")).as("max_xent_fp"),
+            sum(when(col("xent_fp") > 322000L, 1L).otherwise(0L)).as("n_flagged"))
+          .select(col("lang"), col("n_docs"), col("mean_xent_fp"),
+            col("max_xent_fp"), col("n_flagged"),
+            expr("(n_flagged * 1000000) div n_docs").as("flag_ppm"))
+          .orderBy(col("lang"))
+      },
+      Some(PerplexityOracleSql),
+      "LM-perplexity quality filter (CCNet, Wenzek et al. 2020): add-one " +
+        "bigram LM trained on the trusted 'en' slice scores every doc's " +
+        "cross-entropy in fixed-point Q16 bits/token — the exact log2fp " +
+        "bit recurrence evaluated column-wise over the bounded distinct-" +
+        "count frame, replayed verbatim by the oracle's unrolled HUGEINT " +
+        "program; per-lang mean/max and flag rates at the corpus-" +
+        "calibrated 322000 threshold (~12% of en vs ~75% of other langs)"))
 
   /** q141/q142/q144: the ONE distributed corpus-sized stage of the eigen
     * family — GramMatrix's map-side-combined d×d reduction, unpacked to
@@ -2749,6 +2835,60 @@ object MiningQueries {
        |x0 AS MATERIALIZED (SELECT i, CAST(1048576 AS HUGEINT) AS x FROM range(0, 64) t(i)),
        |$roundCtes""".stripMargin
   }
+
+  /** q159: the 16 unrolled log2fp fraction rounds in HUGEINT —
+    * MATERIALIZED so DuckDB doesn't inline each round's thrice-referenced
+    * square back into its consumers (the q109/q141 lesson).
+    */
+  private def log2RoundsSql(rounds: Int): String =
+    (1 to rounds).map { r =>
+      val prev = s"s${r - 1}"
+      s"""s$r AS MATERIALIZED (SELECT val, msb,
+         |  CASE WHEN (y*y) // 4294967296 >= 8589934592 THEN ((y*y) // 4294967296) // 2 ELSE (y*y) // 4294967296 END AS y,
+         |  frac * 2 + CASE WHEN (y*y) // 4294967296 >= 8589934592 THEN 1 ELSE 0 END AS frac
+         |FROM $prev)""".stripMargin
+    }.mkString(",\n")
+
+  /** DuckDB replay of q159: train counts, the unrolled log2fp program
+    * over the distinct smoothed counts, per-bigram bits with the same
+    * three-level fallback, per-doc truncating-div cross-entropy,
+    * per-lang report. A `def`-built `val`-interpolated string would be
+    * null during `all`'s init, hence the lazy val.
+    */
+  private lazy val PerplexityOracleSql: String =
+    s"""
+      WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
+      p AS MATERIALIZED (SELECT doc_id, lang, w[i] AS w1, w[i+1] AS w2
+           FROM t, unnest(range(1, len(w))) AS u(i)),
+      c2 AS MATERIALIZED (SELECT w1, w2, count(*) AS c2 FROM p WHERE lang = 'en' GROUP BY 1, 2),
+      c1 AS MATERIALIZED (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+      vf AS MATERIALIZED (SELECT count(*) AS V FROM (SELECT w1 AS w FROM c2 UNION SELECT w2 FROM c2)),
+      vals AS MATERIALIZED (SELECT DISTINCT val FROM (
+          SELECT c2 + 1 AS val FROM c2
+          UNION ALL SELECT c1 + (SELECT V FROM vf) AS val FROM c1
+          UNION ALL SELECT V AS val FROM vf)),
+      s0 AS MATERIALIZED (SELECT val, length(bin(val)) - 1 AS msb,
+             CASE WHEN length(bin(val)) - 1 >= 32
+                  THEN CAST(val AS HUGEINT) // (CAST(1 AS HUGEINT) << (length(bin(val)) - 1 - 32))
+                  ELSE CAST(val AS HUGEINT) * (CAST(1 AS HUGEINT) << (32 - (length(bin(val)) - 1))) END AS y,
+             CAST(0 AS HUGEINT) AS frac FROM vals),
+      ${log2RoundsSql(16)},
+      lg AS MATERIALIZED (SELECT val, CAST(msb AS BIGINT) * 65536 + CAST(frac AS BIGINT) AS l2fp FROM s16),
+      den AS MATERIALIZED (SELECT c1.w1, lg.l2fp AS den_fp FROM c1 JOIN lg ON c1.c1 + (SELECT V FROM vf) = lg.val),
+      num AS (SELECT w1, w2, l2fp AS num_fp FROM c2 JOIN lg ON c2.c2 + 1 = lg.val),
+      pb AS MATERIALIZED (SELECT num.w1, num.w2, den_fp - num_fp AS pb FROM num JOIN den USING (w1)),
+      unk AS (SELECT l2fp AS unk_fp FROM lg WHERE val = (SELECT V FROM vf)),
+      sc AS (SELECT p.doc_id, p.lang,
+               coalesce(pb.pb, den.den_fp, (SELECT unk_fp FROM unk)) AS bits
+             FROM p LEFT JOIN pb ON pb.w1 = p.w1 AND pb.w2 = p.w2
+                    LEFT JOIN den ON den.w1 = p.w1),
+      xd AS (SELECT doc_id, lang, sum(bits) // count(*) AS xent FROM sc GROUP BY 1, 2)
+      SELECT lang, count(*)::BIGINT AS n_docs,
+             CAST(sum(xent) // count(*) AS BIGINT) AS mean_xent_fp,
+             CAST(max(xent) AS BIGINT) AS max_xent_fp,
+             CAST(sum(CASE WHEN xent > 322000 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+             CAST((sum(CASE WHEN xent > 322000 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS flag_ppm
+      FROM xd GROUP BY lang ORDER BY lang"""
 
   /** DuckDB replay of q141: the prelude chain + the Rayleigh quotient. */
   private def powerIterationOracleSql(rounds: Int): String = {

@@ -978,6 +978,22 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("law: BigramLm.log2Frame == UnigramRuntime.log2fp (both mantissa branches)") {
+    // the column-wise unrolled program must reproduce the scalar bit
+    // recurrence exactly — including msb >= 32 (the div branch), which
+    // no count at the gate corpus reaches
+    val small = (1L to 300L) ++ Seq(65535L, 65536L, 1048575L, 2000003L)
+    val big = Seq(4294967295L, 4294967296L, 4294967297L,
+      1L << 40, (1L << 50) + 12345L, Long.MaxValue / 3)
+    val vals = (small ++ big).toDF("val")
+    val got = operators.BigramLm.log2Frame(vals)
+      .as[(Long, Long)].collect().toMap
+    (small ++ big).foreach { v =>
+      assert(got(v) === graft.functions.UnigramRuntime.log2fp(v),
+        s"log2Frame($v) = ${got(v)} != scalar ${graft.functions.UnigramRuntime.log2fp(v)}")
+    }
+  }
+
   test("law: per-key count-frame join size (q147's est_out_rows) equals the actual join cardinality") {
     val kv: Gen[List[Long]] = Gen.listOf(Gen.choose(0L, 12L))
     samples(Gen.zip(kv, kv), 8).foreach { case (lks, rks) =>
