@@ -2706,7 +2706,72 @@ object MiningQueries {
         "bit recurrence evaluated column-wise over the bounded distinct-" +
         "count frame, replayed verbatim by the oracle's unrolled HUGEINT " +
         "program; per-lang mean/max and flag rates at the corpus-" +
-        "calibrated 322000 threshold (~12% of en vs ~75% of other langs)"))
+        "calibrated 322000 threshold (~12% of en vs ~75% of other langs)"),
+
+    // ------------------------------------- training-sequence packing
+    Q("q160_sequence_packing",
+      (s, d) => {
+        // the training-side twin of q145's write-side bin packing: an
+        // LLM dataloader CONCATENATES documents and CHUNKS the token
+        // stream at fixed context boundaries (B=256 here) — docs DO
+        // split across boundaries, unlike q145's never-split files.
+        // This is the packing-efficiency audit that decides B and the
+        // doc ordering: sequences produced, fill ppm (padding lost to
+        // each shard's final partial sequence), and how many docs get
+        // split. Packing unit = (source, shard of 128 doc_ids) — the
+        // production shape: shards pack independently, so the running
+        // sum is a BOUNDED per-shard window, never a per-source (let
+        // alone global) sequential scan; at 100 TB shards are files and
+        // the window never exceeds one file's docs. A doc spanning
+        // [cum-n, cum-1] splits iff its first and last token land in
+        // different chunks — pure integer div, no join, one shuffle.
+        val w = Window.partitionBy(col("source"), col("shard"))
+          .orderBy(col("doc_id"))
+        T.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            size(split(lower(col("text")), " ")).cast("long").as("n"))
+          .withColumn("shard", expr("doc_id div 128"))
+          .withColumn("cum", sum(col("n")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("sf", expr("(cum - n) div 256"))
+          .withColumn("sl", expr("(cum - 1) div 256"))
+          .groupBy(col("source"), col("shard"))
+          .agg(count(lit(1)).as("nd"), sum(col("n")).as("tt"),
+            expr("(max(cum) + 255) div 256").as("ns"),
+            sum(when(col("sf") =!= col("sl"), 1L).otherwise(0L)).as("nsplit"))
+          .groupBy(col("source"))
+          .agg(sum(col("nd")).as("n_docs"), sum(col("tt")).as("total_tokens"),
+            sum(col("ns")).as("n_sequences"), sum(col("nsplit")).as("n_split_docs"))
+          .select(col("source"), col("n_docs"), col("total_tokens"),
+            col("n_sequences"),
+            expr("(total_tokens * 1000000) div (n_sequences * 256)").as("fill_ppm"),
+            col("n_split_docs"),
+            expr("(n_split_docs * 1000000) div n_docs").as("split_ppm"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH t AS (SELECT source, doc_id, doc_id // 128 AS shard,
+                          len(string_split(lower(text), ' ')) AS n FROM documents),
+        c AS (SELECT *, sum(n) OVER (PARTITION BY source, shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t),
+        x AS (SELECT *, (cum - n) // 256 AS sf, (cum - 1) // 256 AS sl FROM c),
+        ps AS (SELECT source, shard, count(*) AS nd, sum(n) AS tt,
+                 (max(cum) + 255) // 256 AS ns,
+                 sum(CASE WHEN sf <> sl THEN 1 ELSE 0 END) AS nsplit
+               FROM x GROUP BY 1, 2)
+        SELECT source, CAST(sum(nd) AS BIGINT) AS n_docs,
+               CAST(sum(tt) AS BIGINT) AS total_tokens,
+               CAST(sum(ns) AS BIGINT) AS n_sequences,
+               CAST((sum(tt) * 1000000) // (sum(ns) * 256) AS BIGINT) AS fill_ppm,
+               CAST(sum(nsplit) AS BIGINT) AS n_split_docs,
+               CAST((sum(nsplit) * 1000000) // sum(nd) AS BIGINT) AS split_ppm
+        FROM ps GROUP BY source ORDER BY source"""),
+      "training-sequence packing audit (concat-and-chunk at B=256, the " +
+        "LLM dataloader's op — docs split at chunk boundaries, unlike " +
+        "q145's never-split files): per-source sequences, fill ppm lost " +
+        "to per-shard final padding, split-doc rate; packing unit is " +
+        "(source, 128-doc shard) so the running sum is a bounded " +
+        "per-shard window — one shuffle, pure integer div, no join"))
 
   /** q141/q142/q144: the ONE distributed corpus-sized stage of the eigen
     * family — GramMatrix's map-side-combined d×d reduction, unpacked to
