@@ -2771,7 +2771,84 @@ object MiningQueries {
         "q145's never-split files): per-source sequences, fill ppm lost " +
         "to per-shard final padding, split-doc rate; packing unit is " +
         "(source, 128-doc shard) so the running sum is a bounded " +
-        "per-shard window — one shuffle, pure integer div, no join"))
+        "per-shard window — one shuffle, pure integer div, no join"),
+
+    // --------------------------------------- histogram winsorization
+    Q("q161_winsorize",
+      (s, d) => {
+        // sketch-driven winsorization — the q137 fixed-universe
+        // histogram COMPOSED into a cleaning action: per event type,
+        // p01/p99 bucket edges (16-cent cells) from one mergeable
+        // (type, bucket) count agg, then every value clamps to
+        // [lo_edge, hi_edge] in a map-side pass. The outlier treatment
+        // every metrics pipeline runs before averaging: reports raw vs
+        // winsorized mean (exact integer cents) and both clip counts.
+        // Rank targets are ceil(p·n/100) in pure integer arithmetic;
+        // bucket edges (not exact order statistics) are the DISCLOSED
+        // estimator — deterministic, mergeable, and at 100 TB the cell
+        // frame stays |types| x value-range/16 regardless of corpus
+        // size, where exact per-group quantiles would sort the corpus
+        // (the q99-vs-q137 trade). Cumulative window runs on the
+        // BOUNDED cell frame; bounds ride a |types|-row broadcast.
+        val e = T.events(s, d).select(col("event_type"),
+            expr("CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT)").as("v"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val wb = Window.partitionBy(col("event_type")).orderBy(col("bkt"))
+        val cu = e.withColumn("bkt", expr("v div 16"))
+          .groupBy(col("event_type"), col("bkt")).agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c")).over(
+            wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("n", sum(col("c")).over(
+            Window.partitionBy(col("event_type"))))
+        val lo = cu.where(expr("cum >= (1 * n + 99) div 100"))
+          .groupBy(col("event_type")).agg(min(col("bkt")).as("lob"))
+        val hi = cu.where(expr("cum >= (99 * n + 99) div 100"))
+          .groupBy(col("event_type")).agg(min(col("bkt")).as("hib"))
+        val bounds = lo.join(hi, Seq("event_type"))
+          .select(col("event_type"), (col("lob") * 16).as("lo_edge"),
+            (col("hib") * 16 + 15).as("hi_edge"))
+        e.join(broadcast(bounds), Seq("event_type"))
+          .select(col("event_type"), col("v"),
+            expr("CASE WHEN v < lo_edge THEN lo_edge WHEN v > hi_edge THEN hi_edge ELSE v END")
+              .as("wv"),
+            when(col("v") < col("lo_edge"), 1L).otherwise(0L).as("cl"),
+            when(col("v") > col("hi_edge"), 1L).otherwise(0L).as("ch"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("cl")).as("n_clipped_low"),
+            sum(col("ch")).as("n_clipped_high"),
+            expr("sum(v) div count(1)").as("mean_cents"),
+            expr("sum(wv) div count(1)").as("winsorized_mean_cents"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH e AS (SELECT event_type, CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS v FROM events),
+        b AS (SELECT event_type, v // 16 AS bkt, count(*) AS c FROM e GROUP BY 1, 2),
+        cu AS (SELECT event_type, bkt, c,
+                 sum(c) OVER (PARTITION BY event_type ORDER BY bkt
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 sum(c) OVER (PARTITION BY event_type) AS n FROM b),
+        lo AS (SELECT event_type, min(bkt) AS lob FROM cu WHERE cum >= (1 * n + 99) // 100 GROUP BY 1),
+        hi AS (SELECT event_type, min(bkt) AS hib FROM cu WHERE cum >= (99 * n + 99) // 100 GROUP BY 1),
+        bounds AS (SELECT lo.event_type, lob * 16 AS lo_edge, hib * 16 + 15 AS hi_edge
+                   FROM lo JOIN hi USING (event_type)),
+        w AS (SELECT e.event_type, v,
+                CASE WHEN v < lo_edge THEN lo_edge WHEN v > hi_edge THEN hi_edge ELSE v END AS wv,
+                CASE WHEN v < lo_edge THEN 1 ELSE 0 END AS cl,
+                CASE WHEN v > hi_edge THEN 1 ELSE 0 END AS ch
+              FROM e JOIN bounds USING (event_type))
+        SELECT event_type, count(*)::BIGINT AS n_events,
+               CAST(sum(cl) AS BIGINT) AS n_clipped_low,
+               CAST(sum(ch) AS BIGINT) AS n_clipped_high,
+               CAST(sum(v) // count(*) AS BIGINT) AS mean_cents,
+               CAST(sum(wv) // count(*) AS BIGINT) AS winsorized_mean_cents
+        FROM w GROUP BY 1 ORDER BY 1"""),
+      "sketch-driven winsorization: p01/p99 bucket edges from ONE " +
+        "mergeable (type, 16-cent bucket) count agg (the q137 histogram " +
+        "composed into a cleaning action), values clamped map-side after " +
+        "a |types|-row bounds broadcast — raw vs winsorized exact integer " +
+        "means and both clip counts; the cell frame stays bounded by the " +
+        "value range at any corpus size (the q99-vs-q137 trade, disclosed)"))
 
   /** q141/q142/q144: the ONE distributed corpus-sized stage of the eigen
     * family — GramMatrix's map-side-combined d×d reduction, unpacked to
