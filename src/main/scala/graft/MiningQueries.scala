@@ -2656,39 +2656,8 @@ object MiningQueries {
           .select(col("doc_id"), col("lang"),
             col("bg.w1").as("w1"), col("bg.w2").as("w2"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val c2 = pairs.where(col("lang") === "en")
-          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-        val vfr = c2.select(col("w1").as("w")).union(c2.select(col("w2").as("w")))
-          .distinct().agg(count(lit(1)).as("V")).withColumn("__k", lit(1))
-        val c1v = c1.withColumn("__k", lit(1))
-          .join(broadcast(vfr), Seq("__k")).drop("__k")
-        val vals = c2.select((col("c2") + lit(1L)).as("val"))
-          .union(c1v.select((col("c1") + col("V")).as("val")))
-          .union(vfr.select(col("V").cast("long").as("val")))
-          .distinct()
-        // lg is consumed three times (den/num/unk) and its lineage pulls
-        // the whole train chain — persist the bounded distinct-count frame
-        val lg = BigramLm.log2Frame(vals)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val den = c1v.join(lg, c1v("c1") + c1v("V") === lg("val"))
-          .select(col("w1"), col("l2fp").as("den_fp"))
-        val num = c2.join(lg, c2("c2") + lit(1L) === lg("val"))
-          .select(col("w1"), col("w2"), col("l2fp").as("num_fp"))
-        val pairBits = num.join(den, Seq("w1"))
-          .select(col("w1"), col("w2"), (col("den_fp") - col("num_fp")).as("pb"))
-        val unk = vfr.join(lg, vfr("V").cast("long") === lg("val"))
-          .select(col("l2fp").as("unk_fp")).withColumn("__k", lit(1))
-        pairs
-          .join(pairBits, Seq("w1", "w2"), "left")
-          .join(den, Seq("w1"), "left")
-          .withColumn("__k", lit(1))
-          .join(broadcast(unk), Seq("__k"))
-          .select(col("doc_id"), col("lang"),
-            coalesce(col("pb"), col("den_fp"), col("unk_fp")).as("bits"))
-          .groupBy(col("doc_id"), col("lang"))
-          .agg(expr("sum(bits) div count(1)").as("xent_fp"))
+        val lm = BigramLm.train(pairs.where(col("lang") === "en"))
+        BigramLm.score(pairs, Seq("doc_id", "lang"), lm)
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"),
             expr("sum(xent_fp) div count(1)").as("mean_xent_fp"),

@@ -64,4 +64,61 @@ object BigramLm {
     }
     f.select(col(valCol), (col("__msb") * lit(65536L) + col("__frac")).as("l2fp"))
   }
+
+  /** The trained model: per-bigram bits, per-context default bits, and
+    * the 1-row unseen-context cost — all fixed-point Q16 log2 values.
+    * `pairBits`/`ctxBits` are training-vocab-sized; `unk` is 1 row with
+    * an `__k = 1` join key (the q126 constant-attach device).
+    */
+  final case class Lm(pairBits: DataFrame, ctxBits: DataFrame, unk: DataFrame)
+
+  /** Train the add-one-smoothed bigram LM from trusted-slice (w1, w2)
+    * rows. The count frames are persisted (each feeds multiple
+    * consumers); the log2 frame runs over the bounded distinct-count
+    * set. Call once; [[score]] per corpus slice or per micro-batch.
+    */
+  def train(trainPairs: DataFrame): Lm = {
+    val c2 = trainPairs
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val vfr = c2.select(col("w1").as("w")).union(c2.select(col("w2").as("w")))
+      .distinct().agg(count(lit(1)).as("V")).withColumn("__k", lit(1))
+    val c1v = c1.withColumn("__k", lit(1))
+      .join(broadcast(vfr), Seq("__k")).drop("__k")
+    val vals = c2.select((col("c2") + lit(1L)).as("val"))
+      .union(c1v.select((col("c1") + col("V")).as("val")))
+      .union(vfr.select(col("V").cast("long").as("val")))
+      .distinct()
+    // lg is consumed three times (den/num/unk) and its lineage pulls the
+    // whole train chain — persist the bounded distinct-count frame
+    val lg = log2Frame(vals)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val den = c1v.join(lg, c1v("c1") + c1v("V") === lg("val"))
+      .select(col("w1"), col("l2fp").as("den_fp"))
+    val num = c2.join(lg, c2("c2") + lit(1L) === lg("val"))
+      .select(col("w1"), col("w2"), col("l2fp").as("num_fp"))
+    val pairBits = num.join(den, Seq("w1"))
+      .select(col("w1"), col("w2"), (col("den_fp") - col("num_fp")).as("pb"))
+    val unk = vfr.join(lg, vfr("V").cast("long") === lg("val"))
+      .select(col("l2fp").as("unk_fp")).withColumn("__k", lit(1))
+    Lm(pairBits, den, unk)
+  }
+
+  /** Per-key cross-entropy (Q16 bits per bigram, truncating div) of
+    * already-exploded (w1, w2) rows under a trained LM: per-bigram bits
+    * = pair hit, else the context's default, else the unseen-context
+    * cost. Pure — works identically on a batch slice and on a
+    * foreachBatch micro-batch (the streaming quality gate).
+    */
+  def score(pairs: DataFrame, keyCols: Seq[String], lm: Lm): DataFrame =
+    pairs
+      .join(lm.pairBits, Seq("w1", "w2"), "left")
+      .join(lm.ctxBits, Seq("w1"), "left")
+      .withColumn("__k", lit(1))
+      .join(broadcast(lm.unk), Seq("__k"))
+      .select(keyCols.map(col) :+
+        coalesce(col("pb"), col("den_fp"), col("unk_fp")).as("bits"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(expr("sum(bits) div count(1)").as("xent_fp"))
 }

@@ -973,6 +973,47 @@ class StreamingSpec extends SparkSpec {
     assert(acc.synchronized(acc.toMap) === manifest(rows.toDF("source", "fp")))
   }
 
+  test("streaming perplexity gate: per-batch BigramLm.score == batch scores (static trained LM)") {
+    // q159's quality filter at ingest time: the LM trains ONCE on the
+    // trusted slice, then every micro-batch of incoming docs scores
+    // against the static model inside foreachBatch — per-doc Q16 bits
+    // are the batch run's bit-for-bit, so the accept/flag decision is
+    // identical whether a doc arrives in bulk or mid-stream. Per-batch
+    // cost scales with the batch (the StreamingDedup discipline).
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    def pairsOf(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = df
+      .select(col("doc_id"), split(lower(col("text")), " ").as("__w"))
+      .select(col("doc_id"), explode(operators.BigramLm.bigramPairs(col("__w"))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val all = rows.toDF("doc_id", "lang", "text")
+    val lm = operators.BigramLm.train(pairsOf(all.where(col("lang") === "en")))
+    def scores(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      operators.BigramLm.score(pairsOf(df), Seq("doc_id"), lm)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = scores(all)
+    val input = MemoryStream[(Long, String, String)]
+    val acc = scala.collection.mutable.Map.empty[Long, Long]
+    val q = input.toDF().toDF("doc_id", "lang", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val m = scores(batch.toDF())
+        acc.synchronized { acc ++= m; () }
+      }
+      .trigger(Trigger.ProcessingTime(0L))
+      .start()
+    try {
+      rows.grouped(20).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(acc.synchronized(acc.toMap) === expected)
+    assert(expected.nonEmpty && expected.values.forall(_ > 0L))
+  }
+
   test("streaming CountMin: per-batch grids summed cell-wise == one batch grid over all data") {
     // the mergeable-summary property applied at ingest: each micro-batch
     // contributes its own fixed-size grid, the running sketch is the
