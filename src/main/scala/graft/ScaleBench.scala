@@ -39,7 +39,9 @@ object ScaleBench {
     "q109_bpe_merges",        // 20 BPE rounds over the word table
     "q130_pq_codebooks",      // PQ train + encode over embeddings
     "q136_dedup_report",      // amortized index build + full dedup report
-    "q152_triangle_count")    // degree-oriented wedge join
+    "q152_triangle_count",    // degree-oriented wedge join
+    "q158_repetition_audit",  // corpus (doc, k, gram) count agg
+    "q159_perplexity_filter") // LM train chain + two corpus scoring joins
 
   private def ensureScaled(spark: SparkSession, srcDir: String, r: Int, outDir: String): Unit = {
     val done = new java.io.File(s"$outDir/_DONE")
