@@ -2817,7 +2817,138 @@ object MiningQueries {
         "composed into a cleaning action), values clamped map-side after " +
         "a |types|-row bounds broadcast — raw vs winsorized exact integer " +
         "means and both clip counts; the cell frame stays bounded by the " +
-        "value range at any corpus size (the q99-vs-q137 trade, disclosed)"))
+        "value range at any corpus size (the q99-vs-q137 trade, disclosed)"),
+
+    // ------------------------------------ end-to-end curation pipeline
+    Q("q162_curation_waterfall",
+      (s, d) => {
+        // THE composed curation pipeline — the run a training-data team
+        // actually ships, as ONE plan with the survivorship waterfall
+        // every data card publishes: raw -> Gopher repetition rules
+        // (q158's per-doc metrics) -> CCNet perplexity filter (q159's
+        // scorer, LM trained on the trusted slice) -> exact near-dup
+        // cluster dedup among the survivors (q51/q136's PPJoin pairs +
+        // pointer-jump components, q102's keep-longest policy). Gate
+        // corpus: 500 -> 467 -> 241 -> 231 docs; the perplexity stage
+        // keeps ~83% of en and ~20% of other langs — exactly CCNet's
+        // target-language concentration, disclosed per lang. Stage
+        // order matters and is the production one: cheap map-side
+        // filters shrink the corpus BEFORE the quadratic-risk pair
+        // stage ever shingles it — the dedup stage here runs on 48% of
+        // the raw corpus. Every stage reuses a proven operator; the
+        // oracle is the composed q158 + q159 + q136 SQL over one
+        // WITH RECURSIVE list.
+        val docs = T.documents(s, d)
+        // repartition BEFORE the explosion: explode amplifies each doc
+        // ~200x, so input splits sized for the raw file (here one split
+        // — the table is one small parquet) serialize the gram stage; at
+        // 100 TB the same lever is files.maxPartitionBytes tuned for
+        // post-explosion volume.
+        val docsW = docs.select(col("doc_id"), col("lang"),
+          split(lower(col("text")), " ").as("__w"))
+          .repartition(32, col("doc_id"))
+        // ONE corpus explosion + ONE corpus-sized count agg feed BOTH
+        // filter stages: the k=2 grams ARE the LM's bigrams (the gram
+        // string splits back into (w1, w2) exactly — concat_ws(" ") over
+        // space-free tokens round-trips), so the repetition metrics and
+        // the weighted LM train/score all derive from this counted
+        // frame. vs the naive compose (one explosion per stage + LM over
+        // every bigram POSITION): half the corpus scans, and the LM
+        // joins run over per-doc DISTINCT bigrams. Persist is the
+        // sf-local convenience; at 100 TB each consumer recomputes its
+        // slice (two scans) instead.
+        val grams = docsW
+          .select(col("doc_id"), col("lang"), explode(flatten(array(
+            transform(TextOps.positionalGrams(col("__w"), 2),
+              g => struct(lit(2L).as("k"), g.as("g"))),
+            transform(TextOps.positionalGrams(col("__w"), 3),
+              g => struct(lit(3L).as("k"), g.as("g")))))).as("kg"))
+          .select(col("doc_id"), col("lang"),
+            col("kg.k").as("k"), col("kg.g").as("g"))
+          .groupBy(col("doc_id"), col("lang"), col("k"), col("g"))
+          .agg(count(lit(1)).as("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val repDoc = grams
+          .groupBy(col("doc_id"))
+          .agg(max(when(col("k") === 2, col("c"))).as("top2"),
+            sum(when(col("k") === 2, col("c"))).as("n2"),
+            sum(when(col("k") === 3 && col("c") >= 2, col("c"))
+              .otherwise(lit(0L))).as("dup3"),
+            sum(when(col("k") === 3, col("c"))).as("n3"))
+          .select(col("doc_id"),
+            expr("(top2 * 1000000) div n2").as("top2ppm"),
+            expr("(dup3 * 1000000) div n3").as("dup3ppm"))
+          // 1 row/doc, 3 columns — consumed twice (passB build + the
+          // n_after_repetition count); persist skips re-aggregating
+          // the gram frame.
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val bg2 = grams.where(col("k") === 2)
+          .select(col("doc_id"), col("lang"),
+            split(col("g"), " ").getItem(0).as("w1"),
+            split(col("g"), " ").getItem(1).as("w2"), col("c"))
+        val lm = BigramLm.train(bg2.where(col("lang") === "en"), Some("c"))
+        val xent = BigramLm.score(bg2, Seq("doc_id"), lm, Some("c"))
+        val passA = docs.join(repDoc, Seq("doc_id"))
+          .where(col("top2ppm") <= 80000 && col("dup3ppm") <= 100000)
+          .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+        // localCheckpoint, not persist: persist caches the DATA but every
+        // downstream action still re-analyzes the full composed logical
+        // plan (the LM's 16 unrolled log2 projections dominate Catalyst
+        // time), and the dedup stage + four waterfall counts each pay it
+        // — measured 2x the whole query's cost at sf0.1. Checkpointing
+        // truncates the lineage at this doc-sized frame; Bench's
+        // checkpoint cleanup releases the blocks between queries.
+        // The re-alias before the checkpoint is load-bearing: the
+        // checkpoint's LogicalRDD adopts its child's attribute ids, and
+        // without fresh Aliases those are the documents RELATION's ids —
+        // the final waterfall join (raw-corpus n0 vs survivor counts)
+        // then has two leaves exposing the same ids and analysis dies
+        // with "Conflicting attributes".
+        val passB = passA.join(xent, Seq("doc_id"))
+          .where(col("xent_fp") <= 322000L)
+          .select(Seq("doc_id", "lang", "text", "n_chars")
+            .map(c => col(c).as(c)): _*)
+          .localCheckpoint()
+        val ndPairs = JaccardJoin.nearDupPairs(passB, "doc_id", "text",
+          ngram = 3, num = 6, den = 10).select(col("id_a"), col("id_b"))
+        val comp = Components.connectedComponents(ndPairs, "id_a", "id_b")
+        val drops = comp.join(passB, comp("id") === passB("doc_id"))
+          .withColumn("__rk", row_number().over(
+            Window.partitionBy(col("comp"))
+              .orderBy(col("n_chars").desc, col("id").asc)))
+          .where(col("__rk") =!= 1).select(col("id").as("doc_id"))
+        val fin = passB.join(drops, Seq("doc_id"), "left_anti")
+        val n0 = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_raw"))
+        val na = passA.groupBy(col("lang")).agg(count(lit(1)).as("na"))
+        val nb = passB.groupBy(col("lang")).agg(count(lit(1)).as("nb"))
+        val nc = fin.groupBy(col("lang")).agg(count(lit(1)).as("nc"))
+        val mix = n0.join(na, Seq("lang"), "left").join(nb, Seq("lang"), "left")
+          .join(nc, Seq("lang"), "left")
+          .select(col("lang"), col("n_raw"),
+            coalesce(col("na"), lit(0L)).as("n_rep"),
+            coalesce(col("nb"), lit(0L)).as("n_ppl"),
+            coalesce(col("nc"), lit(0L)).as("n_final"))
+        val langRows = mix.select(col("lang"), col("n_raw"),
+          col("n_rep").as("n_after_repetition"),
+          col("n_ppl").as("n_after_perplexity"), col("n_final"),
+          expr("(n_final * 1000000) div n_raw").as("keep_ppm"))
+        val totalRow = mix.agg(sum(col("n_raw")).as("n_raw"),
+            sum(col("n_rep")).as("n_rep"), sum(col("n_ppl")).as("n_ppl"),
+            sum(col("n_final")).as("n_final"))
+          .select(lit("total").as("lang"), col("n_raw"),
+            col("n_rep").as("n_after_repetition"),
+            col("n_ppl").as("n_after_perplexity"), col("n_final"),
+            expr("(n_final * 1000000) div n_raw").as("keep_ppm"))
+        langRows.unionByName(totalRow).orderBy(col("lang"))
+      },
+      Some(CurationOracleSql),
+      "end-to-end curation waterfall in ONE plan: Gopher repetition " +
+        "rules -> CCNet perplexity filter -> exact near-dup cluster " +
+        "dedup (keep-longest), with the per-lang survivorship counts a " +
+        "data card publishes at every stage; map-side filters shrink the " +
+        "corpus to 48% BEFORE the pair stage shingles it (the production " +
+        "stage order); oracle composes the proven q158 + q159 + q136 SQL " +
+        "over one WITH RECURSIVE list"))
 
   /** q141/q142/q144: the ONE distributed corpus-sized stage of the eigen
     * family — GramMatrix's map-side-combined d×d reduction, unpacked to
@@ -2960,15 +3091,14 @@ object MiningQueries {
          |FROM $prev)""".stripMargin
     }.mkString(",\n")
 
-  /** DuckDB replay of q159: train counts, the unrolled log2fp program
-    * over the distinct smoothed counts, per-bigram bits with the same
-    * three-level fallback, per-doc truncating-div cross-entropy,
-    * per-lang report. A `def`-built `val`-interpolated string would be
-    * null during `all`'s init, hence the lazy val.
+  /** q159/q162 shared DuckDB prelude: train counts, the unrolled log2fp
+    * program over the distinct smoothed counts, per-bigram bits with the
+    * three-level fallback, per-doc truncating-div cross-entropy (`xd`).
+    * No WITH keyword — q159 prepends `WITH`, q162 `WITH RECURSIVE`
+    * (its dedup stage needs a recursive CTE in the same list).
     */
-  private lazy val PerplexityOracleSql: String =
-    s"""
-      WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
+  private lazy val PerplexityDocCtes: String =
+    s"""t AS (SELECT doc_id, lang, source, string_split(lower(text), ' ') AS w FROM documents),
       p AS MATERIALIZED (SELECT doc_id, lang, w[i] AS w1, w[i+1] AS w2
            FROM t, unnest(range(1, len(w))) AS u(i)),
       c2 AS MATERIALIZED (SELECT w1, w2, count(*) AS c2 FROM p WHERE lang = 'en' GROUP BY 1, 2),
@@ -2993,13 +3123,84 @@ object MiningQueries {
                coalesce(pb.pb, den.den_fp, (SELECT unk_fp FROM unk)) AS bits
              FROM p LEFT JOIN pb ON pb.w1 = p.w1 AND pb.w2 = p.w2
                     LEFT JOIN den ON den.w1 = p.w1),
-      xd AS (SELECT doc_id, lang, sum(bits) // count(*) AS xent FROM sc GROUP BY 1, 2)
+      xd AS (SELECT doc_id, lang, sum(bits) // count(*) AS xent FROM sc GROUP BY 1, 2)"""
+
+  /** DuckDB replay of q159: the shared per-doc cross-entropy prelude +
+    * the per-lang report. (lazy val: `all` interpolates it at init.)
+    */
+  private lazy val PerplexityOracleSql: String =
+    s"""WITH $PerplexityDocCtes
       SELECT lang, count(*)::BIGINT AS n_docs,
              CAST(sum(xent) // count(*) AS BIGINT) AS mean_xent_fp,
              CAST(max(xent) AS BIGINT) AS max_xent_fp,
              CAST(sum(CASE WHEN xent > 322000 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
              CAST((sum(CASE WHEN xent > 322000 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS flag_ppm
       FROM xd GROUP BY lang ORDER BY lang"""
+
+  /** DuckDB replay of q162: the perplexity prelude + q158's per-doc
+    * repetition metrics + the three-stage waterfall, with q136's
+    * recursive pair/component template applied to the perplexity
+    * survivors. One WITH RECURSIVE list; every fragment is a
+    * previously-proven oracle device.
+    */
+  private lazy val CurationOracleSql: String =
+    s"""WITH RECURSIVE $PerplexityDocCtes,
+      rg AS (SELECT doc_id, 2 AS k, w[i] || ' ' || w[i+1] AS g
+             FROM t, unnest(range(1, len(w))) AS u(i)
+             UNION ALL
+             SELECT doc_id, 3 AS k, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+             FROM t, unnest(range(1, len(w) - 1)) AS u(i)),
+      rc AS (SELECT doc_id, k, g, count(*) AS c FROM rg GROUP BY ALL),
+      rd AS (SELECT doc_id,
+               max(CASE WHEN k = 2 THEN c END) AS top2,
+               sum(CASE WHEN k = 2 THEN c END) AS n2,
+               sum(CASE WHEN k = 3 AND c >= 2 THEN c ELSE 0 END) AS dup3,
+               sum(CASE WHEN k = 3 THEN c END) AS n3
+             FROM rc GROUP BY 1),
+      rm AS (SELECT doc_id, (top2 * 1000000) // n2 AS top2ppm,
+                    (dup3 * 1000000) // n3 AS dup3ppm FROM rd),
+      pa AS (SELECT d.doc_id, d.lang, d.n_chars, d.text FROM documents d
+             JOIN rm ON rm.doc_id = d.doc_id
+             WHERE rm.top2ppm <= 80000 AND rm.dup3ppm <= 100000),
+      pbv AS (SELECT pa.* FROM pa JOIN xd ON xd.doc_id = pa.doc_id
+              WHERE xd.xent <= 322000),
+      stoks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM pbv),
+      ssh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM stoks),
+      spairs AS (SELECT a.doc_id AS u, b.doc_id AS v
+                 FROM ssh a JOIN ssh b ON a.doc_id < b.doc_id
+                 WHERE len(a.sh) > 0 AND len(b.sh) > 0
+                   AND len(list_intersect(a.sh, b.sh)) * 10 >=
+                       6 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))),
+      sedges AS (SELECT u, v FROM spairs UNION SELECT v, u FROM spairs),
+      reach(id, r) AS (SELECT u, u FROM sedges
+        UNION SELECT e.u, reach.r FROM sedges e JOIN reach ON reach.id = e.v),
+      comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
+      ranked AS (SELECT comp.id,
+                   row_number() OVER (PARTITION BY c ORDER BY p2.n_chars DESC, comp.id) AS rk
+                 FROM comp JOIN pbv p2 ON p2.doc_id = comp.id),
+      drops AS (SELECT id FROM ranked WHERE rk <> 1),
+      fin AS (SELECT pbv.* FROM pbv WHERE doc_id NOT IN (SELECT id FROM drops)),
+      n0 AS (SELECT lang, count(*) AS n_raw FROM documents GROUP BY 1),
+      na AS (SELECT lang, count(*) AS n FROM pa GROUP BY 1),
+      nb AS (SELECT lang, count(*) AS n FROM pbv GROUP BY 1),
+      ncx AS (SELECT lang, count(*) AS n FROM fin GROUP BY 1),
+      mixx AS (SELECT n0.lang, n0.n_raw, coalesce(na.n, 0) AS n_rep,
+                      coalesce(nb.n, 0) AS n_ppl, coalesce(ncx.n, 0) AS n_final
+               FROM n0 LEFT JOIN na USING (lang) LEFT JOIN nb USING (lang)
+                       LEFT JOIN ncx USING (lang))
+      SELECT lang, CAST(n_raw AS BIGINT) AS n_raw,
+             CAST(n_rep AS BIGINT) AS n_after_repetition,
+             CAST(n_ppl AS BIGINT) AS n_after_perplexity,
+             CAST(n_final AS BIGINT) AS n_final,
+             CAST((n_final * 1000000) // n_raw AS BIGINT) AS keep_ppm
+      FROM mixx
+      UNION ALL
+      SELECT 'total', CAST(sum(n_raw) AS BIGINT), CAST(sum(n_rep) AS BIGINT),
+             CAST(sum(n_ppl) AS BIGINT), CAST(sum(n_final) AS BIGINT),
+             CAST((sum(n_final) * 1000000) // sum(n_raw) AS BIGINT)
+      FROM mixx
+      ORDER BY lang"""
 
   /** DuckDB replay of q141: the prelude chain + the Rayleigh quotient. */
   private def powerIterationOracleSql(rounds: Int): String = {

@@ -76,10 +76,16 @@ object BigramLm {
     * rows. The count frames are persisted (each feeds multiple
     * consumers); the log2 frame runs over the bounded distinct-count
     * set. Call once; [[score]] per corpus slice or per micro-batch.
+    *
+    * `weightCol`: train from PRE-COUNTED (w1, w2, c) rows instead of one
+    * row per bigram occurrence — sum(c) replaces count(*), numerically
+    * identical, and lets a caller that already aggregated per-doc gram
+    * counts (q162's shared gram frame) skip a second corpus explosion.
     */
-  def train(trainPairs: DataFrame): Lm = {
-    val c2 = trainPairs
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+  def train(trainPairs: DataFrame, weightCol: Option[String] = None): Lm = {
+    val c2 = weightCol.fold(
+        trainPairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2")))(w =>
+        trainPairs.groupBy(col("w1"), col("w2")).agg(sum(col(w)).as("c2")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val vfr = c2.select(col("w1").as("w")).union(c2.select(col("w2").as("w")))
@@ -110,15 +116,33 @@ object BigramLm {
     * = pair hit, else the context's default, else the unseen-context
     * cost. Pure — works identically on a batch slice and on a
     * foreachBatch micro-batch (the streaming quality gate).
+    *
+    * `weightCol`: score PRE-COUNTED (key…, w1, w2, c) rows — per-key
+    * bits become sum(bits·c) div sum(c), exactly the positional sum
+    * (each distinct bigram contributes its bits c times), so scores are
+    * bit-identical to the exploded form while the LM joins run over the
+    * per-key DISTINCT bigram frame instead of every position. Overflow-
+    * safe: bits ≤ ~2^21 (Q16 log2 of any Long count) and sum(c) per key
+    * is the key's token count, so sum(bits·c) stays far inside Long.
     */
-  def score(pairs: DataFrame, keyCols: Seq[String], lm: Lm): DataFrame =
-    pairs
+  def score(pairs: DataFrame, keyCols: Seq[String], lm: Lm,
+      weightCol: Option[String] = None): DataFrame = {
+    val scored = pairs
       .join(lm.pairBits, Seq("w1", "w2"), "left")
       .join(lm.ctxBits, Seq("w1"), "left")
       .withColumn("__k", lit(1))
       .join(broadcast(lm.unk), Seq("__k"))
-      .select(keyCols.map(col) :+
-        coalesce(col("pb"), col("den_fp"), col("unk_fp")).as("bits"): _*)
-      .groupBy(keyCols.map(col): _*)
-      .agg(expr("sum(bits) div count(1)").as("xent_fp"))
+    weightCol.fold(
+      scored
+        .select(keyCols.map(col) :+
+          coalesce(col("pb"), col("den_fp"), col("unk_fp")).as("bits"): _*)
+        .groupBy(keyCols.map(col): _*)
+        .agg(expr("sum(bits) div count(1)").as("xent_fp")))(w =>
+      scored
+        .select(keyCols.map(col) ++ Seq(
+          coalesce(col("pb"), col("den_fp"), col("unk_fp")).as("bits"),
+          col(w).as("__c")): _*)
+        .groupBy(keyCols.map(col): _*)
+        .agg(expr("sum(bits * __c) div sum(__c)").as("xent_fp")))
+  }
 }

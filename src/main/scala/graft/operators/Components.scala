@@ -77,9 +77,14 @@ object Components {
     // real graph sizes p grows back to the cluster's parallelism.
     // Floor at min(8, current partitions): a 1-partition loop serializes
     // every round's join/agg even when cores are idle (the q89 PageRank
-    // lesson) — small-but-multi beats single.
-    val p = math.max(math.min(8L, symAll.rdd.getNumPartitions.toLong),
-      math.min(symAll.rdd.getNumPartitions.toLong, nEdges / 2000000L)).toInt
+    // lesson) — small-but-multi beats single. Hard-floor at 1: an EMPTY
+    // edge frame under AQE reports 0 partitions (coalesced away), and
+    // shuffle.partitions=0 is rejected by Spark — an upstream-filtered
+    // corpus with no surviving pairs (q162's waterfall at some SFs) is a
+    // legitimate input, not an error.
+    val p = math.max(1L, math.max(
+      math.min(8L, symAll.rdd.getNumPartitions.toLong),
+      math.min(symAll.rdd.getNumPartitions.toLong, nEdges / 2000000L))).toInt
     val sym = if (p < symAll.rdd.getNumPartitions) symAll.coalesce(p) else symAll
 
     var comp = sym.select(col("src").as("id")).distinct()

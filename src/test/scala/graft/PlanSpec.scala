@@ -478,7 +478,8 @@ class PlanSpec extends SparkSpec {
       "q131_pq_search" -> "exact-L2 recall audit: probes broadcast by design (brute baseline next to the PQ path)",
       "q132_ivfpq_search" -> "centroid codebook scoring (k rows) broadcast (IVF probe-list selection, the q42 shape)",
       "q138_pq_residual_search" -> "per-(probe, centroid) residual ADC tables: probes x k-row centroid frame broadcast (the q42 shape) + brute exact-L2 recall audit",
-      "q159_perplexity_filter" -> "1-row trained-LM scalars (vocab size V, unseen-context bits) broadcast — the q126 device")
+      "q159_perplexity_filter" -> "1-row trained-LM scalars (vocab size V, unseen-context bits) broadcast — the q126 device",
+      "q162_curation_waterfall" -> "1-row trained-LM scalars broadcast (the q159 scorer composed into the waterfall)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       val bad = plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct")
