@@ -41,7 +41,8 @@ object ScaleBench {
     "q136_dedup_report",      // amortized index build + full dedup report
     "q152_triangle_count",    // degree-oriented wedge join
     "q158_repetition_audit",  // corpus (doc, k, gram) count agg
-    "q159_perplexity_filter") // LM train chain + two corpus scoring joins
+    "q159_perplexity_filter",  // LM train chain + two corpus scoring joins
+    "q162_curation_waterfall") // composed repetition -> perplexity -> dedup
 
   private def ensureScaled(spark: SparkSession, srcDir: String, r: Int, outDir: String): Unit = {
     val done = new java.io.File(s"$outDir/_DONE")
