@@ -167,6 +167,20 @@ class PropertySpec extends SparkSpec {
     assert(got.values.toSet === Set(0L))
   }
 
+  test("connectedComponents tolerates an empty edge frame (AQE 0-partition repro)") {
+    // q162 regression: an upstream-filtered pair frame can be legitimately
+    // empty, and AQE coalesces the empty shuffle output to 0 partitions —
+    // the parallelism floor must clamp at 1, not pass 0 to
+    // spark.sql.shuffle.partitions (which Spark rejects). The groupBy +
+    // impossible filter reproduces the post-shuffle-empty shape.
+    val empty = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+      .groupBy(col("a"), col("b")).count()
+      .where(col("count") > 5).select(col("a"), col("b"))
+    val got = Components.connectedComponents(empty, "a", "b")
+    assert(got.columns.toSeq === Seq("id", "comp"))
+    assert(got.count() === 0)
+  }
+
   test("law: RangeJoin.pointInInterval == brute force, exactly once (incl. negatives)") {
     val caseGen: Gen[(List[(Long, Long)], List[(Long, Long, Long)], Long)] = for {
       pts <- Gen.listOfN(25, Gen.choose(-100L, 100L))
