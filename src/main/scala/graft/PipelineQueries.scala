@@ -935,16 +935,19 @@ object PipelineQueries {
           .select(col("vec_id"))
           .orderBy(col("vec_id"))
       },
-      // oracle replays the whole pipeline: stride-seeded centroids,
-      // argmax-cosine assignment (ties -> larger centroid id, the
-      // max(struct) rule), intra-cluster pairs, drop-higher-id. Exact
-      // double equality of the cosines across engines is the q30/q49
-      // precedent (identical sequential dot/norm arithmetic)
+      // oracle replays the whole pipeline: stride-seeded centroids
+      // (INCLUDING the maxK=64 quantizer cap, vec_id < 16*64 — the seed
+      // predicates must stay equivalent on ANY corpus, not just one
+      // below the cap), argmax-cosine assignment (ties -> larger
+      // centroid id, the max(struct) rule), intra-cluster pairs,
+      // drop-higher-id. Exact double equality of the cosines across
+      // engines is the q30/q49 precedent (identical sequential dot/norm
+      // arithmetic)
       Some("""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
         c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
-              WHERE vec_id % 16 = 0 AND nrm > 0),
+              WHERE vec_id % 16 = 0 AND vec_id < 1024 AND nrm > 0),
         a AS (SELECT vec_id, cid,
                 list_sum(list_transform(list_zip(v, cv), z -> z[1]*z[2])) / (nrm * cn) AS cc
               FROM n CROSS JOIN c

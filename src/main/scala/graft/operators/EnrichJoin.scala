@@ -52,8 +52,11 @@ object EnrichJoin {
     * (key, buildTs) — pre-dedup otherwise (ties would be nondeterministic).
     *
     * Implementation: tag both sides, union, window-sort by (ts, side) per
-    * key, carry the last non-null build attributes forward, keep probe
-    * rows. Build rows at ts == probeTs are visible (side 0 sorts first).
+    * key, carry the last build row's attributes forward AS ONE STRUCT
+    * (a single `last(ignoreNulls)` — per-column lasts could mix
+    * attributes of different build rows when a nearer row has NULL in
+    * one carry column), keep probe rows. Build rows at ts == probeTs
+    * are visible (side 0 sorts first).
     */
   def asOfJoin(
       probe: DataFrame,
@@ -63,24 +66,29 @@ object EnrichJoin {
       buildTs: String,
       carry: Seq[String]): DataFrame = {
     val probeCols = probe.columns.toSeq
+    val carryStruct = struct(carry.map(col): _*)
+    val nullCarry = lit(null).cast(
+      org.apache.spark.sql.types.StructType(carry.map(c => build.schema(c))))
     val p = probe
       .withColumn("__side", lit(1))
       .withColumn("__ts", col(probeTs))
-      .select((probeCols.map(col) ++ carry.map(c => lit(null).cast(build.schema(c).dataType).as(s"__c_$c")) ++ Seq(col("__side"), col("__ts"))): _*)
+      .select((probeCols.map(col) ++ Seq(nullCarry.as("__cs"), col("__side"), col("__ts"))): _*)
     val b = build
       .withColumn("__side", lit(0))
       .withColumn("__ts", col(buildTs))
       .withColumn(key, col(key)) // key must exist on both
       .select((probeCols.map(c => if (c == key) col(c) else lit(null).cast(probe.schema(c).dataType).as(c)) ++
-        carry.map(c => col(c).as(s"__c_$c")) ++ Seq(col("__side"), col("__ts"))): _*)
+        Seq(carryStruct.as("__cs"), col("__side"), col("__ts"))): _*)
     val w = Window
       .partitionBy(col(key))
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = p.unionByName(b).select(
-      (probeCols.map(col) ++
-        carry.map(c => last(col(s"__c_$c"), ignoreNulls = true).over(w).as(c)) ++
-        Seq(col("__side"))): _*)
+    val carried = p.unionByName(b)
+      .withColumn("__last", last(col("__cs"), ignoreNulls = true).over(w))
+      .select(
+        (probeCols.map(col) ++
+          carry.map(c => col(s"__last.$c").as(c)) ++
+          Seq(col("__side"))): _*)
     carried.where(col("__side") === 1).drop("__side")
   }
 
@@ -110,20 +118,29 @@ object EnrichJoin {
       toleranceUs: Long,
       buildTie: String): DataFrame = {
     require(toleranceUs >= 0, s"toleranceUs must be >= 0, got $toleranceUs")
+    require(!carry.contains("__bts"), "carry column name __bts is reserved")
     val probeCols = probe.columns.toSeq
+    // ONE struct per build row — carry columns AND the build ts travel
+    // together through a single last(ignoreNulls), so every output row's
+    // attributes (and its asof_delay) come from the SAME build row. The
+    // per-column formulation could stitch a nearer row's asof_delay to a
+    // farther row's attribute when the nearer row had a NULL carry cell.
+    val nullCarry = lit(null).cast(org.apache.spark.sql.types.StructType(
+      carry.map(c => build.schema(c)) :+
+        org.apache.spark.sql.types.StructField("__bts", build.schema(buildTs).dataType)))
     val p = probe
       .withColumn("__side", lit(1))
       .withColumn("__ts", col(probeTs))
       .select((probeCols.map(col) ++
-        carry.map(c => lit(null).cast(build.schema(c).dataType).as(s"__c_$c")) ++
-        Seq(col("__side"), col("__ts"), lit(null).cast("long").as("__tie"))): _*)
+        Seq(nullCarry.as("__cs"),
+          col("__side"), col("__ts"), lit(null).cast("long").as("__tie"))): _*)
     val b = build
       .withColumn("__side", lit(0))
       .withColumn("__ts", col(buildTs))
       .select((probeCols.map(c =>
           if (c == key) col(c) else lit(null).cast(probe.schema(c).dataType).as(c)) ++
-        carry.map(c => col(c).as(s"__c_$c")) ++
-        Seq(col("__side"), col("__ts"), col(buildTie).cast("long").as("__tie"))): _*)
+        Seq(struct((carry.map(col) :+ col(buildTs).as("__bts")): _*).as("__cs"),
+          col("__side"), col("__ts"), col(buildTie).cast("long").as("__tie"))): _*)
     // descending time scan: at equal ts the build row sorts first
     // (inclusive >=), and among equal-ts builds the LAST seen — i.e.
     // the carried one — is the smallest tiebreak (desc order)
@@ -131,13 +148,12 @@ object EnrichJoin {
       .partitionBy(col(key))
       .orderBy(col("__ts").desc, col("__side").asc, col("__tie").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = p.unionByName(b).select(
-      (probeCols.map(col) ++
-        carry.map(c => last(col(s"__c_$c"), ignoreNulls = true).over(w).as(c)) ++
-        Seq(
-          (last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w)
-            - col("__ts")).as("asof_delay"),
-          col("__side"))): _*)
+    val carried = p.unionByName(b)
+      .withColumn("__last", last(col("__cs"), ignoreNulls = true).over(w))
+      .select(
+        (probeCols.map(col) ++
+          carry.map(c => col(s"__last.$c").as(c)) ++
+          Seq((col("__last.__bts") - col("__ts")).as("asof_delay"), col("__side"))): _*)
     val within = col("asof_delay").isNotNull && col("asof_delay") <= toleranceUs
     carried.where(col("__side") === 1).select(
       (probeCols.map(col) ++

@@ -31,15 +31,22 @@ object SemDedup {
   /** Survivors of per-cluster cosine dedup: corpus rows minus every row
     * that is the HIGHER id of an intra-cluster pair with cosine >=
     * `threshold`. `stride` sets cluster granularity (k = n/stride).
+    *
+    * `maxK` caps the quantizer at `maxK` lists (seed ids < stride*maxK),
+    * forwarded to [[Ivf.centroids]] — any replay oracle MUST apply the
+    * same `id % stride = 0 AND id < stride*maxK` seed predicate, or the
+    * two engines define different computations once the corpus outgrows
+    * the cap (q84's oracle carries it explicitly).
     */
   def dedupCorpus(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      stride: Int = 16): DataFrame = {
+      stride: Int = 16,
+      maxK: Int = 64): DataFrame = {
     require(stride >= 1, s"stride must be >= 1, got $stride")
-    val cents = Ivf.centroids(corpus, idCol, vecCol, stride, refine = 0)
+    val cents = Ivf.centroids(corpus, idCol, vecCol, stride, refine = 0, maxK = maxK)
     val asg = Ivf.assign(corpus, idCol, vecCol, cents, id = "__vid")
     val pairs = asg.select(col("__vid").as("id_a"), col("centroid_id"))
       .join(asg.select(col("__vid").as("id_b"), col("centroid_id")), Seq("centroid_id"))

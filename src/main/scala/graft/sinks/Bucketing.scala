@@ -28,12 +28,36 @@ object Bucketing {
     * lazily bound to the table until their action runs.
     */
   def resetManagedTable(spark: SparkSession, tableName: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $tableName")
-    val p = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"),
-      tableName.toLowerCase(java.util.Locale.ROOT))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
+    // Unqualified names only: a qualified db.tbl lives under
+    // <warehouse>/<db>.db/tbl, not <warehouse>/<db.tbl> — guessing would
+    // delete a wrong/nonexistent path and leave the real leftover.
+    require(!tableName.contains("."),
+      s"resetManagedTable takes an unqualified table name, got '$tableName'")
+    val cat = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(tableName)
+    // Location resolution, in trust order: (1) the catalog's own metadata
+    // when the table exists (and ONLY for MANAGED tables — deleting an
+    // EXTERNAL table's location would destroy user data); (2) otherwise
+    // the leftover dir of a forgotten managed table, which lives under
+    // the CURRENT database's location (the fresh-metastore case this
+    // helper exists for).
+    val loc: Option[org.apache.hadoop.fs.Path] =
+      if (cat.tableExists(ident)) {
+        val meta = cat.getTableMetadata(ident)
+        if (meta.tableType == org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED)
+          Some(new org.apache.hadoop.fs.Path(meta.location))
+        else None
+      } else {
+        val db = cat.getDatabaseMetadata(cat.getCurrentDatabase)
+        Some(new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(db.locationUri),
+          tableName.toLowerCase(java.util.Locale.ROOT)))
+      }
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    loc.foreach { p =>
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
   }
 
   /** Write `df` as a managed parquet table bucketed+sorted by `key`. */
