@@ -62,6 +62,32 @@ object Engine {
     s
   }
 
+  /** Conf key selecting RELIABLE lineage truncation in iterative
+    * operators — see [[truncate]]. */
+  val ReliableCheckpointKey = "spark.graft.reliableCheckpoint"
+
+  /** Lineage truncation for iterative fixed-point operators (connected
+    * components, PageRank, BPE, the curation waterfall): every loop
+    * round must cut its plan lineage or Catalyst's tree walks go
+    * super-linear (the Components rule).
+    *
+    * Default: `localCheckpoint` — fastest, but the truncated blocks live
+    * on EXECUTORS, so losing one aborts the job (acceptable for a
+    * rounds-bounded batch job that simply re-runs). With
+    * `spark.graft.reliableCheckpoint=true` every truncation becomes a
+    * RELIABLE `checkpoint()` to `SparkContext.setCheckpointDir` (call it
+    * first — Spark throws otherwise): files on HDFS/object storage,
+    * task-level fault recovery on a real cluster, one distributed write
+    * per truncation as the cost. Every caller truncates exact-integer
+    * frames, so the two modes are bit-identical (pinned by a regression
+    * test in LlmOpsSpec).
+    */
+  def truncate(df: org.apache.spark.sql.DataFrame,
+      eager: Boolean = true): org.apache.spark.sql.DataFrame =
+    if (df.sparkSession.conf.get(ReliableCheckpointKey, "false").toBoolean)
+      df.checkpoint(eager)
+    else df.localCheckpoint(eager)
+
   /** Run `body` with AQE disabled, restoring the previous setting after.
     *
     * For ITERATIVE fixed-point operators (PageRank, connected

@@ -2904,11 +2904,11 @@ object MiningQueries {
         // the final waterfall join (raw-corpus n0 vs survivor counts)
         // then has two leaves exposing the same ids and analysis dies
         // with "Conflicting attributes".
-        val passB = passA.join(xent, Seq("doc_id"))
-          .where(col("xent_fp") <= 322000L)
-          .select(Seq("doc_id", "lang", "text", "n_chars")
-            .map(c => col(c).as(c)): _*)
-          .localCheckpoint()
+        val passB = graft.Engine.truncate(
+          passA.join(xent, Seq("doc_id"))
+            .where(col("xent_fp") <= 322000L)
+            .select(Seq("doc_id", "lang", "text", "n_chars")
+              .map(c => col(c).as(c)): _*))
         val ndPairs = JaccardJoin.nearDupPairs(passB, "doc_id", "text",
           ngram = 3, num = 6, den = 10).select(col("id_a"), col("id_b"))
         val comp = Components.connectedComponents(ndPairs, "id_a", "id_b")

@@ -80,7 +80,7 @@ object Bpe {
       .where(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(col("w"), col("freq"), charSymbols(col("w")).as("toks"))
-      .localCheckpoint()
+    words = graft.Engine.truncate(words)
     val rules = scala.collection.mutable.ArrayBuffer.empty[MergeRule]
     var step = 1
     var done = false
@@ -105,7 +105,7 @@ object Bpe {
         // non-eager: materializes inside the NEXT round's argmax job
         // instead of paying a separate job per checkpoint (20-round loop
         // = ~10 fewer tiny jobs; frames are vocab-sized either way)
-        if (step % 2 == 0) words = words.localCheckpoint(eager = false)
+        if (step % 2 == 0) words = graft.Engine.truncate(words, eager = false)
         step += 1
       }
     }

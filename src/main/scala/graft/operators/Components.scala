@@ -23,12 +23,13 @@ import org.apache.spark.storage.StorageLevel
   *
   * Every shuffle is an equi-join/agg on ids ONLY — no payload rides the
   * iteration, AQE handles skewed hub nodes. Lineage is truncated each
-  * round via `localCheckpoint` (iterative plans otherwise grow
+  * round via [[graft.Engine.truncate]] (iterative plans otherwise grow
   * superlinearly and stall the optimizer long before the cluster is the
-  * bottleneck). `localCheckpoint` stores blocks on executors: on a real
-  * cluster an executor loss aborts the job (acceptable for a
-  * rounds-bounded batch job; swap for reliable `checkpoint` with a
-  * checkpoint dir if the deployment needs task-level fault recovery).
+  * bottleneck): `localCheckpoint` by default, or RELIABLE `checkpoint()`
+  * files when `spark.graft.reliableCheckpoint=true` and a checkpoint dir
+  * is set — task-level fault recovery for deployments where an executor
+  * loss aborting the job is unacceptable. Both modes are bit-identical
+  * (integer labels; pinned by a regression test).
   *
   * Determinism: min over a fixed vertex set is order-independent, so the
   * labeling is exactly reproducible at any parallelism.
@@ -124,10 +125,10 @@ object Components {
         .groupBy(col("src"))
         .agg(min(col("__nc")).as("__nc"))
         .select(col("src").as("id"), col("__nc"))
-      val stepped = comp.join(nbrMin, Seq("id"))
-        .select(col("id"), least(col("comp"), col("__nc")).as("comp"),
-          (col("__nc") < col("comp")).as("__improved"))
-        .localCheckpoint()
+      val stepped = graft.Engine.truncate(
+        comp.join(nbrMin, Seq("id"))
+          .select(col("id"), least(col("comp"), col("__nc")).as("comp"),
+            (col("__nc") < col("comp")).as("__improved")))
       changed = stepped.where(col("__improved")).count()
       val labels = stepped.drop("__improved")
       comp =

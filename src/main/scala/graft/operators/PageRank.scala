@@ -155,7 +155,7 @@ object PageRank {
         // deep fused plan dominates the extra eager jobs. Values are
         // integers — materialization cannot perturb them.
         checkpointed += 1
-        if (checkpointed % 2 == 0) pr = pr.localCheckpoint()
+        if (checkpointed % 2 == 0) pr = graft.Engine.truncate(pr)
       }
       // Source-only nodes re-enter the result at their constant
       // post-round rank (exactly `teleport` after >= 1 round); read from
@@ -167,7 +167,7 @@ object PageRank {
       // pre-partitioned, so runtime re-planning only adds per-stage
       // driver latency) so the operator's working caches do not outlive
       // the call; checkpoint blocks are ContextCleaner-collected
-      pr.union(srcOnly).localCheckpoint()
+      graft.Engine.truncate(pr.union(srcOnly))
     }
     e.unpersist()
     inNodes.unpersist()

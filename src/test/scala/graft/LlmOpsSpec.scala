@@ -725,6 +725,36 @@ class LlmOpsSpec extends SparkSpec {
     assert(w1 === Map(1L -> 150000L, 2L -> 787500L, 3L -> 362500L))
   }
 
+  test("reliable-checkpoint mode: connectedComponents and PageRank bit-identical to localCheckpoint mode") {
+    // Engine.truncate switches every iterative loop's lineage cut from
+    // executor-block localCheckpoint to RELIABLE checkpoint() files
+    // (task-level fault recovery on a real cluster). Both modes must be
+    // bit-identical — integer frames, materialization can't perturb them.
+    val rnd = new scala.util.Random(11) // pinned seed
+    val edges = (1 to 120).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val wedges = edges.map { case (a, b) => (a, b, 1L + rnd.nextInt(5)) }
+    def ccRun() = Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def prRun() = PageRank.ranks(wedges.toDF("src", "dst", "w"), "src", "dst", "w", iterations = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (ccLocal, prLocal) = (ccRun(), prRun())
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_reliable_ckpt").toString
+    val prevDir = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    try {
+      graft.Engine.withConfs(spark, graft.Engine.ReliableCheckpointKey -> "true") {
+        assert(ccRun() === ccLocal, "reliable-mode components diverged")
+        assert(prRun() === prLocal, "reliable-mode pagerank diverged")
+      }
+      // the reliable run actually wrote checkpoint files (mode was in effect)
+      val fs = new org.apache.hadoop.fs.Path(ckptDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.listStatus(new org.apache.hadoop.fs.Path(ckptDir)).nonEmpty,
+        "no reliable checkpoint files written — the switch did not engage")
+    } finally prevDir.foreach(spark.sparkContext.setCheckpointDir)
+  }
+
   test("classifyKnn: majority label of planted clusters; vote ties break to smallest label") {
     // two tight clusters: ids 1-3 label 0 around (1,0), ids 4-6 label 1
     // around (0,1); probe 100 sits next to cluster 1 -> all 3 neighbors

@@ -1042,4 +1042,129 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
     assert(acc.synchronized(acc.toMap) === grid(words.toDF("w")))
   }
+
+  // ------------------------------------------ streaming curation gate
+
+  // Shared curation fixture: a trusted slice whose bigrams define the
+  // static LM (two repeated chains keep per-bigram bits ~286k, far under
+  // the 322k gate; V=60 puts unseen-context/OOV cost at ~390k, over it).
+  private def curationTrusted = {
+    val wChain = (1 to 30).map(i => s"w$i").mkString(" ")
+    val uChain = (1 to 30).map(i => s"u$i").mkString(" ")
+    Seq(wChain, wChain, uChain, uChain, "w1 w2 w1 w2 w1 w2 w1 w2")
+      .toDF("text")
+  }
+  private val curW30 = (1 to 30).map(i => s"w$i").mkString(" ")       // doc 1
+  private val curW31 = (1 to 31).map(i => s"w$i").mkString(" ")       // doc 2 (near-dup of 1, longer)
+  private val curU30 = (1 to 30).map(i => s"u$i").mkString(" ")       // doc 3
+  private val curSpam = Seq.fill(15)("w1 w2").mkString(" ")           // doc 4: repetition-flagged
+  private val curOov = (1 to 12).map(i => s"z$i").mkString(" ")       // doc 5: perplexity-flagged
+  private val curShort = "w1"                                         // doc 6: un-shingleable, no bigrams
+  private val curW30var = ((1 to 29).map(i => s"w$i") :+ "w40").mkString(" ") // doc 10: near-dup of accepted 2, shorter
+  private val curFresh = (5 to 18).map(i => s"w$i").mkString(" ")     // doc 12: subchain, J=12/28<0.6 vs 1
+
+  test("CurationGate: Gopher -> static-LM perplexity -> dedup-vs-index; streamed == batchWaterfall; manifest incremental") {
+    implicit val sqlCtx = spark.sqlContext
+    val lm = graft.streaming.CurationGate.staticLm(curationTrusted, "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_cgate").toString + "/index"
+    val man = java.nio.file.Files.createTempDirectory("graft_cgate_man").toString + "/manifest"
+    val input = MemoryStream[(Long, String, String)]
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = graft.streaming.CurationGate.run(
+        input.toDS().toDF("doc_id", "source", "text"),
+        "doc_id", "text", "source", lm, idx, man) { (survivors, _) =>
+        accepted.synchronized {
+          accepted ++= survivors.select("doc_id").as[Long].collect()
+          ()
+        }
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_cgate_ckpt").toString)
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    val batch1 = Seq((1L, "a", curW30), (2L, "a", curW31), (3L, "b", curU30),
+      (4L, "b", curSpam), (5L, "b", curOov), (6L, "b", curShort))
+    val batch2 = Seq((10L, "a", curW30var), (12L, "a", curFresh))
+    try {
+      // batch 1: 4 flags on repetition (top bigram 48% of positions),
+      // 5 on perplexity (all-OOV, ~390k > 322k); {1,2} are near-dups and
+      // keep-LONGEST keeps 2 (not lowest-id 1); 6 has no bigrams and no
+      // shingles — passes both quality rules vacuously, never indexed
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      assert(accepted.synchronized(accepted.toSet) === Set(2L, 3L, 6L))
+      // batch 2: 10 is a cross-batch near-dup of ACCEPTED 2 -> drops
+      // (accepted-first); 12 shares only 12 of 28 shingles with the
+      // 1-cluster (J=0.43 < 0.6) -> fresh, survives
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      assert(accepted.synchronized(accepted.toSet) === Set(2L, 3L, 6L, 12L))
+    } finally q.stop()
+
+    // one-shot twin over the union: this fixture's only cross-batch
+    // cluster ({2,10}) has its LONGEST member accepted first, so the
+    // stream and the batch waterfall agree exactly
+    val all = (batch1 ++ batch2).toDF("doc_id", "source", "text")
+    val oneShot = graft.streaming.CurationGate
+      .batchWaterfall(all, "doc_id", "text", lm)
+      .select("doc_id").as[Long].collect().toSet
+    assert(oneShot === Set(2L, 3L, 6L, 12L))
+
+    // incremental manifest == one-shot q150-style manifest of the
+    // accepted corpus (abelian reducers merge across batches exactly)
+    val survivedDocs = all.where(col("doc_id").isin(2L, 3L, 6L, 12L))
+    val expected = survivedDocs
+      .select(col("source"), length(col("text")).cast("long").as("nc"),
+        operators.TextOps.docFingerprint(operators.TextOps.tokens(col("text"))).as("fp"))
+      .rollup(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("total_chars"),
+        expr("CAST(sum(CAST(fp AS DECIMAL(38,0))) % 1000000007 AS BIGINT)").as("fp_sum"),
+        expr("bit_xor(fp)").as("fp_xor"))
+      .select(coalesce(col("source"), lit("TOTAL")).as("source"),
+        col("n_docs"), col("total_chars"), col("fp_sum"), col("fp_xor"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val got = graft.streaming.CurationGate.currentManifest(spark, man)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === expected)
+    assert(got.keySet === Set("a", "b", "TOTAL"))
+  }
+
+  test("CurationGate: documented cross-batch divergence — stream keeps the FIRST-accepted member, batch the longest") {
+    implicit val sqlCtx = spark.sqlContext
+    val lm = graft.streaming.CurationGate.staticLm(curationTrusted, "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_cgate2").toString + "/index"
+    val man = java.nio.file.Files.createTempDirectory("graft_cgate2_man").toString + "/manifest"
+    val input = MemoryStream[(Long, String, String)]
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = graft.streaming.CurationGate.run(
+        input.toDS().toDF("doc_id", "source", "text"),
+        "doc_id", "text", "source", lm, idx, man) { (survivors, _) =>
+        accepted.synchronized {
+          accepted ++= survivors.select("doc_id").as[Long].collect()
+          ()
+        }
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_cgate2_ckpt").toString)
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    // u31/u32 extend the trusted u-chain's vocabulary context: (u30,u31)
+    // and (u31,u32) are unseen-context bigrams (~390k each), but 2 of 31
+    // bigrams keeps the doc's mean under the gate
+    val longer = ((1 to 30).map(i => s"u$i") ++ Seq("u31", "u32")).mkString(" ")
+    try {
+      input.addData((3L, "b", curU30))
+      q.processAllAvailable()
+      input.addData((20L, "b", longer)) // near-dup of accepted 3, LONGER
+      q.processAllAvailable()
+      // accepted-first: the stream keeps 3 and drops the longer 20
+      assert(accepted.synchronized(accepted.toSet) === Set(3L))
+    } finally q.stop()
+    // the batch twin sees the whole cluster at once: keep-longest keeps 20
+    val all = Seq((3L, "b", curU30), (20L, "b", longer)).toDF("doc_id", "source", "text")
+    val oneShot = graft.streaming.CurationGate
+      .batchWaterfall(all, "doc_id", "text", lm)
+      .select("doc_id").as[Long].collect().toSet
+    assert(oneShot === Set(20L))
+  }
 }
