@@ -2844,29 +2844,23 @@ object MiningQueries {
         // — the table is one small parquet) serialize the gram stage; at
         // 100 TB the same lever is files.maxPartitionBytes tuned for
         // post-explosion volume.
-        val docsW = docs.select(col("doc_id"), col("lang"),
-          split(lower(col("text")), " ").as("__w"))
+        val docsW = docs.select(col("doc_id"), col("lang"), col("text"))
           .repartition(32, col("doc_id"))
         // ONE corpus explosion + ONE corpus-sized count agg feed BOTH
-        // filter stages: the k=2 grams ARE the LM's bigrams (the gram
+        // filter stages (CorpusGrams.counts — the frame shared with the
+        // streaming gate): the k=2 grams ARE the LM's bigrams (the gram
         // string splits back into (w1, w2) exactly — concat_ws(" ") over
         // space-free tokens round-trips), so the repetition metrics and
         // the weighted LM train/score all derive from this counted
         // frame. vs the naive compose (one explosion per stage + LM over
         // every bigram POSITION): half the corpus scans, and the LM
         // joins run over per-doc DISTINCT bigrams. Persist is the
-        // sf-local convenience; at 100 TB each consumer recomputes its
-        // slice (two scans) instead.
-        val grams = docsW
-          .select(col("doc_id"), col("lang"), explode(flatten(array(
-            transform(TextOps.positionalGrams(col("__w"), 2),
-              g => struct(lit(2L).as("k"), g.as("g"))),
-            transform(TextOps.positionalGrams(col("__w"), 3),
-              g => struct(lit(3L).as("k"), g.as("g")))))).as("kg"))
-          .select(col("doc_id"), col("lang"),
-            col("kg.k").as("k"), col("kg.g").as("g"))
-          .groupBy(col("doc_id"), col("lang"), col("k"), col("g"))
-          .agg(count(lit(1)).as("c"))
+        // sf-local convenience; at 100 TB the same frame goes through
+        // CorpusGrams.countsStored — written ONCE as a parquet index
+        // that every stage (and the next run) scans instead of caching a
+        // corpus-sized explosion (the MinHash.writeCorpusIndex trade;
+        // hash-identity of the two paths is pinned in LlmOpsSpec).
+        val grams = CorpusGrams.counts(docsW, Seq("doc_id", "lang"), "text")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val repDoc = grams
           .groupBy(col("doc_id"))
@@ -2948,7 +2942,142 @@ object MiningQueries {
         "data card publishes at every stage; map-side filters shrink the " +
         "corpus to 48% BEFORE the pair stage shingles it (the production " +
         "stage order); oracle composes the proven q158 + q159 + q136 SQL " +
-        "over one WITH RECURSIVE list"))
+        "over one WITH RECURSIVE list"),
+
+    // ---------------------- production pruned-LM perplexity filter
+    Q("q163_perplexity_pruned",
+      (s, d) => {
+        // q159's PRODUCTION sibling (the scaladoc'd fix, shipped): the
+        // reference LM is PRUNED to frequent entries — CCNet ships a
+        // small fixed-vocab KenLM, not the trusted slice's full tail —
+        // and BROADCAST, so scoring is two map-side hash joins and the
+        // corpus bigrams never shuffle. Disclosed estimator semantics:
+        // retained entries score EXACTLY the full model's bits (pruning
+        // drops rows after counting, never recomputes); a pruned pair
+        // falls back to its context default, a pruned context to the
+        // unseen-context cost — so pruned xent >= exact xent, biased
+        // against rare-tail docs, which is the conservative direction
+        // for a quality GATE. Scoring also runs over per-doc DISTINCT
+        // bigram counts (q162's weighted device, bit-identical to
+        // positional scoring), so the broadcast joins touch each
+        // (doc, bigram) once instead of every position. q159 remains
+        // the exact-complete audit; this is the shape that scores
+        // 100 TB — LM rows capped by the count threshold, no shuffle.
+        val pc = T.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(BigramLm.bigramPairs(split(lower(col("text")), " "))).as("bg"))
+          .select(col("doc_id"), col("lang"),
+            col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+          .groupBy(col("doc_id"), col("lang"), col("w1"), col("w2"))
+          .agg(count(lit(1)).as("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val lm = BigramLm.train(pc.where(col("lang") === "en"), Some("c"),
+          minPair = 2L, minCtx = 2L)
+        BigramLm.score(pc, Seq("doc_id", "lang"), lm, Some("c"), broadcastLm = true)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            expr("sum(xent_fp) div count(1)").as("mean_xent_fp"),
+            max(col("xent_fp")).as("max_xent_fp"),
+            sum(when(col("xent_fp") > 322000L, 1L).otherwise(0L)).as("n_flagged"))
+          .select(col("lang"), col("n_docs"), col("mean_xent_fp"),
+            col("max_xent_fp"), col("n_flagged"),
+            expr("(n_flagged * 1000000) div n_docs").as("flag_ppm"))
+          .orderBy(col("lang"))
+      },
+      Some(PerplexityPrunedOracleSql),
+      "production pruned-LM perplexity filter (CCNet's shipped shape): " +
+        "the reference bigram LM pruned to c2>=2 pairs / c1>=2 contexts " +
+        "— retained bits EXACTLY the full model's, pruned entries fall " +
+        "back one smoothing level (disclosed, gate-conservative) — then " +
+        "BROADCAST so scoring is two map-side joins over per-doc " +
+        "distinct bigram counts; the corpus never shuffles, LM size is " +
+        "count-threshold-capped at any corpus scale; q159 stays as the " +
+        "exact-complete audit"),
+
+    // ------------------------------- IVF-PQ parameter-sweep sizing curve
+    Q("q164_ivfpq_sweep",
+      (s, d) => {
+        // the sizing curve an ANN deployment is actually chosen with:
+        // recall@5 of the composed residual IVF-PQ (q138's IVFADC
+        // encoding under q132's nprobe list pruning) per (m, k, nprobe)
+        // cell, against the exact-L2 top-5 — q107's threshold-sweep
+        // device applied to the index's own parameters. Shared across
+        // all 12 cells: ONE coarse quantizer, ONE assignment, ONE
+        // residual frame (persisted — each cell re-reads, never
+        // re-derives), the exact baseline and the per-nprobe probe
+        // lists localCheckpointed once. Per cell the work is one
+        // encode (n·m rows out) + one table-pruned ADC rank — at
+        // production scale each cell is an index BUILD candidate, so
+        // the sweep is the one-off sizing run, not a query-path cost.
+        // bytes_per_vec = m (one byte per subspace code at k <= 256)
+        // vs 512 raw (64 doubles) — the compression axis of the curve.
+        val e = T.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val probes = e.where(col("vec_id") < 10)
+        val cents = Ivf.centroids(e, "vec_id", "v", stride = 16)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val asg = Ivf.assign(e, "vec_id", "v", cents, id = "rid")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val res = Pq.residualFrame(e, "vec_id", "v", asg, cents, "rid")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cc = e.select(col("vec_id").as("neighbor_id"), col("v").as("__cv"))
+        val pp = probes.select(col("vec_id").as("probe_id"), col("v").as("__pv"))
+        val we = Window.partitionBy(col("probe_id"))
+          .orderBy(col("__d2").asc, col("neighbor_id").asc)
+        val exact = cc.join(broadcast(pp), col("probe_id") =!= col("neighbor_id"))
+          .select(col("probe_id"), col("neighbor_id"),
+            (Similarity.dot(col("__cv"), col("__cv"))
+              - lit(2.0) * Similarity.dot(col("__cv"), col("__pv"))
+              + Similarity.dot(col("__pv"), col("__pv"))).as("__d2"))
+          .withColumn("__rk", row_number().over(we))
+          .where(col("__rk") <= 5)
+          .select(col("probe_id"), col("neighbor_id"), lit(true).as("__hit"))
+          .localCheckpoint(true)
+        val nExact = exact.count() // |probes|*5 — a model-sized scalar
+        val pn = probes.select(col("vec_id").as("probe_id"), col("v").as("__pv"),
+          sqrt(Similarity.dot(col("v"), col("v"))).as("__pn")).where(col("__pn") > 0)
+        val wl = Window.partitionBy(col("probe_id"))
+          .orderBy(col("__c").desc, col("centroid_id").asc)
+        def listsFor(np: Int) = pn.join(broadcast(cents))
+          .select(col("probe_id"),
+            (Similarity.dot(col("__pv"), col("__kv")) / (col("__pn") * col("__kn"))).as("__c"),
+            col("centroid_id"))
+          .withColumn("__r", row_number().over(wl)).where(col("__r") <= np)
+          .select(col("probe_id"), col("centroid_id"))
+          .localCheckpoint(true)
+        val lists = Map(2 -> listsFor(2), 4 -> listsFor(4))
+        val cells = for { m <- Seq(4, 8, 16); kc <- Seq(8, 16); np <- Seq(2, 4) }
+          yield (m, kc, np)
+        cells.map { case (m, kc, np) =>
+          val books = Pq.codebooks(res, "rid", "__res",
+            m = m, dims = 64, stride = 32, maxCodes = kc)
+          val enc = Pq.encode(res, "rid", "__res", books, m, 64)
+            .select(col("id"), col("subspace"), col("code"))
+            .join(asg.withColumnRenamed("rid", "id"), Seq("id"))
+          Pq.searchTopKResidual(enc, probes, "vec_id", "v", cents, books,
+              m = m, dims = 64, k = 5, probeLists = Some(lists(np)))
+            .join(exact, Seq("probe_id", "neighbor_id"), "left")
+            .agg(count(lit(1)).as("n_ranked"),
+              sum(when(col("__hit"), 1L).otherwise(0L)).as("n_hits"))
+            .select(lit(m).as("m"), lit(kc).as("k_codes"), lit(np).as("nprobe"),
+              lit(m).as("bytes_per_vec"), lit(512L / m).as("compression_x"),
+              col("n_ranked"), col("n_hits"),
+              (col("n_hits") * 1000000L / lit(nExact)).cast("long").as("recall_ppm"))
+        }.reduce(_ unionByName _)
+          .orderBy(col("m"), col("k_codes"), col("nprobe"))
+      },
+      // Deterministic (fixed-point quantizer/codebooks/tables, integer
+      // sums, unique tiebreaks — verified bit-identical at local[5] and
+      // local[16]): pinned literal oracle at the gate's sf0.01 corpus
+      // under the PinnedCorpus fingerprint guard.
+      Some(IvfPqSweepOracleSql),
+      "IVF-PQ sizing curve: recall@5 per (m, k, nprobe) cell of the " +
+        "composed residual IVFADC (q138's encoding under q132's list " +
+        "pruning) vs exact L2 — the recall-vs-compression table an ANN " +
+        "deployment is sized with; coarse quantizer/assignment/residuals " +
+        "built ONCE and shared by all 12 cells, exact baseline and probe " +
+        "lists materialized once, per-cell cost one encode + one " +
+        "table-pruned integer ADC rank"))
 
   /** q141/q142/q144: the ONE distributed corpus-sized stage of the eigen
     * family — GramMatrix's map-side-combined d×d reduction, unpacked to
@@ -3091,22 +3220,31 @@ object MiningQueries {
          |FROM $prev)""".stripMargin
     }.mkString(",\n")
 
-  /** q159/q162 shared DuckDB prelude: train counts, the unrolled log2fp
-    * program over the distinct smoothed counts, per-bigram bits with the
-    * three-level fallback, per-doc truncating-div cross-entropy (`xd`).
-    * No WITH keyword — q159 prepends `WITH`, q162 `WITH RECURSIVE`
-    * (its dedup stage needs a recursive CTE in the same list).
+  /** q159/q162/q163 shared DuckDB prelude: train counts, the unrolled
+    * log2fp program over the distinct smoothed counts, per-bigram bits
+    * with the three-level fallback, per-doc truncating-div cross-entropy
+    * (`xd`). No WITH keyword — q159 prepends `WITH`, q162
+    * `WITH RECURSIVE` (its dedup stage needs a recursive CTE in the same
+    * list).
+    *
+    * `minPair`/`minCtx` mirror [[graft.operators.BigramLm.train]]'s
+    * model pruning: c1/V always come from the FULL counts (retained bits
+    * never move), pruning only drops rows from num/den — a pruned pair
+    * falls to its context default, a pruned context to the
+    * unseen-context cost. (1, 1) is the full exact model.
     */
-  private lazy val PerplexityDocCtes: String =
+  private def perplexityDocCtes(minPair: Long = 1L, minCtx: Long = 1L): String =
     s"""t AS (SELECT doc_id, lang, source, string_split(lower(text), ' ') AS w FROM documents),
       p AS MATERIALIZED (SELECT doc_id, lang, w[i] AS w1, w[i+1] AS w2
            FROM t, unnest(range(1, len(w))) AS u(i)),
       c2 AS MATERIALIZED (SELECT w1, w2, count(*) AS c2 FROM p WHERE lang = 'en' GROUP BY 1, 2),
       c1 AS MATERIALIZED (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
       vf AS MATERIALIZED (SELECT count(*) AS V FROM (SELECT w1 AS w FROM c2 UNION SELECT w2 FROM c2)),
+      c2p AS MATERIALIZED (SELECT * FROM c2 WHERE c2 >= $minPair),
+      c1p AS MATERIALIZED (SELECT * FROM c1 WHERE c1 >= $minCtx),
       vals AS MATERIALIZED (SELECT DISTINCT val FROM (
-          SELECT c2 + 1 AS val FROM c2
-          UNION ALL SELECT c1 + (SELECT V FROM vf) AS val FROM c1
+          SELECT c2 + 1 AS val FROM c2p
+          UNION ALL SELECT c1 + (SELECT V FROM vf) AS val FROM c1p
           UNION ALL SELECT V AS val FROM vf)),
       s0 AS MATERIALIZED (SELECT val, length(bin(val)) - 1 AS msb,
              CASE WHEN length(bin(val)) - 1 >= 32
@@ -3115,8 +3253,8 @@ object MiningQueries {
              CAST(0 AS HUGEINT) AS frac FROM vals),
       ${log2RoundsSql(16)},
       lg AS MATERIALIZED (SELECT val, CAST(msb AS BIGINT) * 65536 + CAST(frac AS BIGINT) AS l2fp FROM s16),
-      den AS MATERIALIZED (SELECT c1.w1, lg.l2fp AS den_fp FROM c1 JOIN lg ON c1.c1 + (SELECT V FROM vf) = lg.val),
-      num AS (SELECT w1, w2, l2fp AS num_fp FROM c2 JOIN lg ON c2.c2 + 1 = lg.val),
+      den AS MATERIALIZED (SELECT c1p.w1, lg.l2fp AS den_fp FROM c1p JOIN lg ON c1p.c1 + (SELECT V FROM vf) = lg.val),
+      num AS (SELECT w1, w2, l2fp AS num_fp FROM c2p JOIN lg ON c2p.c2 + 1 = lg.val),
       pb AS MATERIALIZED (SELECT num.w1, num.w2, den_fp - num_fp AS pb FROM num JOIN den USING (w1)),
       unk AS (SELECT l2fp AS unk_fp FROM lg WHERE val = (SELECT V FROM vf)),
       sc AS (SELECT p.doc_id, p.lang,
@@ -3124,6 +3262,8 @@ object MiningQueries {
              FROM p LEFT JOIN pb ON pb.w1 = p.w1 AND pb.w2 = p.w2
                     LEFT JOIN den ON den.w1 = p.w1),
       xd AS (SELECT doc_id, lang, sum(bits) // count(*) AS xent FROM sc GROUP BY 1, 2)"""
+
+  private lazy val PerplexityDocCtes: String = perplexityDocCtes()
 
   /** DuckDB replay of q159: the shared per-doc cross-entropy prelude +
     * the per-lang report. (lazy val: `all` interpolates it at init.)
@@ -3136,6 +3276,42 @@ object MiningQueries {
              CAST(sum(CASE WHEN xent > 322000 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
              CAST((sum(CASE WHEN xent > 322000 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS flag_ppm
       FROM xd GROUP BY lang ORDER BY lang"""
+
+  /** DuckDB replay of q163: the shared prelude with the (2, 2) model
+    * pruning + q159's per-lang report.
+    */
+  private lazy val PerplexityPrunedOracleSql: String =
+    s"""WITH ${perplexityDocCtes(minPair = 2L, minCtx = 2L)}
+      SELECT lang, count(*)::BIGINT AS n_docs,
+             CAST(sum(xent) // count(*) AS BIGINT) AS mean_xent_fp,
+             CAST(max(xent) AS BIGINT) AS max_xent_fp,
+             CAST(sum(CASE WHEN xent > 322000 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+             CAST((sum(CASE WHEN xent > 322000 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS flag_ppm
+      FROM xd GROUP BY lang ORDER BY lang"""
+
+  /** Pinned literal oracle of q164 (computed once at the gate's sf0.01
+    * corpus by the recall-audited implementation, verified bit-identical
+    * at local[5]/local[16]; stale-pin protection: PinnedCorpus guard).
+    */
+  private lazy val IvfPqSweepOracleSql: String =
+    s"""SELECT CAST(c1 AS INTEGER) AS m, CAST(c2 AS INTEGER) AS k_codes,
+              CAST(c3 AS INTEGER) AS nprobe, CAST(c4 AS INTEGER) AS bytes_per_vec,
+              CAST(c5 AS BIGINT) AS compression_x, CAST(c6 AS BIGINT) AS n_ranked,
+              CAST(c7 AS BIGINT) AS n_hits, CAST(c8 AS BIGINT) AS recall_ppm
+       FROM (VALUES
+         (4, 8, 2, 4, 128, 50, 5, 100000),
+         (4, 8, 4, 4, 128, 50, 6, 120000),
+         (4, 16, 2, 4, 128, 50, 7, 140000),
+         (4, 16, 4, 4, 128, 50, 6, 120000),
+         (8, 8, 2, 8, 64, 50, 6, 120000),
+         (8, 8, 4, 8, 64, 50, 6, 120000),
+         (8, 16, 2, 8, 64, 50, 10, 200000),
+         (8, 16, 4, 8, 64, 50, 12, 240000),
+         (16, 8, 2, 16, 32, 50, 11, 220000),
+         (16, 8, 4, 16, 32, 50, 13, 260000),
+         (16, 16, 2, 16, 32, 50, 8, 160000),
+         (16, 16, 4, 16, 32, 50, 11, 220000)) t(c1, c2, c3, c4, c5, c6, c7, c8)
+       ORDER BY m, k_codes, nprobe"""
 
   /** DuckDB replay of q162: the perplexity prelude + q158's per-doc
     * repetition metrics + the three-stage waterfall, with q136's

@@ -81,18 +81,35 @@ object BigramLm {
     * row per bigram occurrence — sum(c) replaces count(*), numerically
     * identical, and lets a caller that already aggregated per-doc gram
     * counts (q162's shared gram frame) skip a second corpus explosion.
+    *
+    * `minPair`/`minCtx` PRUNE the shipped model (CCNet's production
+    * shape — the reference LM is a small fixed-vocab model, not the
+    * corpus's full tail): contexts with c1 < minCtx and pairs with
+    * c2 < minPair (or a pruned context) are dropped AFTER counting, so
+    * every RETAINED entry's bits are exactly the full model's — pruning
+    * changes which rows ship, never their values. A pruned pair falls
+    * back to its context default at scoring, a pruned context to the
+    * unseen-context cost (the disclosed estimator). Pruning also
+    * shrinks the log2 frame (only retained counts need bits) and makes
+    * the tables broadcastable — see [[score]]'s `broadcastLm`. Defaults
+    * (1, 1) keep the full exact model.
     */
-  def train(trainPairs: DataFrame, weightCol: Option[String] = None): Lm = {
+  def train(trainPairs: DataFrame, weightCol: Option[String] = None,
+      minPair: Long = 1L, minCtx: Long = 1L): Lm = {
     val c2 = weightCol.fold(
         trainPairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2")))(w =>
         trainPairs.groupBy(col("w1"), col("w2")).agg(sum(col(w)).as("c2")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // c1 and V from the FULL counts — pruning must not change retained
+    // values, only drop rows
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val vfr = c2.select(col("w1").as("w")).union(c2.select(col("w2").as("w")))
       .distinct().agg(count(lit(1)).as("V")).withColumn("__k", lit(1))
     val c1v = c1.withColumn("__k", lit(1))
       .join(broadcast(vfr), Seq("__k")).drop("__k")
-    val vals = c2.select((col("c2") + lit(1L)).as("val"))
+      .where(col("c1") >= minCtx)
+    val c2p = c2.where(col("c2") >= minPair)
+    val vals = c2p.select((col("c2") + lit(1L)).as("val"))
       .union(c1v.select((col("c1") + col("V")).as("val")))
       .union(vfr.select(col("V").cast("long").as("val")))
       .distinct()
@@ -102,8 +119,10 @@ object BigramLm {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val den = c1v.join(lg, c1v("c1") + c1v("V") === lg("val"))
       .select(col("w1"), col("l2fp").as("den_fp"))
-    val num = c2.join(lg, c2("c2") + lit(1L) === lg("val"))
+    val num = c2p.join(lg, c2p("c2") + lit(1L) === lg("val"))
       .select(col("w1"), col("w2"), col("l2fp").as("num_fp"))
+    // the den join doubles as context pruning: a pair whose context was
+    // pruned loses its pb row too (hierarchical model consistency)
     val pairBits = num.join(den, Seq("w1"))
       .select(col("w1"), col("w2"), (col("den_fp") - col("num_fp")).as("pb"))
     val unk = vfr.join(lg, vfr("V").cast("long") === lg("val"))
@@ -124,12 +143,20 @@ object BigramLm {
     * per-key DISTINCT bigram frame instead of every position. Overflow-
     * safe: bits ≤ ~2^21 (Q16 log2 of any Long count) and sum(c) per key
     * is the key's token count, so sum(bits·c) stays far inside Long.
+    *
+    * `broadcastLm`: hint both LM tables broadcast — the production path
+    * for a PRUNED model (see [[train]]'s minPair/minCtx): scoring
+    * becomes two MAP-SIDE hash joins and the corpus pairs never
+    * shuffle. Only safe when the model is vocab-capped; the full exact
+    * model's tables grow with the trusted slice and stay AQE-decided.
     */
   def score(pairs: DataFrame, keyCols: Seq[String], lm: Lm,
-      weightCol: Option[String] = None): DataFrame = {
+      weightCol: Option[String] = None, broadcastLm: Boolean = false): DataFrame = {
+    val pbT = if (broadcastLm) broadcast(lm.pairBits) else lm.pairBits
+    val cbT = if (broadcastLm) broadcast(lm.ctxBits) else lm.ctxBits
     val scored = pairs
-      .join(lm.pairBits, Seq("w1", "w2"), "left")
-      .join(lm.ctxBits, Seq("w1"), "left")
+      .join(pbT, Seq("w1", "w2"), "left")
+      .join(cbT, Seq("w1"), "left")
       .withColumn("__k", lit(1))
       .join(broadcast(lm.unk), Seq("__k"))
     weightCol.fold(

@@ -203,15 +203,27 @@ object Pq {
     * ‖(q − c_L) − code_vec‖², exactly Jégou's IVFADC distance.
     * `enc` must carry (id, centroid_id, subspace, code) — [[encode]]'s
     * output joined back to the assignment.
+    *
+    * `probeLists`: optional (probe_id, centroid_id) rows restricting
+    * each probe to ITS probed lists — the IVF half of IVFADC. Tables are
+    * then built only for (probe, probed-list) pairs, and the enc join
+    * restricts candidates to those lists for free (a candidate in an
+    * unprobed list finds no table row). None searches every list
+    * (nprobe = |lists|) — the exhaustive-ADC audit shape.
     */
   def searchTopKResidual(enc: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, cents: DataFrame, books: DataFrame,
-      m: Int, dims: Int, k: Int): DataFrame = {
+      m: Int, dims: Int, k: Int,
+      probeLists: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val qres = probes.select(col(idCol).as("__pid"), col(vecCol).as("__pv"))
+    val qresAll = probes.select(col(idCol).as("__pid"), col(vecCol).as("__pv"))
       .join(broadcast(cents.select(col("centroid_id"), col("__kv"))))
       .select(col("__pid"), col("centroid_id"),
         zip_with(col("__pv"), col("__kv"), (a, b) => a - b).as("__qr"))
+    val qres = probeLists.fold(qresAll)(pl =>
+      qresAll.join(
+        pl.select(col("probe_id").as("__pid"), col("centroid_id")),
+        Seq("__pid", "centroid_id")))
     val table = qres
       .select(col("__pid"), col("centroid_id"),
         posexplode(subvectors(col("__qr"), m, dims)).as(Seq("subspace", "__xv")))

@@ -99,19 +99,12 @@ object CurationGate {
   }
 
   /** Per-doc gram counts, both sizes in ONE explosion (q162's shared
-    * frame): (__gid, k, g, c). The k=2 grams double as the LM's bigrams.
+    * frame, via [[graft.operators.CorpusGrams]]): (__gid, k, g, c). The
+    * k=2 grams double as the LM's bigrams.
     */
   private def gramCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
-      .select(col(idCol).as("__gid"), TextOps.tokens(col(textCol)).as("__w"))
-      .select(col("__gid"), explode(flatten(array(
-        transform(TextOps.positionalGrams(col("__w"), 2),
-          g => struct(lit(2L).as("k"), g.as("g"))),
-        transform(TextOps.positionalGrams(col("__w"), 3),
-          g => struct(lit(3L).as("k"), g.as("g")))))).as("kg"))
-      .select(col("__gid"), col("kg.k").as("k"), col("kg.g").as("g"))
-      .groupBy(col("__gid"), col("k"), col("g"))
-      .agg(count(lit(1)).as("c"))
+    graft.operators.CorpusGrams.counts(
+      docs.select(col(idCol).as("__gid"), col(textCol)), Seq("__gid"), textCol)
 
   /** Ids FLAGGED by the quality stages (repetition OR perplexity) over a
     * pre-counted gram frame. Docs absent from the frame (or lacking a

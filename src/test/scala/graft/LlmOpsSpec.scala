@@ -725,6 +725,36 @@ class LlmOpsSpec extends SparkSpec {
     assert(w1 === Map(1L -> 150000L, 2L -> 787500L, 3L -> 362500L))
   }
 
+  test("CorpusGrams: the written-parquet index path is hash-identical to the in-memory path") {
+    // the q162/CurationGate gram frame's storage switch (the
+    // MinHash.writeCorpusIndex trade): countsStored writes the counted
+    // frame ONCE and downstream scans the files — same rows, same types
+    val docs = Seq((1L, "en", "a b a b c"), (2L, "fr", "x y z x y"),
+      (3L, "en", "m"), (4L, "en", "p q"))
+      .toDF("doc_id", "lang", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3), r.getLong(4)))
+      .toSet
+    val mem = CorpusGrams.counts(docs, Seq("doc_id", "lang"), "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_grams").toString + "/grams"
+    val stored = CorpusGrams.countsStored(docs, Seq("doc_id", "lang"), "text", dir)
+    // parquet re-read relaxes nullability; names and types must match
+    assert(stored.schema.map(f => (f.name, f.dataType)) ===
+      mem.schema.map(f => (f.name, f.dataType)))
+    assert(canon(stored) === canon(mem))
+    assert(canon(mem).nonEmpty)
+    // a q162-style consumer (per-doc repetition metrics) reads either
+    // path identically
+    def rep(g: org.apache.spark.sql.DataFrame) = g.groupBy(col("doc_id"))
+      .agg(max(when(col("k") === 2, col("c"))).as("top2"),
+        sum(when(col("k") === 2, col("c"))).as("n2"),
+        sum(when(col("k") === 3 && col("c") >= 2, col("c")).otherwise(lit(0L))).as("dup3"),
+        sum(when(col("k") === 3, col("c"))).as("n3"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(rep(stored) === rep(mem))
+  }
+
   test("reliable-checkpoint mode: connectedComponents and PageRank bit-identical to localCheckpoint mode") {
     // Engine.truncate switches every iterative loop's lineage cut from
     // executor-block localCheckpoint to RELIABLE checkpoint() files
