@@ -2549,31 +2549,35 @@ object MiningQueries {
         // synthetic corpus the way Gopher's 0.18/0.18 were to
         // MassiveText — the RULE is the operator, the constant is
         // corpus-tuned. Plan: token array materialized ONCE per doc
-        // (positionalGrams over an attribute, not a re-inlined split —
-        // the q97/q108 HOF lesson), both gram sizes exploded in one
-        // pass, ONE corpus-sized (doc, k, gram) count agg (map-side
-        // combined), then doc-sized and |sources|-sized aggs. Everything
-        // downstream of the count agg is keyed by doc_id — no
-        // corpus-sized join, no window, nothing global.
-        val byK = T.documents(s, d)
+        // (gramCounts over an attribute, not a re-inlined split — the
+        // q97/q108 HOF lesson), both gram sizes COUNTED INSIDE EACH ROW
+        // by the native GramRunCounts expression, per-doc metrics folded
+        // over the counted arrays — ZERO corpus shuffles (the former
+        // (doc, k, gram) count agg shuffled every gram occurrence: the
+        // scale probe's steepest family at 9.3× per 10× data; now the
+        // only exchange is the |sources|-sized final agg). No join, no
+        // window, nothing global — pinned in PlanSpec.
+        val docsW = T.documents(s, d)
           .select(col("source"), col("doc_id"),
             split(lower(col("text")), " ").as("__w"))
           .select(col("source"), col("doc_id"),
-            explode(flatten(array(
-              transform(TextOps.positionalGrams(col("__w"), 2),
-                g => struct(lit(2L).as("k"), g.as("g"))),
-              transform(TextOps.positionalGrams(col("__w"), 3),
-                g => struct(lit(3L).as("k"), g.as("g")))))).as("kg"))
-          .select(col("source"), col("doc_id"),
-            col("kg.k").as("k"), col("kg.g").as("g"))
-          .groupBy(col("source"), col("doc_id"), col("k"), col("g"))
-          .agg(count(lit(1)).as("c"))
-        val perDoc = byK.groupBy(col("source"), col("doc_id"))
-          .agg(max(when(col("k") === 2, col("c"))).as("top2"),
-            sum(when(col("k") === 2, col("c"))).as("n2"),
-            sum(when(col("k") === 3 && col("c") >= 2, col("c"))
-              .otherwise(lit(0L))).as("dup3"),
-            sum(when(col("k") === 3, col("c"))).as("n3"))
+            TextOps.gramCounts(col("__w"), 2).as("__c2"),
+            TextOps.gramCounts(col("__w"), 3).as("__c3"))
+        val perDoc = docsW
+          .select(col("source"),
+            array_max(transform(col("__c2"), e => e.getField("c"))).as("top2"),
+            aggregate(col("__c2"), lit(0L),
+              (a, e) => a + e.getField("c")).as("n2"),
+            aggregate(col("__c3"), lit(0L),
+              (a, e) => a + when(e.getField("c") >= 2, e.getField("c"))
+                .otherwise(lit(0L))).as("dup3"),
+            // n3 NULL (not 0) for no-trigram docs: the old
+            // sum(when(k===3, c)) semantics — dup3ppm must stay NULL so
+            // the flag falls to top2ppm alone for 2-token docs
+            when(size(col("__c3")) > 0,
+              aggregate(col("__c3"), lit(0L),
+                (a, e) => a + e.getField("c"))).as("n3"))
+          .where(col("n2") > 0)
           .select(col("source"),
             expr("(top2 * 1000000) div n2").as("top2ppm"),
             expr("(dup3 * 1000000) div n3").as("dup3ppm"))
@@ -2963,14 +2967,24 @@ object MiningQueries {
         // (doc, bigram) once instead of every position. q159 remains
         // the exact-complete audit; this is the shape that scores
         // 100 TB — LM rows capped by the count threshold, no shuffle.
+        // per-doc bigram counts MAP-SIDE (native GramRunCounts inside
+        // each row, then explode) — the former explode → 4-key groupBy
+        // shuffled every bigram occurrence and was over half this
+        // query's cost; the gram string splits back to (w1, w2) exactly
+        // (space-joined space-free tokens round-trip, the q162 device).
+        // Deliberately NOT persisted: the frame is corpus-sized but its
+        // re-derivation is one streaming scan pass — materializing it
+        // into the block manager cost more than BOTH consumers' (train's
+        // en-slice count, score's map-side joins) recomputation, and at
+        // 100 TB recompute-over-cache is the same trade
         val pc = T.documents(s, d)
           .select(col("doc_id"), col("lang"),
-            explode(BigramLm.bigramPairs(split(lower(col("text")), " "))).as("bg"))
+            explode(TextOps.gramCounts(split(lower(col("text")), " "), 2)).as("e"))
+          .select(col("doc_id"), col("lang"), split(col("e.g"), " ").as("__sp"),
+            col("e.c").as("c"))
           .select(col("doc_id"), col("lang"),
-            col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-          .groupBy(col("doc_id"), col("lang"), col("w1"), col("w2"))
-          .agg(count(lit(1)).as("c"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            element_at(col("__sp"), 1).as("w1"),
+            element_at(col("__sp"), 2).as("w2"), col("c"))
         val lm = BigramLm.train(pc.where(col("lang") === "en"), Some("c"),
           minPair = 2L, minCtx = 2L)
         BigramLm.score(pc, Seq("doc_id", "lang"), lm, Some("c"), broadcastLm = true)

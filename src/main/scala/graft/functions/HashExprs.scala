@@ -283,6 +283,41 @@ case class ShingleArray(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** array<string> tokens -> array<struct<g: string, c: bigint>>: COUNTED
+  * positional k-grams — one entry per distinct gram with its occurrence
+  * count, sorted by gram. The map-side half of a per-doc gram-count
+  * GROUP BY: exploding the result reproduces
+  * `explode(positionalGrams) → groupBy(doc, gram) → count(*)` without
+  * shuffling every gram OCCURRENCE — the count collapses inside the row
+  * while the scan streams (CorpusGrams / q158 / q163). Native because
+  * the sort+run-length HOF chain is interpreted and re-evaluates its
+  * (array-building) children per lambda element; this is one hash-count
+  * pass + one distinct-sized sort per row inside codegen.
+  */
+case class GramRunCounts(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"gram size must be >= 1, got $k")
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("g", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("c", LongType, nullable = false))),
+    containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"graft_gram_run_counts needs array<string> tokens, got $t")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashRuntime.gramRunCounts(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashRuntime.gramRunCounts($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): GramRunCounts =
+    copy(child = newChild)
+}
+
 /** array<bigint> -> array<bigint>: distinct minima of every w-long
   * window over the hash sequence (winnowing fingerprint selection,
   * SIGMOD'03 MOSS); shorter-than-w non-empty input yields its single
@@ -483,6 +518,8 @@ object HashExprs {
       GraftColumnBridge.expression(c), brightness, noisePeriod, noiseDelta))
   def shingles(c: Column, n: Int): Column =
     GraftColumnBridge.column(ShingleArray(GraftColumnBridge.expression(c), n))
+  def gramRunCounts(c: Column, k: Int): Column =
+    GraftColumnBridge.column(GramRunCounts(GraftColumnBridge.expression(c), k))
   def winnowMins(c: Column, w: Int): Column =
     GraftColumnBridge.column(WinnowMins(GraftColumnBridge.expression(c), w))
   def classifierScoreTable(c: Column, weights: Array[Long]): Column =

@@ -323,6 +323,47 @@ object HashRuntime {
     new GenericArrayData(out.toArray)
   }
 
+  /** COUNTED positional k-grams of a token array: one (gram, count)
+    * struct per DISTINCT gram, counts over every position, grams joined
+    * by single spaces (null tokens skipped — the `concat_ws` rule),
+    * output sorted by gram binary order (canonical — JVM-hash-order
+    * independence). Fewer than k tokens yields an empty array.
+    *
+    * This is the map-side half of a per-doc gram-count GROUP BY: a
+    * consumer that explodes this array gets exactly the rows of
+    * `explode(positionalGrams) → groupBy(docKeys, gram) → count(*)`
+    * WITHOUT the corpus-sized shuffle — the count happens inside the
+    * row while the scan streams (the CorpusGrams / q158 / q163 device).
+    * One pass + one distinct-sized sort per row.
+    */
+  def gramRunCounts(toks: ArrayData, k: Int): ArrayData = {
+    val m = toks.numElements()
+    if (m < k) return new GenericArrayData(Array.empty[Any])
+    val counts = new java.util.HashMap[UTF8String, Array[Long]](math.max(16, (m - k + 1) * 2))
+    val parts = new Array[UTF8String](k)
+    var i = 0
+    while (i <= m - k) {
+      var j = 0
+      while (j < k) {
+        parts(j) = if (toks.isNullAt(i + j)) null else toks.getUTF8String(i + j)
+        j += 1
+      }
+      val gram = UTF8String.concatWs(ShingleSep, parts: _*)
+      val c = counts.get(gram)
+      if (c == null) counts.put(gram, Array(1L)) else c(0) += 1L
+      i += 1
+    }
+    val grams = counts.keySet().toArray(new Array[UTF8String](counts.size()))
+    java.util.Arrays.sort(grams.asInstanceOf[Array[Object]])
+    val out = new Array[Any](grams.length)
+    var x = 0
+    while (x < grams.length) {
+      out(x) = org.apache.spark.sql.catalyst.InternalRow(grams(x), counts.get(grams(x))(0))
+      x += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Count of array elements (with multiplicity) present in `set`. Null
     * elements don't count — the `filter(toks, isin(...))` semantics this
     * replaces.

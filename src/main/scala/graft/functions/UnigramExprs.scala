@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Viterbi segmentation kernel for the unigram-LM tokenizer trainer
@@ -185,9 +185,38 @@ case class UnigramTokenize(child: Expression, pieces: Array[String],
     copy(child = newChild)
 }
 
+/** bigint x >= 1 -> floor(log2(x)·2^16): [[UnigramRuntime.log2fp]] as a
+  * per-row scalar expression. The SAME exact bit recurrence
+  * [[graft.operators.BigramLm.log2Frame]] unrolls column-wise (the
+  * parity law is in PropertySpec), so a caller whose input frame is NOT
+  * bounded — or who wants to skip the distinct-vals join frame's extra
+  * stages entirely — gets bit-identical Q16 values in one codegen'd
+  * projection.
+  */
+case class Log2Fp(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"graft_log2fp needs bigint, got $t")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    UnigramRuntime.log2fp(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.UnigramRuntime.log2fp($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Log2Fp =
+    copy(child = newChild)
+}
+
 object UnigramExprs {
   def unigramViterbi(c: Column, pieces: Array[String], scores: Array[Long], maxLen: Int): Column =
     GraftColumnBridge.column(UnigramViterbi(GraftColumnBridge.expression(c), pieces, scores, maxLen))
   def unigramTokenize(c: Column, pieces: Array[String], scores: Array[Long], maxLen: Int): Column =
     GraftColumnBridge.column(UnigramTokenize(GraftColumnBridge.expression(c), pieces, scores, maxLen))
+  def log2fp(c: Column): Column =
+    GraftColumnBridge.column(Log2Fp(GraftColumnBridge.expression(c)))
 }

@@ -15,12 +15,14 @@ import org.apache.spark.sql.functions._
   * Determinism is the design constraint (the [[graft.functions.UnigramRuntime]]
   * discipline): every probability lives as a FIXED-POINT integer log2
   * value — floor(log2(x)·2^16) — computed by the exact square-and-compare
-  * bit recurrence of [[graft.functions.UnigramRuntime.log2fp]], here
-  * evaluated COLUMN-WISE as 16 unrolled integer projections over the
-  * bounded distinct-count frame. No libm, no floats: the DuckDB oracle
-  * replays the identical unrolled program in HUGEINT, and per-token
-  * bits sum exactly, so document scores are bit-identical at any
-  * parallelism. The parity law vs the scalar log2fp is in PropertySpec.
+  * bit recurrence of [[graft.functions.UnigramRuntime.log2fp]], evaluated
+  * per row by the native [[graft.functions.Log2Fp]] scalar inside the
+  * count aggregations' projections. No libm, no floats: the DuckDB
+  * oracle replays the identical recurrence as the 16-round unrolled
+  * HUGEINT program over its bounded distinct-count frame (the
+  * [[log2Frame]] shape), and per-token bits sum exactly, so document
+  * scores are bit-identical at any parallelism AND across the two
+  * evaluation strategies — the parity law is in PropertySpec.
   */
 object BigramLm {
 
@@ -96,6 +98,7 @@ object BigramLm {
     */
   def train(trainPairs: DataFrame, weightCol: Option[String] = None,
       minPair: Long = 1L, minCtx: Long = 1L): Lm = {
+    val l2 = graft.functions.UnigramExprs.log2fp _
     val c2 = weightCol.fold(
         trainPairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2")))(w =>
         trainPairs.groupBy(col("w1"), col("w2")).agg(sum(col(w)).as("c2")))
@@ -105,29 +108,25 @@ object BigramLm {
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val vfr = c2.select(col("w1").as("w")).union(c2.select(col("w2").as("w")))
       .distinct().agg(count(lit(1)).as("V")).withColumn("__k", lit(1))
-    val c1v = c1.withColumn("__k", lit(1))
+    // Q16 log2 bits per ROW via the native Log2Fp scalar — bit-identical
+    // to the unrolled [[log2Frame]] program (the PropertySpec parity
+    // law), without the distinct-vals frame's ~10 extra stages; the lg
+    // frame remains the ORACLE's replay device (DuckDB has no exact
+    // fixed-point log2 — the bounded frame is how it runs the program)
+    val ctxBits = c1.withColumn("__k", lit(1))
       .join(broadcast(vfr), Seq("__k")).drop("__k")
       .where(col("c1") >= minCtx)
-    val c2p = c2.where(col("c2") >= minPair)
-    val vals = c2p.select((col("c2") + lit(1L)).as("val"))
-      .union(c1v.select((col("c1") + col("V")).as("val")))
-      .union(vfr.select(col("V").cast("long").as("val")))
-      .distinct()
-    // lg is consumed three times (den/num/unk) and its lineage pulls the
-    // whole train chain — persist the bounded distinct-count frame
-    val lg = log2Frame(vals)
+      .select(col("w1"), l2(col("c1") + col("V")).as("den_fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val den = c1v.join(lg, c1v("c1") + c1v("V") === lg("val"))
-      .select(col("w1"), col("l2fp").as("den_fp"))
-    val num = c2p.join(lg, c2p("c2") + lit(1L) === lg("val"))
-      .select(col("w1"), col("w2"), col("l2fp").as("num_fp"))
     // the den join doubles as context pruning: a pair whose context was
     // pruned loses its pb row too (hierarchical model consistency)
-    val pairBits = num.join(den, Seq("w1"))
-      .select(col("w1"), col("w2"), (col("den_fp") - col("num_fp")).as("pb"))
-    val unk = vfr.join(lg, vfr("V").cast("long") === lg("val"))
-      .select(col("l2fp").as("unk_fp")).withColumn("__k", lit(1))
-    Lm(pairBits, den, unk)
+    val pairBits = c2.where(col("c2") >= minPair)
+      .join(ctxBits, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        (col("den_fp") - l2(col("c2") + lit(1L))).as("pb"))
+    val unk = vfr.select(l2(col("V").cast("long")).as("unk_fp"))
+      .withColumn("__k", lit(1))
+    Lm(pairBits, ctxBits, unk)
   }
 
   /** Per-key cross-entropy (Q16 bits per bigram, truncating div) of

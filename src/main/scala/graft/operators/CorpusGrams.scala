@@ -7,10 +7,10 @@ import org.apache.spark.sql.functions._
   * repetition rules, q162's waterfall, q163's LM bigrams, and the
   * streaming [[graft.streaming.CurationGate]] all consume the same
   * (key…, k, gram, count) rows: both gram sizes (word bigrams AND
-  * trigrams) exploded in ONE corpus pass, ONE corpus-sized count agg
-  * (map-side combined). The k=2 grams double as a bigram LM's training/
-  * scoring pairs (the gram string splits back to (w1, w2) exactly —
-  * space-joined space-free tokens round-trip).
+  * trigrams) counted inside each doc row in ONE corpus pass — zero
+  * shuffles. The k=2 grams double as a bigram LM's training/scoring
+  * pairs (the gram string splits back to (w1, w2) exactly — space-joined
+  * space-free tokens round-trip).
   *
   * Storage switch (the [[MinHash.writeCorpusIndex]] device, here for the
   * gram frame): [[counts]] is the in-process shape — at gate scale a
@@ -24,23 +24,30 @@ import org.apache.spark.sql.functions._
   */
 object CorpusGrams {
 
-  /** (keyCols…, k, g, c): per-key word-bigram and -trigram counts in one
-    * explosion + one count agg. Callers that explode-amplify a single
-    * input split should `repartition` `docs` first (q162's lever —
-    * at 100 TB the same knob is files.maxPartitionBytes sized for
-    * post-explosion volume).
+  /** (keyCols…, k, g, c): per-doc word-bigram and -trigram counts,
+    * ENTIRELY MAP-SIDE — both gram sizes counted inside each row by the
+    * native [[graft.functions.HashExprs.GramRunCounts]] expression, then
+    * exploded. No shuffle at all: the former corpus-sized
+    * explode → groupBy(key, k, g) shuffled every gram OCCURRENCE; this
+    * emits the identical (key, k, g, c) rows while the scan streams,
+    * which is the difference between a ~token-count-sized exchange and
+    * none at 100 TB. Callers that explode-amplify a single input split
+    * can still `repartition` `docs` first (at 100 TB the same knob is
+    * files.maxPartitionBytes sized for post-explosion volume).
+    *
+    * PRECONDITION: `keyCols` identify each input ROW (one row per doc —
+    * true of every caller); counts are per-row, so duplicate keys would
+    * yield duplicate (not summed) gram rows.
     */
   def counts(docs: DataFrame, keyCols: Seq[String], textCol: String): DataFrame =
     docs
       .select(keyCols.map(col) :+ TextOps.tokens(col(textCol)).as("__w"): _*)
-      .select(keyCols.map(col) :+ explode(flatten(array(
-        transform(TextOps.positionalGrams(col("__w"), 2),
-          g => struct(lit(2L).as("k"), g.as("g"))),
-        transform(TextOps.positionalGrams(col("__w"), 3),
-          g => struct(lit(3L).as("k"), g.as("g")))))).as("kg"): _*)
-      .select(keyCols.map(col) ++ Seq(col("kg.k").as("k"), col("kg.g").as("g")): _*)
-      .groupBy(keyCols.map(col) ++ Seq(col("k"), col("g")): _*)
-      .agg(count(lit(1)).as("c"))
+      .select(keyCols.map(col) :+ explode(concat(
+        transform(TextOps.gramCounts(col("__w"), 2),
+          e => struct(lit(2L).as("k"), e.getField("g").as("g"), e.getField("c").as("c"))),
+        transform(TextOps.gramCounts(col("__w"), 3),
+          e => struct(lit(3L).as("k"), e.getField("g").as("g"), e.getField("c").as("c"))))).as("kgc"): _*)
+      .select(keyCols.map(col) ++ Seq(col("kgc.k").as("k"), col("kgc.g").as("g"), col("kgc.c").as("c")): _*)
 
   /** [[counts]] materialized as a reusable parquet index at `path`
     * (overwrite), returned as the re-read frame — downstream stages scan

@@ -80,6 +80,19 @@ object TextOps {
       (x, i) => concat_ws(" ", Seq(x) ++ (2 to k).map(j => element_at(toks, i + lit(j))): _*))
   }
 
+  /** COUNTED positional k-grams: array<struct<g, c>> of distinct grams
+    * with occurrence counts, sorted by gram — the map-side half of a
+    * per-doc gram-count GROUP BY ([[graft.functions.HashExprs.gramRunCounts]]).
+    * Exploding this reproduces `explode(positionalGrams) → groupBy(doc,
+    * gram) → count` with the count collapsed INSIDE the row: the
+    * corpus-sized shuffle of every gram occurrence disappears, which is
+    * the difference between shuffling ~token-count rows and shuffling
+    * nothing at 100 TB (consumers that need corpus-level gram totals
+    * still aggregate, but over per-doc DISTINCT grams, pre-combined).
+    */
+  def gramCounts(toks: Column, k: Int): Column =
+    graft.functions.HashExprs.gramRunCounts(toks, k)
+
   /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken: "Winnowing:
     * Local Algorithms for Document Fingerprinting", SIGMOD'03 — the MOSS
     * device): hash every positional k-gram, then keep the MINIMUM hash of
