@@ -3060,24 +3060,32 @@ object MiningQueries {
           .select(col("probe_id"), col("centroid_id"))
           .localCheckpoint(true)
         val lists = Map(2 -> listsFor(2), 4 -> listsFor(4))
-        val cells = for { m <- Seq(4, 8, 16); kc <- Seq(8, 16); np <- Seq(2, 4) }
-          yield (m, kc, np)
-        cells.map { case (m, kc, np) =>
+        // train + encode ONCE per (m, k) — the nprobe axis only changes
+        // list pruning, never codes, so the two nprobe cells of each
+        // codebook share ONE materialized code table (books are m·k
+        // rows, codes n·m rows; lineage otherwise re-runs the training
+        // fold per cell — measured ~2x of the sweep's cost)
+        val rows = for { m <- Seq(4, 8, 16); kc <- Seq(8, 16) } yield {
           val books = Pq.codebooks(res, "rid", "__res",
-            m = m, dims = 64, stride = 32, maxCodes = kc)
+              m = m, dims = 64, stride = 32, maxCodes = kc)
+            .localCheckpoint(true)
           val enc = Pq.encode(res, "rid", "__res", books, m, 64)
             .select(col("id"), col("subspace"), col("code"))
             .join(asg.withColumnRenamed("rid", "id"), Seq("id"))
-          Pq.searchTopKResidual(enc, probes, "vec_id", "v", cents, books,
-              m = m, dims = 64, k = 5, probeLists = Some(lists(np)))
-            .join(exact, Seq("probe_id", "neighbor_id"), "left")
-            .agg(count(lit(1)).as("n_ranked"),
-              sum(when(col("__hit"), 1L).otherwise(0L)).as("n_hits"))
-            .select(lit(m).as("m"), lit(kc).as("k_codes"), lit(np).as("nprobe"),
-              lit(m).as("bytes_per_vec"), lit(512L / m).as("compression_x"),
-              col("n_ranked"), col("n_hits"),
-              (col("n_hits") * 1000000L / lit(nExact)).cast("long").as("recall_ppm"))
-        }.reduce(_ unionByName _)
+            .localCheckpoint(true)
+          Seq(2, 4).map { np =>
+            Pq.searchTopKResidual(enc, probes, "vec_id", "v", cents, books,
+                m = m, dims = 64, k = 5, probeLists = Some(lists(np)))
+              .join(exact, Seq("probe_id", "neighbor_id"), "left")
+              .agg(count(lit(1)).as("n_ranked"),
+                sum(when(col("__hit"), 1L).otherwise(0L)).as("n_hits"))
+              .select(lit(m).as("m"), lit(kc).as("k_codes"), lit(np).as("nprobe"),
+                lit(m).as("bytes_per_vec"), lit(512L / m).as("compression_x"),
+                col("n_ranked"), col("n_hits"),
+                (col("n_hits") * 1000000L / lit(nExact)).cast("long").as("recall_ppm"))
+          }
+        }
+        rows.flatten.reduce(_ unionByName _)
           .orderBy(col("m"), col("k_codes"), col("nprobe"))
       },
       // Deterministic (fixed-point quantizer/codebooks/tables, integer

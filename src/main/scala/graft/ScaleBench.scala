@@ -60,7 +60,7 @@ object ScaleBench {
   /** Skew probes (round-8 judge ask #3): the uniform replication above is
     * disjoint BY CONSTRUCTION — no key grows hotter with r, so it cannot
     * catch a skew-killer. These run on a SKEWED replication (one hub
-    * partkey holding 20% of every replica's lineitem rows; a shared hot
+    * partkey holding ~50% of every replica's lineitem rows; a shared hot
     * token vocabulary whose df grows r×; mega-duplicate docs with r exact
     * copies) with AQE skew handling at its PRODUCTION defaults — each
     * family's skew resistance is algorithmic (df-caps, prefix filtering,
@@ -116,10 +116,15 @@ object ScaleBench {
   /** Skewed replication: same three tables, but hot-key mass GROWS with r
     * (the property the disjoint replication above deliberately avoids):
     *  - lineitem: orders stay disjoint per replica, but every partkey
-    *    with `pk % 5 == 0` collapses to ONE hub part (partkey 1) in all
-    *    replicas — the hub holds ~20% of rows at every r, so its absolute
+    *    with `pk % 2 == 0` collapses to ONE hub part (partkey 1) in all
+    *    replicas — the hub holds ~50% of rows at every r, so its absolute
     *    mass grows r× while uniform keys stay constant-mass (the bot-user
-    *    / empty-string key shape at 100 TB);
+    *    / empty-string key shape at 100 TB). The hub must be HALF the
+    *    corpus, not a fifth, for the byte-level skew AQE sees to be
+    *    unambiguous: a constant join key compresses ~4× better than
+    *    uniform keys in shuffle blocks, so a 20% hub's hot partition
+    *    measured only ~2× the median in BYTES (just under the split
+    *    factor) despite 9× the rows;
     *  - documents: replica tokens are prefixed as in the uniform variant
     *    EXCEPT a shared hot vocabulary (xxhash64(token) % 37 == 0, ~3% of
     *    distinct tokens) kept identical across replicas — their document
@@ -149,9 +154,17 @@ object ScaleBench {
       .crossJoin(rep)
       .withColumn("l_orderkey", col("l_orderkey") + col("__rep") * lit(1000000000L))
       .withColumn("l_partkey",
-        when(pmod(col("l_partkey"), lit(5L)) === 0L, lit(1L))
+        when(pmod(col("l_partkey"), lit(2L)) === 0L, lit(1L))
           .otherwise(col("l_partkey") + col("__rep") * lit(1000000000L)))
       .drop("__rep")
+      // 32 output files, hub rows spread round-robin across them: AQE's
+      // skew split works at MAP-OUTPUT-BLOCK granularity, and a
+      // single-row-group file collapses the scan to one effective map —
+      // making the hot reducer partition ONE indivisible block that
+      // createSkewPartitionSpecs refuses to split (measured: all 5.6MB
+      // of the hub partition from one map, specs=None). A production
+      // 100 TB table is thousands of files/maps; 32 files model that.
+      .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
     done.createNewFile()
     ()
@@ -181,7 +194,10 @@ object ScaleBench {
       r -> out
     }.toMap
 
-    def run(df: org.apache.spark.sql.DataFrame): Double = {
+    // BY-NAME df: queries with eager stages (q136's index write, the
+    // components/PageRank loops' eager checkpoints) do real work during
+    // DataFrame CONSTRUCTION — it must happen inside the timed region
+    def run(df: => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       val t = (System.nanoTime() - t0) / 1e9
@@ -219,7 +235,8 @@ object ScaleBench {
     }
     // window family: keep-top-1 per partkey — the hub key's rows collapse
     // map-side in WindowGroupLimit(Partial) before the shuffle (the pin in
-    // PlanSpec), so the hot window partition never materializes its 20%
+    // PlanSpec), so the hot window partition never materializes its half
+    // of the corpus
     def hotWindow(dir: String) = operators.Dedup.keepLatest(
       spark.read.parquet(s"$dir/lineitem.parquet")
         .select(col("l_partkey"), col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
@@ -237,8 +254,14 @@ object ScaleBench {
     def hubJoin(dir: String): org.apache.spark.sql.DataFrame = {
       val li = spark.read.parquet(s"$dir/lineitem.parquet")
         .select(col("l_partkey"), col("l_extendedprice"))
+      // dim MATERIALIZED as a leaf (the real-world shape: a dimension
+      // table, not a same-plan derivation): OptimizeSkewedJoin only
+      // matches SMJ children of shape Sort <- ShuffleQueryStage — an
+      // aggregate between the sort and the shuffle (the inline
+      // distinct()) structurally disqualifies the side from splitting
       val dim = li.select(col("l_partkey").as("pk")).distinct()
         .select(col("pk"), pmod(col("pk"), lit(97L)).as("pk_tag"))
+        .localCheckpoint(true)
       li.join(dim, li("l_partkey") === dim("pk"))
         .agg(count(lit(1)).as("n"), sum(col("l_extendedprice") * col("pk_tag")).as("chk"))
     }

@@ -31,7 +31,7 @@ class PlanSpec extends SparkSpec {
     // BOTH phases must be present: the Partial node runs BEFORE the
     // window's exchange, so a hot key's rows collapse to one per input
     // partition map-side — this is the engine's window-skew mitigation
-    // (a 20%-of-corpus hub key never materializes in one reducer), and
+    // (a half-the-corpus hub key never materializes in one reducer), and
     // the skewed scale probe (ScaleBench w_hot_window) measures exactly
     // this plan at 10x data
     assert(plan.contains("Partial") && plan.contains("Final"),
