@@ -168,8 +168,34 @@ object Ivf {
       vecCol: String,
       path: String,
       k: Int,
-      nprobe: Int = 4): DataFrame = {
-    val cents = spark.read.parquet(s"$path/centroids")
+      nprobe: Int = 4): DataFrame =
+    topKPruned(probes, idCol, vecCol,
+        spark.read.parquet(s"$path/centroids"), k, nprobe) { probedIds =>
+      val idxRaw = spark.read.parquet(s"$path/assign")
+      // partition-directory values are type-INFERRED on read (small ids
+      // come back int); match the literal type or the In-filter wouldn't
+      // reach PartitionFilters
+      val probed: Seq[Any] = idxRaw.schema("centroid_id").dataType match {
+        case org.apache.spark.sql.types.IntegerType => probedIds.map(_.toInt)
+        case _ => probedIds
+      }
+      idxRaw.where(col("centroid_id").isin(probed: _*))
+    }
+
+  /** The shared pruned-fetch query over ANY persisted (centroid_id,
+    * neighbor_id, __cv) assignment layout — the one-shot [[writeIndex]]
+    * tree and the streamed per-batch tree
+    * ([[graft.streaming.StreamingIvf]]) differ only in how the probed
+    * rows load, which `loadProbed` supplies from the driver-collected
+    * probed list ids (bounded by the centroid count, never row data).
+    */
+  private[graft] def topKPruned(
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: DataFrame,
+      k: Int,
+      nprobe: Int)(loadProbed: Seq[Long] => DataFrame): DataFrame = {
     val p = withNorm(probes, idCol, vecCol, "probe_id", "__pv", "__pn")
     val cw = Window.partitionBy(col("probe_id"))
       .orderBy(col("__ccos").desc, col("centroid_id").asc)
@@ -187,20 +213,12 @@ object Ivf {
       .localCheckpoint(true)
 
     // probed-partition union: at most |centroids| ids via the driver —
-    // what makes the scan below a PartitionFilters prune, not a full
+    // what makes the loaded scan a PartitionFilters prune, not a full
     // read. Cast to long first: centroid_id inherits the corpus id
     // type, and getLong on an int column throws
     val probedIds = probeLists.select(col("centroid_id").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val idxRaw = spark.read.parquet(s"$path/assign")
-    // partition-directory values are type-INFERRED on read (small ids
-    // come back int); match the literal type or the In-filter wouldn't
-    // reach PartitionFilters
-    val probed: Seq[Any] = idxRaw.schema("centroid_id").dataType match {
-      case org.apache.spark.sql.types.IntegerType => probedIds.map(_.toInt)
-      case _ => probedIds
-    }
-    val index = idxRaw.where(col("centroid_id").isin(probed: _*))
+    val index = loadProbed(probedIds)
 
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
     probeLists.join(index, Seq("centroid_id"))

@@ -780,6 +780,58 @@ class StreamingSpec extends SparkSpec {
     assert(oneShot === Set(1L, 3L, 4L, 12L))
   }
 
+  test("StreamingIvf: streamed per-batch index == one-shot topK; candidate fetch partition-prunes") {
+    // incremental ANN ingest (the embedding analogue of StreamingDedup):
+    // a fixed coarse quantizer assigns each micro-batch map-side; the
+    // index accumulates as centroid-partitioned per-batch directories.
+    // The quantizer is STATIC (trained once on the bootstrap), so the
+    // streamed index is bit-equal to the one-shot build — queries over
+    // it must match Ivf.topK exactly.
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("graft_sivf").toString
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // bootstrap IS the corpus here, so the one-shot twin shares the
+    // quantizer bits exactly (deterministic fixed-point Lloyd)
+    graft.streaming.StreamingIvf.staticCentroids(e, "vec_id", "v", path, stride = 16, refine = 1)
+    val input = MemoryStream[(Long, Seq[Double])]
+    val indexed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = graft.streaming.StreamingIvf.run(
+        input.toDS().toDF("vec_id", "v"), "vec_id", "v", path) { (n, bid) =>
+        indexed.synchronized { indexed += ((bid, n)); () }
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_sivf_ckpt").toString)
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    val rows = e.as[(Long, Seq[Double])].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // both batches committed rows
+    assert(indexed.synchronized(indexed.toList).map(_._1).toSet === Set(0L, 1L))
+    assert(indexed.synchronized(indexed.toList).forall(_._2 > 0))
+
+    val probes = e.where(col("vec_id") < 10)
+    val got = graft.streaming.StreamingIvf.topK(spark, probes, "vec_id", "v", path, k = 5, nprobe = 4)
+    val expect = operators.Ivf.topK(e, probes, "vec_id", "v",
+      k = 5, stride = 16, nprobe = 4, refine = 1)
+    val a = got.select("probe_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val b = expect.select("probe_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+    // the candidate fetch is a partition-pruned scan across every batch
+    // directory, not a full index read
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [centroid_id"),
+      plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+  }
+
   test("StreamingPhashDedup: media batches screen against the accepted fingerprint index") {
     implicit val sqlCtx = spark.sqlContext
     val idx = java.nio.file.Files.createTempDirectory("graft_pdedup").toString + "/index"
