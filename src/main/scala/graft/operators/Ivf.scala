@@ -170,24 +170,20 @@ object Ivf {
       k: Int,
       nprobe: Int = 4): DataFrame =
     topKPruned(probes, idCol, vecCol,
-        spark.read.parquet(s"$path/centroids"), k, nprobe) { probedIds =>
-      val idxRaw = spark.read.parquet(s"$path/assign")
-      // partition-directory values are type-INFERRED on read (small ids
-      // come back int); match the literal type or the In-filter wouldn't
-      // reach PartitionFilters
-      val probed: Seq[Any] = idxRaw.schema("centroid_id").dataType match {
-        case org.apache.spark.sql.types.IntegerType => probedIds.map(_.toInt)
-        case _ => probedIds
-      }
-      idxRaw.where(col("centroid_id").isin(probed: _*))
-    }
+      spark.read.parquet(s"$path/centroids"), k, nprobe)(
+      spark.read.parquet(s"$path/assign"))
 
   /** The shared pruned-fetch query over ANY persisted (centroid_id,
     * neighbor_id, __cv) assignment layout — the one-shot [[writeIndex]]
     * tree and the streamed per-batch tree
-    * ([[graft.streaming.StreamingIvf]]) differ only in how the probed
-    * rows load, which `loadProbed` supplies from the driver-collected
-    * probed list ids (bounded by the centroid count, never row data).
+    * ([[graft.streaming.StreamingIvf]]) differ only in how the raw
+    * index loads (`index`, by-name: constructed only after the probe
+    * lists are known). The probed list ids are collected to the driver
+    * (bounded by the centroid count, never row data) and applied HERE
+    * with the partition-column type matched to the loaded schema —
+    * partition-directory values are type-INFERRED on read (small ids
+    * come back int), and a mistyped literal In-filter would silently
+    * stop reaching PartitionFilters (full index scan).
     */
   private[graft] def topKPruned(
       probes: DataFrame,
@@ -195,7 +191,7 @@ object Ivf {
       vecCol: String,
       cents: DataFrame,
       k: Int,
-      nprobe: Int)(loadProbed: Seq[Long] => DataFrame): DataFrame = {
+      nprobe: Int)(index0: => DataFrame): DataFrame = {
     val p = withNorm(probes, idCol, vecCol, "probe_id", "__pv", "__pn")
     val cw = Window.partitionBy(col("probe_id"))
       .orderBy(col("__ccos").desc, col("centroid_id").asc)
@@ -218,7 +214,12 @@ object Ivf {
     // type, and getLong on an int column throws
     val probedIds = probeLists.select(col("centroid_id").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val index = loadProbed(probedIds)
+    val idxRaw = index0
+    val probed: Seq[Any] = idxRaw.schema("centroid_id").dataType match {
+      case org.apache.spark.sql.types.IntegerType => probedIds.map(_.toInt)
+      case _ => probedIds
+    }
+    val index = idxRaw.where(col("centroid_id").isin(probed: _*))
 
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
     probeLists.join(index, Seq("centroid_id"))

@@ -204,19 +204,10 @@ object CurationGate {
           .persist(StorageLevel.MEMORY_AND_DISK)
         try {
           val accepted = BatchIndex.read(spark, indexPath, batchIdx, beforeBatch = batchId)
-          val bb = MinHash.bands(batchIdx.select(col("__id"), col("__sig")), "__sig", cfg.b, cfg.r)
-            .select(col("__id"), col("band"), col("bucket"))
-          val ab = MinHash.bands(accepted.select(col("__id"), col("__sig")), "__sig", cfg.b, cfg.r)
-            .select(col("__id"), col("band"), col("bucket"))
-          val crossCands = bb.select(col("__id").as("id_a"), col("band"), col("bucket"))
-            .join(ab.select(col("__id").as("id_b"), col("band"), col("bucket")),
-              Seq("band", "bucket"))
-            .select(col("id_a"), col("id_b")).distinct()
-          val sets = batchIdx.select(col("__id"), col("__sh"))
-            .unionByName(accepted.select(col("__id"), col("__sh")))
-          val dupOfAccepted = PairVerify.exact(crossCands, sets, cfg.num, cfg.den)
-            .select(col("id_a").as("__id")).distinct()
-            .localCheckpoint(true)
+          // accepted-first rule — the [[DedupStage]] protocol shared
+          // with StreamingDedup (drop set localCheckpointed inside)
+          val dupOfAccepted = DedupStage.dupOfAccepted(
+            batchIdx, accepted, cfg.b, cfg.r, cfg.num, cfg.den)
           val fresh = batchIdx.join(dupOfAccepted, Seq("__id"), "left_anti")
           // within-batch: cluster verified pairs, keep the longest text
           // per cluster (ties -> smallest id) — q162's policy

@@ -72,22 +72,10 @@ object StreamingDedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val accepted = readIndex(spark, indexPath, batchIdx, beforeBatch = batchId)
-        // 1. cross candidates: batch bands vs accepted bands — one bucket
-        // equi-join; verify exactly; any hit drops the batch doc.
-        // localCheckpoint materializes the small id set so the verify
-        // DAG runs once, not once per downstream consumer
-        val bb = MinHash.bands(batchIdx.select(col("__id"), col("__sig")), "__sig", b, r)
-          .select(col("__id"), col("band"), col("bucket"))
-        val ab = MinHash.bands(accepted.select(col("__id"), col("__sig")), "__sig", b, r)
-          .select(col("__id"), col("band"), col("bucket"))
-        val crossCands = bb.select(col("__id").as("id_a"), col("band"), col("bucket"))
-          .join(ab.select(col("__id").as("id_b"), col("band"), col("bucket")), Seq("band", "bucket"))
-          .select(col("id_a"), col("id_b")).distinct()
-        val sets = batchIdx.select(col("__id"), col("__sh"))
-          .unionByName(accepted.select(col("__id"), col("__sh")))
-        val dupOfAccepted = PairVerify.exact(crossCands, sets, num, den)
-          .select(col("id_a").as("__id")).distinct()
-          .localCheckpoint(true)
+        // 1. accepted-first rule — the [[DedupStage]] protocol shared
+        // with CurationGate: any batch doc near-dup of an accepted doc
+        // drops (drop set localCheckpointed inside, computed once)
+        val dupOfAccepted = DedupStage.dupOfAccepted(batchIdx, accepted, b, r, num, den)
         val fresh = batchIdx.join(dupOfAccepted, Seq("__id"), "left_anti")
 
         // 2. within-batch: keep the lowest id of each near-dup cluster

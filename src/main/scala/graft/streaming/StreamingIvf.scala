@@ -72,9 +72,31 @@ object StreamingIvf {
         .join(v, Seq("neighbor_id"))
       assigned.write.mode("overwrite").partitionBy("centroid_id")
         .parquet(s"$path/assign/batch=$batchId")
+      // commit marker AFTER the write completes: [[topK]] reads only
+      // marked directories, so a query racing a half-written batch (a
+      // parquet overwrite is not atomic) never sees uncommitted rows.
+      // A retry overwrites the dir and re-creates the marker — the
+      // brief marker-less window only hides the batch, never corrupts.
+      touchCommit(spark, s"$path/assign/batch=$batchId")
       BatchIndex.purgeBeyond(spark, s"$path/assign", batchId)
       onIndexed(spark.read.parquet(s"$path/assign/batch=$batchId").count(), batchId)
     }
+  }
+
+  private val CommitMarker = "_GRAFT_COMMIT"
+
+  private def touchCommit(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$CommitMarker")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(p, true).close()
+  }
+
+  private def committedDirs(spark: SparkSession, assignPath: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(assignPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    BatchIndex.batchDirIds(spark, assignPath)
+      .map(id => s"$assignPath/batch=$id")
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(s"$d/$CommitMarker")))
   }
 
   /** Approximate top-k against the accumulated streamed index — the
@@ -91,19 +113,20 @@ object StreamingIvf {
       k: Int,
       nprobe: Int = 4): DataFrame = {
     val cents = spark.read.parquet(s"$path/centroids")
-    require(BatchIndex.batchDirIds(spark, s"$path/assign").nonEmpty,
-      s"no committed batch directories under $path/assign")
-    Ivf.topKPruned(probes, idCol, vecCol, cents, k, nprobe) { probed =>
-      // read the tree ROOT: `batch` and `centroid_id` both become
-      // discovered partition columns (per-dir reads would conflict on
-      // the mixed directory structure), and the centroid filter still
-      // prunes at PartitionFilters level across every batch directory
-      val idxRaw = spark.read.parquet(s"$path/assign")
-      val typed: Seq[Any] = idxRaw.schema("centroid_id").dataType match {
-        case org.apache.spark.sql.types.IntegerType => probed.map(_.toInt)
-        case _ => probed
-      }
-      idxRaw.where(col("centroid_id").isin(typed: _*)).drop("batch")
-    }
+    // only COMMITTED batch directories (marker written after the batch's
+    // parquet completes): a query issued while the ingest stream is live
+    // never reads a half-written directory. Dead-incarnation dirs (a
+    // reset checkpoint restarting at batch 0) are purged by the next
+    // commit; between reset and first commit a query can still see the
+    // old incarnation's committed rows — the same window every
+    // BatchIndex consumer has, disclosed here rather than hidden.
+    val dirs = committedDirs(spark, s"$path/assign")
+    require(dirs.nonEmpty, s"no committed batch directories under $path/assign")
+    Ivf.topKPruned(probes, idCol, vecCol, cents, k, nprobe)(
+      // basePath keeps `batch` and `centroid_id` as discovered partition
+      // columns over the explicit committed-dir list; the centroid
+      // filter (applied inside topKPruned) prunes at PartitionFilters
+      // level across every committed batch directory
+      spark.read.option("basePath", s"$path/assign").parquet(dirs: _*).drop("batch"))
   }
 }

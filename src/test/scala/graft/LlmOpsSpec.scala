@@ -782,7 +782,16 @@ class LlmOpsSpec extends SparkSpec {
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       assert(fs.listStatus(new org.apache.hadoop.fs.Path(ckptDir)).nonEmpty,
         "no reliable checkpoint files written — the switch did not engage")
-    } finally prevDir.foreach(spark.sparkContext.setCheckpointDir)
+    } finally {
+      // SparkContext has no public unset: when no dir was set before
+      // (the normal case) the temp dir stays configured for the rest of
+      // the shared session. Harmless today — no other test depends on
+      // the dir being ABSENT, and the reliable switch itself is conf-
+      // scoped (withConfs restores it above) — but stated explicitly so
+      // a future "throws without a checkpoint dir" test knows to use a
+      // fresh session rather than this suite's.
+      prevDir.foreach(spark.sparkContext.setCheckpointDir)
+    }
   }
 
   test("classifyKnn: majority label of planted clusters; vote ties break to smallest label") {

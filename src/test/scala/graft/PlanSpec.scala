@@ -28,14 +28,21 @@ class PlanSpec extends SparkSpec {
     val plan = Dedup.keepLatest(Tables.events(spark, sf), Seq("user_id"), Seq(col("ts")))
       .explainFormatted()
     assert(plan.contains("WindowGroupLimit"), plan)
-    // BOTH phases must be present: the Partial node runs BEFORE the
-    // window's exchange, so a hot key's rows collapse to one per input
-    // partition map-side — this is the engine's window-skew mitigation
-    // (a half-the-corpus hub key never materializes in one reducer), and
-    // the skewed scale probe (ScaleBench w_hot_window) measures exactly
-    // this plan at 10x data
-    assert(plan.contains("Partial") && plan.contains("Final"),
-      s"expected Partial+Final WindowGroupLimit phases:\n$plan")
+    // BOTH phases must be present ON THE WindowGroupLimit NODES (an
+    // unrelated partial agg printing "Partial" elsewhere must not
+    // satisfy this): the Partial node runs BEFORE the window's exchange,
+    // so a hot key's rows collapse to one per input partition map-side —
+    // the engine's window-skew mitigation (a half-the-corpus hub key
+    // never materializes in one reducer), measured at 10x data by the
+    // skewed scale probe (ScaleBench w_hot_window)
+    // formatted explain puts the mode on the node's Arguments line, so
+    // scope the check to each "(N) WindowGroupLimit" DETAIL BLOCK (up to
+    // the next node's header) — a "Partial" printed by some other node
+    // cannot satisfy it
+    val wgl = plan.split("\n\\(").toList
+      .filter(_.matches("(?s)\\d+\\) WindowGroupLimit\\b.*"))
+    assert(wgl.exists(_.contains("Partial")) && wgl.exists(_.contains("Final")),
+      s"expected Partial+Final WindowGroupLimit phases, got blocks:\n${wgl.mkString("\n---\n")}\n$plan")
   }
 
   test("q53 per-source cap compiles to WindowGroupLimit (map-side top-k)") {
