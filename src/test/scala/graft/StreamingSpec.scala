@@ -832,6 +832,59 @@ class StreamingSpec extends SparkSpec {
       plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
   }
 
+  test("StreamingIvf: uncommitted batch directories are invisible to queries; restart resumes the index") {
+    // the commit-marker contract: a batch directory whose parquet exists
+    // but whose marker was never written (a mid-write crash, or a query
+    // racing a live ingest) must not contribute rows to topK
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sivf_rec").toString
+    val path = s"$root/idx"; val srcDir = s"$root/src"; val ckpt = s"$root/ckpt"
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    graft.streaming.StreamingIvf.staticCentroids(e, "vec_id", "v", path, stride = 16, refine = 1)
+    val rows = e.as[(Long, Seq[Double])].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    def appendRows(rs: Seq[(Long, Seq[Double])]): Unit =
+      rs.toDF("vec_id", "v").coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "v").schema
+    def start() = graft.streaming.StreamingIvf.run(
+        spark.readStream.schema(schema).parquet(srcDir), "vec_id", "v", path) { (_, _) => () }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0L)).start()
+
+    // phase 1: first half indexed, query works
+    appendRows(b1)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val probes = e.where(col("vec_id") < 10)
+    def topkSet() = graft.streaming.StreamingIvf
+      .topK(spark, probes, "vec_id", "v", path, k = 5, nprobe = 4)
+      .select("probe_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val afterB1 = topkSet()
+    assert(afterB1.nonEmpty)
+
+    // an UNCOMMITTED directory (parquet written, no marker — the
+    // mid-write shape): queries must not see it
+    e.limit(3).select(col("vec_id").as("neighbor_id"), lit(0L).as("centroid_id"), col("v").as("__cv"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/assign/batch=7")
+    assert(topkSet() === afterB1, "uncommitted batch directory leaked into query results")
+    // (batch=7 is beyond the restart's next batchId, so purgeBeyond
+    // removes it on the next commit — the dead-incarnation rule)
+
+    // phase 2: restart from the checkpoint, second half indexed; the
+    // accumulated index now equals the one-shot build over the union
+    appendRows(b2)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = topkSet()
+    val expect = operators.Ivf.topK(e, probes, "vec_id", "v",
+        k = 5, stride = 16, nprobe = 4, refine = 1)
+      .select("probe_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got === expect)
+  }
+
   test("StreamingPhashDedup: media batches screen against the accepted fingerprint index") {
     implicit val sqlCtx = spark.sqlContext
     val idx = java.nio.file.Files.createTempDirectory("graft_pdedup").toString + "/index"
