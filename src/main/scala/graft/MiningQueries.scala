@@ -3099,7 +3099,60 @@ object MiningQueries {
         "deployment is sized with; coarse quantizer/assignment/residuals " +
         "built ONCE and shared by all 12 cells, exact baseline and probe " +
         "lists materialized once, per-cell cost one encode + one " +
-        "table-pruned integer ADC rank"))
+        "table-pruned integer ADC rank"),
+
+    // ------------------------------------------- IVF list-balance audit
+    Q("q165_ivf_balance",
+      (s, d) => {
+        // the index-health check the Ivf scaladoc warns about ("skewed
+        // lists are the classic IVF imbalance"): per-list vector count,
+        // corpus share, and imbalance vs perfect balance, all in exact
+        // ppm. A list at imbalance 1e6 holds exactly its fair 1/k share;
+        // a hot list (a dense embedding region) reads as a multiple —
+        // the number an operator uses to decide when to re-train the
+        // quantizer or raise nprobe for recall. refine=0 (raw stride
+        // seeds) so the whole assignment is SQL-replayable (the q84
+        // replay); map-side argmax assignment, one k-cardinality agg,
+        // 1-row (total, k) stats attach via broadcast (the q126 device).
+        val e = T.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val cents = Ivf.centroids(e, "vec_id", "v", stride = 16, refine = 0)
+        val sizes = Ivf.assign(e, "vec_id", "v", cents)
+          .groupBy(col("centroid_id"))
+          .agg(count(lit(1)).as("n_vectors"))
+        val tot = sizes.agg(sum(col("n_vectors")).as("__tot"),
+          count(lit(1)).as("__k"))
+        sizes.crossJoin(broadcast(tot))
+          .select(col("centroid_id").as("list_id"), col("n_vectors"),
+            expr("n_vectors * 1000000 div __tot").as("share_ppm"),
+            expr("n_vectors * __k * 1000000 div __tot").as("imbalance_ppm"))
+          .orderBy(col("list_id"))
+      },
+      // full SQL replay (no pinning): q84's seed + argmax-assignment CTEs
+      // (stride 16, maxK cap at vec_id < 1024, zero-norm vectors dropped
+      // on BOTH sides, ties -> larger centroid id) + the balance math in
+      // integer division
+      Some("""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e
+              WHERE sqrt(list_sum(list_transform(v, x -> x*x))) > 0),
+        c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
+              WHERE vec_id % 16 = 0 AND vec_id < 1024),
+        a AS (SELECT vec_id, cid,
+                list_sum(list_transform(list_zip(v, cv), z -> z[1]*z[2])) / (nrm * cn) AS cc
+              FROM n CROSS JOIN c
+              QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid DESC) = 1),
+        s AS (SELECT cid AS list_id, count(*)::BIGINT AS n_vectors FROM a GROUP BY cid),
+        t AS (SELECT sum(n_vectors) AS tot, count(*)::BIGINT AS k FROM s)
+        SELECT list_id, n_vectors,
+               CAST((n_vectors * 1000000) // tot AS BIGINT) AS share_ppm,
+               CAST((n_vectors * k * 1000000) // tot AS BIGINT) AS imbalance_ppm
+        FROM s, t ORDER BY list_id"""),
+      "IVF list-balance audit: per-list vector count, corpus share, and " +
+        "imbalance vs perfect balance in exact ppm — the index-health " +
+        "number that decides quantizer re-training / nprobe sizing; " +
+        "map-side argmax assignment (raw stride seeds, SQL-replayed by " +
+        "the oracle), one k-cardinality agg, 1-row stats broadcast"))
 
   /** q141/q142/q144: the ONE distributed corpus-sized stage of the eigen
     * family — GramMatrix's map-side-combined d×d reduction, unpacked to

@@ -496,7 +496,8 @@ class PlanSpec extends SparkSpec {
       "q159_perplexity_filter" -> "1-row trained-LM scalars (vocab size V, unseen-context bits) broadcast — the q126 device",
       "q162_curation_waterfall" -> "1-row trained-LM scalars broadcast (the q159 scorer composed into the waterfall)",
       "q163_perplexity_pruned" -> "1-row trained-LM scalars broadcast (the q159 device; the pruned pair/ctx tables themselves attach as broadcast HASH joins)",
-      "q164_ivfpq_sweep" -> "exact-L2 recall baseline: probes broadcast by design (the q131 shape) + centroid codebook scoring (k rows) broadcast per nprobe cell (the q42 shape)")
+      "q164_ivfpq_sweep" -> "exact-L2 recall baseline: probes broadcast by design (the q131 shape) + centroid codebook scoring (k rows) broadcast per nprobe cell (the q42 shape)",
+      "q165_ivf_balance" -> "centroid codebook scoring (k rows) broadcast (the q42 assignment shape) + 1-row (total, k) stats broadcast (the q126 device)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       val bad = plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct")
