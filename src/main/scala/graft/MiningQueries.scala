@@ -3117,9 +3117,17 @@ object MiningQueries {
         val e = T.embeddings(s, d)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         val cents = Ivf.centroids(e, "vec_id", "v", stride = 16, refine = 0)
-        val sizes = Ivf.assign(e, "vec_id", "v", cents)
-          .groupBy(col("centroid_id"))
-          .agg(count(lit(1)).as("n_vectors"))
+        // lists come from the CENTROID frame, not the assignment groupBy:
+        // an exactly-EMPTY list (two collinear seeds — the tie sends all
+        // members to the larger id) is precisely the wasted-probe-budget
+        // pathology this audit exists to surface, and deriving k from
+        // nonempty groups would both hide the empty row and inflate every
+        // other list's fair-share baseline
+        val sizes = cents.select(col("centroid_id"))
+          .join(Ivf.assign(e, "vec_id", "v", cents)
+              .groupBy(col("centroid_id")).agg(count(lit(1)).as("__n")),
+            Seq("centroid_id"), "left")
+          .select(col("centroid_id"), coalesce(col("__n"), lit(0L)).as("n_vectors"))
         val tot = sizes.agg(sum(col("n_vectors")).as("__tot"),
           count(lit(1)).as("__k"))
         sizes.crossJoin(broadcast(tot))
@@ -3142,7 +3150,9 @@ object MiningQueries {
                 list_sum(list_transform(list_zip(v, cv), z -> z[1]*z[2])) / (nrm * cn) AS cc
               FROM n CROSS JOIN c
               QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid DESC) = 1),
-        s AS (SELECT cid AS list_id, count(*)::BIGINT AS n_vectors FROM a GROUP BY cid),
+        g AS (SELECT cid, count(*)::BIGINT AS n FROM a GROUP BY cid),
+        s AS (SELECT c.cid AS list_id, COALESCE(g.n, 0)::BIGINT AS n_vectors
+              FROM c LEFT JOIN g ON g.cid = c.cid),
         t AS (SELECT sum(n_vectors) AS tot, count(*)::BIGINT AS k FROM s)
         SELECT list_id, n_vectors,
                CAST((n_vectors * 1000000) // tot AS BIGINT) AS share_ppm,

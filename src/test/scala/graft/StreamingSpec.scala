@@ -865,8 +865,14 @@ class StreamingSpec extends SparkSpec {
     assert(afterB1.nonEmpty)
 
     // an UNCOMMITTED directory (parquet written, no marker — the
-    // mid-write shape): queries must not see it
-    e.limit(3).select(col("vec_id").as("neighbor_id"), lit(0L).as("centroid_id"), col("v").as("__cv"))
+    // mid-write shape): queries must not see it. The injected rows are
+    // TWINS of every committed row (same vector, same list, id+100000):
+    // if the marker filter regresses, each probe's rank-1 neighbor gains
+    // an identical-cosine larger-id twin that lands at rank 2 — the
+    // assertion CANNOT pass vacuously
+    spark.read.option("basePath", s"$path/assign").parquet(s"$path/assign/batch=0")
+      .select((col("neighbor_id") + 100000L).as("neighbor_id"),
+        col("__cv"), col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/assign/batch=7")
     assert(topkSet() === afterB1, "uncommitted batch directory leaked into query results")
     // (batch=7 is beyond the restart's next batchId, so purgeBeyond
