@@ -72,7 +72,9 @@ object ScaleBench {
     "q120_postings_index",   // hot terms cross the df-cap and are dropped BEFORE postings materialize
     "q126_bm25_search",      // same postings guard + ranking
     "q152_triangle_count",   // hub part: degree orientation bounds the wedge fanout at the hub
-    "q89_pagerank")          // hub node: contribution agg on dst is partial-agg collapsed map-side
+    "q89_pagerank",          // hub node: contribution agg on dst is partial-agg collapsed map-side
+    "q42_ann_ivf",           // hot IVF list (half the corpus in one cluster): candidate fetch + re-rank degrade ~linearly
+    "q165_ivf_balance")      // the audit DETECTING that hot list — per-list mass is the re-train/nprobe signal
 
   /** `docsOnly` skips the embeddings/lineitem replication: the r30
     * extension probes only documents-reading families, and a 30×
@@ -143,8 +145,14 @@ object ScaleBench {
     *    frequency grows r× (the stopword/boilerplate shape); and
     *    mega-duplicate docs (doc_id % 1000 == 42) keep their FULL text
     *    unprefixed, gaining r exact copies each — the hot shingle bucket
-    *    whose near-dup clique must stay |dups|-bounded, not corpus-bounded.
-    * Embeddings are not rewritten: no skew probe reads them.
+    *    whose near-dup clique must stay |dups|-bounded, not corpus-bounded;
+    *  - embeddings: half of every replica's vectors (vec_id % 2 == 0,
+    *    rep > 0) collapse into ONE tight near-collinear cluster (the
+    *    all-ones direction with a tiny deterministic per-(id, dim)
+    *    jitter) — the degenerate-clustering shape where one IVF list
+    *    owns half the corpus; the q42 probe measures the candidate
+    *    fetch degrading gracefully and q165's audit DETECTS the hot
+    *    list (the imbalance number it exists to report).
     */
   private def ensureScaledSkew(spark: SparkSession, srcDir: String, r: Int, outDir: String): Unit = {
     val done = new java.io.File(s"$outDir/_DONE")
@@ -162,6 +170,20 @@ object ScaleBench {
       .withColumn("n_chars", length(col("text")).cast("long"))
       .drop("__rep")
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    spark.read.parquet(s"$srcDir/embeddings.parquet")
+      .crossJoin(rep)
+      .withColumn("vec_id", col("vec_id") + col("__rep") * lit(1000000000L))
+      .withColumn("embedding",
+        when(col("__rep") > 0 && pmod(col("vec_id"), lit(2L)) === 0L,
+          transform(col("embedding"), (_, i) =>
+            lit(1.0f) + (pmod(col("vec_id") + i, lit(13L)) - lit(6L)).cast("float")
+              * lit(0.001f)))
+          .otherwise(transform(col("embedding"), (x, i) =>
+            x + (pmod(col("vec_id") + i, lit(7L)) - lit(3L)).cast("float")
+              * lit(0.001f) * col("__rep").cast("float"))))
+      .drop("__rep")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     spark.read.parquet(s"$srcDir/lineitem.parquet")
       .crossJoin(rep)
       .withColumn("l_orderkey", col("l_orderkey") + col("__rep") * lit(1000000000L))
