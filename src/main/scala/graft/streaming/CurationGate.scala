@@ -245,6 +245,24 @@ object CurationGate {
     }
   }
 
+  /** Compact both state trees — the survivor index and the manifest
+    * partials — into consolidated [[BatchIndex]] generations: results
+    * ([[currentManifest]], the dedup verdicts of every later batch) are
+    * bit-identical, but a reader opens ONE directory plus the batches
+    * newer than it instead of one directory per micro-batch ever run
+    * (the streaming small-files fix). Manifest partial ROWS are
+    * relocated, not merged — [[currentManifest]]'s abelian rollup is
+    * the merge, so relocation cannot change it. Safe beside live
+    * ingest with the default `upTo` (the newest batch dir stays live —
+    * see [[BatchIndex.compact]]'s retry guard).
+    */
+  def compact(spark: SparkSession, indexPath: String, manifestPath: String,
+      upTo: Option[Long] = None): Unit = {
+    BatchIndex.compact(spark, indexPath, upTo = upTo)
+    BatchIndex.compact(spark, manifestPath, schema = Some(ManifestSchema), upTo = upTo)
+    ()
+  }
+
   /** The ONE-SHOT twin: identical verdicts and survivorship policy over
     * a static corpus — the equality target for the stream (exact when no
     * near-dup cluster spans batches with a non-first longest member; see

@@ -100,6 +100,31 @@ object StreamingDedup {
     }
   }
 
+  /** Bootstrap an ingest tree from an EXISTING accepted corpus (the
+    * batch-curated corpus a production stream takes over from): the
+    * rows — [[MinHash.corpusIndex]] output, the exact shape the per-
+    * batch dirs hold — are written as a consolidated generation BELOW
+    * every future batch id (`compacted=-1`), so the stream's very first
+    * batch (id 0) already dedups against them. Works for any consumer
+    * of this index layout ([[CurationGate]] shares it). Call before
+    * the stream starts, on an empty tree.
+    */
+  def seedIndex(index: DataFrame, indexPath: String): Unit = {
+    index.write.mode("overwrite").parquet(s"$indexPath/compacted=-1")
+    BatchIndex.touchCommit(index.sparkSession, s"$indexPath/compacted=-1")
+  }
+
+  /** Fold historical batch directories into one consolidated
+    * [[BatchIndex]] generation — dedup verdicts of every later batch
+    * are bit-identical (the index ROWS are unchanged, only their
+    * layout), but each batch's accepted-index read opens one directory
+    * plus the batches newer than it instead of every directory ever
+    * written. Safe beside live ingest with the default `upTo`.
+    */
+  def compact(spark: SparkSession, indexPath: String,
+      upTo: Option[Long] = None): Option[Long] =
+    BatchIndex.compact(spark, indexPath, upTo = upTo)
+
   // index layout shared with StreamingPhashDedup — see [[BatchIndex]]
   private def purgeBeyond(spark: SparkSession, indexPath: String, batchId: Long): Unit =
     BatchIndex.purgeBeyond(spark, indexPath, batchId)

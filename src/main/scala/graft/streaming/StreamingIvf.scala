@@ -39,9 +39,34 @@ import graft.operators.Ivf
   */
 object StreamingIvf {
 
+  // ------------------------------------------------------- generations
+  // The quantizer is static per GENERATION: [[rebuild]] re-trains it on
+  // the accumulated corpus and rebuilds the whole index under
+  // `<path>/gen=<g>/...`, then atomically switches readers and ingest
+  // to it by creating the marker file `<path>/_GEN=<g>` (a marker
+  // CREATE is atomic where a pointer-file rewrite is not; the current
+  // generation is the max marked g). The bootstrap generation lives at
+  // `<path>` itself (no marker) — pre-rebuild trees keep working
+  // unchanged.
+
+  private def genRoot(spark: SparkSession, path: String): String =
+    currentGen(spark, path).fold(path)(g => s"$path/gen=$g")
+
+  private def currentGen(spark: SparkSession, path: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("_GEN=") => n.stripPrefix("_GEN=").toLong }
+      .sorted.lastOption
+  }
+
   /** Train the coarse quantizer on a bootstrap slice and MATERIALIZE it
     * under `<path>/centroids` — the fixed model every batch assigns
-    * against and every query ranks against.
+    * against and every query ranks against (until a [[rebuild]]
+    * supersedes it with a new generation). Call once, before the first
+    * ingest — never after a rebuild (it would write into the superseded
+    * bootstrap generation).
     */
   def staticCentroids(
       bootstrap: DataFrame,
@@ -53,6 +78,85 @@ object StreamingIvf {
       maxK: Int = 64): Unit =
     Ivf.centroids(bootstrap, idCol, vecCol, stride, refine, maxK)
       .write.mode("overwrite").parquet(s"$path/centroids")
+
+  /** Re-train the coarse quantizer on the ACCUMULATED corpus and rebuild
+    * the index as a new generation — the out-of-band remediation for a
+    * drifted/imbalanced quantizer (the pathology q165's balance audit
+    * detects: a bootstrap trained before a hot cluster arrived leaves
+    * one list owning half the corpus, wasting every probe budget).
+    * In-band drifting is still never done: WITHIN a generation the
+    * quantizer stays fixed, so per-batch assignments remain
+    * bit-identical to a one-shot build over that generation's corpus.
+    *
+    * Steps: read every committed vector from the current generation,
+    * train fresh centroids on them ([[Ivf.centroids]] — deterministic
+    * stride seeding + fixed-point Lloyd, so the result equals what a
+    * one-shot build over the same corpus would train), write the new
+    * generation's centroids + fully re-assigned index (as one
+    * consolidated `compacted=<maxBatch>` dir — a rebuild IS a
+    * compaction), commit-mark it, then atomically switch via the
+    * `_GEN=<g>` marker and delete the superseded generation's state.
+    *
+    * MUST run with ingest STOPPED (it folds the newest batch too; a
+    * concurrent ingest would write into the superseded generation and
+    * be deleted). A restart afterwards resumes into the new generation:
+    * the checkpoint's next batch id is `maxBatch`+1 (> the rebuilt
+    * compacted bound), and a retry of `maxBatch` writes rows the
+    * compacted dir already covers — readers exclude it, and its content
+    * matches by determinism. In-flight QUERIES racing the switch can
+    * see the old generation being deleted — the same disclosed window
+    * as a concurrent retry; `ignoreMissingFiles` on the scan tolerates
+    * it.
+    *
+    * Returns the new generation id.
+    */
+  def rebuild(
+      spark: SparkSession,
+      path: String,
+      stride: Int = 16,
+      refine: Int = 1,
+      maxK: Int = 64): Long = {
+    val oldRoot = genRoot(spark, path)
+    val (compacted, dirs) = committedView(spark, s"$oldRoot/assign")
+    require(compacted.nonEmpty || dirs.nonEmpty,
+      s"no committed index state under $oldRoot/assign — nothing to rebuild from")
+    val corpus = {
+      val parts =
+        compacted.map(u => spark.read.parquet(s"$oldRoot/assign/compacted=$u")).toSeq ++
+        (if (dirs.nonEmpty)
+          Seq(spark.read.option("basePath", s"$oldRoot/assign")
+            .parquet(dirs: _*).drop("batch"))
+         else Nil)
+      parts.reduce(_ unionByName _).select(col("neighbor_id"), col("__cv"))
+    }
+    val maxBatch = math.max(
+      compacted.getOrElse(Long.MinValue),
+      BatchIndex.batchDirIds(spark, s"$oldRoot/assign").sorted.lastOption
+        .getOrElse(Long.MinValue))
+    val g = currentGen(spark, path).getOrElse(0L) + 1
+    val newRoot = s"$path/gen=$g"
+    val cents = Ivf.centroids(corpus, "neighbor_id", "__cv", stride, refine, maxK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      cents.write.mode("overwrite").parquet(s"$newRoot/centroids")
+      Ivf.assign(corpus, "neighbor_id", "__cv", cents)
+        .join(corpus, Seq("neighbor_id"))
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$newRoot/assign/compacted=$maxBatch")
+      BatchIndex.touchCommit(spark, s"$newRoot/assign/compacted=$maxBatch")
+    } finally { cents.unpersist(); () }
+    // the atomic switch: marker creation makes generation g current
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/_GEN=$g"), true).close()
+    // superseded generation's state (bootstrap layout lives at the tree
+    // root; later generations under their own gen dir)
+    if (oldRoot == path) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/centroids"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/assign"), true)
+    } else fs.delete(new org.apache.hadoop.fs.Path(oldRoot), true)
+    g
+  }
 
   /** Ingest: per micro-batch, assign each vector to its nearest static
     * centroid map-side and commit (neighbor_id, centroid_id, __cv) under
@@ -66,43 +170,102 @@ object StreamingIvf {
       path: String)(onIndexed: (Long, Long) => Unit): DataStreamWriter[Row] = {
     vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
-      val cents = spark.read.parquet(s"$path/centroids")
+      // resolved per batch: a [[rebuild]] between runs (stream stopped,
+      // checkpoint kept) switches ingest to the new generation too
+      val root = genRoot(spark, path)
+      val cents = spark.read.parquet(s"$root/centroids")
       val v = batch.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      // materialize + count BEFORE deciding to write: an EMPTY batch
+      // (no input rows, or all rows zero-norm-dropped by the assign)
+      // must not commit a data-less partitioned directory — partitionBy
+      // writes no partition subdirs for zero rows, and a marked dir
+      // with no parquet files kills schema inference for every
+      // subsequent [[topK]]
       val assigned = Ivf.assign(batch, idCol, vecCol, cents)
         .join(v, Seq("neighbor_id"))
-      assigned.write.mode("overwrite").partitionBy("centroid_id")
-        .parquet(s"$path/assign/batch=$batchId")
-      // commit marker AFTER the write completes: [[topK]] reads only
-      // marked directories, so a query racing a half-written batch (a
-      // parquet overwrite is not atomic) never sees uncommitted rows.
-      // A retry overwrites the dir and re-creates the marker — the
-      // brief marker-less window only hides the batch, never corrupts.
-      touchCommit(spark, s"$path/assign/batch=$batchId")
-      BatchIndex.purgeBeyond(spark, s"$path/assign", batchId)
-      onIndexed(spark.read.parquet(s"$path/assign/batch=$batchId").count(), batchId)
+        .localCheckpoint(true)
+      val n = assigned.count()
+      val dir = s"$root/assign/batch=$batchId"
+      if (n > 0) {
+        assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
+        // commit marker AFTER the write completes: [[topK]] reads only
+        // marked directories, so a query racing a half-written batch (a
+        // parquet overwrite is not atomic) never sees uncommitted rows.
+        // A retry overwrites the dir and re-creates the marker — the
+        // brief marker-less window only hides the batch, never corrupts.
+        BatchIndex.touchCommit(spark, dir)
+      } else {
+        // a same-id directory can still exist (a dead incarnation whose
+        // batch N was non-empty): an overwrite would have replaced it —
+        // the empty-skip must delete it for the same phantom-row reason
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      BatchIndex.purgeBeyond(spark, s"$root/assign", batchId)
+      onIndexed(n, batchId)
     }
   }
 
-  private val CommitMarker = "_GRAFT_COMMIT"
-
-  private def touchCommit(spark: SparkSession, dir: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/$CommitMarker")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.create(p, true).close()
+  /** Bootstrap the index with an EXISTING corpus's assignment (the
+    * one-shot [[Ivf.writeIndex]]-style rows a production stream takes
+    * over from): `assigned` must carry (neighbor_id, centroid_id,
+    * __cv) under the CURRENT generation's quantizer. Written as a
+    * consolidated generation below every future batch id
+    * (`compacted=-1`), so ingest batch 0 appends beside it and queries
+    * see the union — the [[StreamingDedup.seedIndex]] device.
+    */
+  def seedIndex(assigned: DataFrame, path: String): Unit = {
+    val spark = assigned.sparkSession
+    val dir = s"${genRoot(spark, path)}/assign/compacted=-1"
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
+    BatchIndex.touchCommit(spark, dir)
   }
 
-  private def committedDirs(spark: SparkSession, assignPath: String): Seq[String] = {
-    val root = new org.apache.hadoop.fs.Path(assignPath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    BatchIndex.batchDirIds(spark, assignPath)
+  /** Fold committed historical batch directories into one consolidated
+    * `compacted=<upTo>` generation (partitioned by `centroid_id`, so a
+    * query's PartitionFilters prune is identical before and after) —
+    * the [[BatchIndex.compact]] contract applied to the assign tree.
+    * By default the newest committed batch dir stays live (the
+    * foreachBatch-retry guard); pass `upTo = Some(maxId)` when the
+    * stream is stopped with its final batch committed to the
+    * checkpoint. Safe to run beside live ingest: ingest only appends
+    * NEW batch dirs, and readers see either the old generation + old
+    * batch dirs or the new generation — never both (marker protocol).
+    */
+  def compact(spark: SparkSession, path: String, upTo: Option[Long] = None): Option[Long] =
+    BatchIndex.compact(spark, s"${genRoot(spark, path)}/assign",
+      partitionCols = Seq("centroid_id"), committedOnly = true, upTo = upTo)
+
+  /** Committed view of the assign tree: the consolidated generation (if
+    * marked) and every committed batch dir newer than it.
+    */
+  private def committedView(
+      spark: SparkSession, assignPath: String): (Option[Long], Seq[String]) = {
+    val cur = BatchIndex.currentCompacted(spark, assignPath)
+    val dirs = BatchIndex.batchDirIds(spark, assignPath)
+      .filter(id => cur.forall(id > _))
       .map(id => s"$assignPath/batch=$id")
-      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(s"$d/$CommitMarker")))
+      .filter(d => BatchIndex.isCommitted(spark, d))
+    (cur, dirs)
   }
 
   /** Approximate top-k against the accumulated streamed index — the
     * [[Ivf.topKFromIndex]] query over every committed batch directory.
     * Output schema matches [[Ivf.topK]]: (probe_id, neighbor_id,
     * cosine, rank).
+    *
+    * Concurrency windows (both disclosed, neither corrupts a result
+    * that completes): the committed-dir list is taken eagerly but the
+    * scan executes lazily, so (a) a CONCURRENT INGEST RETRY overwriting
+    * a listed directory between listing and execution can read a
+    * half-rewritten dir — a retry rewrites identical rows (the static
+    * quantizer makes assignment deterministic), so a completed read is
+    * correct, but a file observed mid-delete would abort the scan
+    * without `ignoreMissingFiles` (set below); (b) a reset-checkpoint
+    * restart can leave a dead incarnation's committed dirs visible
+    * until the next commit purges them — same window every
+    * [[BatchIndex]] consumer has.
     */
   def topK(
       spark: SparkSession,
@@ -112,21 +275,38 @@ object StreamingIvf {
       path: String,
       k: Int,
       nprobe: Int = 4): DataFrame = {
-    val cents = spark.read.parquet(s"$path/centroids")
-    // only COMMITTED batch directories (marker written after the batch's
-    // parquet completes): a query issued while the ingest stream is live
-    // never reads a half-written directory. Dead-incarnation dirs (a
-    // reset checkpoint restarting at batch 0) are purged by the next
-    // commit; between reset and first commit a query can still see the
-    // old incarnation's committed rows — the same window every
-    // BatchIndex consumer has, disclosed here rather than hidden.
-    val dirs = committedDirs(spark, s"$path/assign")
-    require(dirs.nonEmpty, s"no committed batch directories under $path/assign")
-    Ivf.topKPruned(probes, idCol, vecCol, cents, k, nprobe)(
+    val root = genRoot(spark, path)
+    val cents = spark.read.parquet(s"$root/centroids")
+    // only COMMITTED state (markers written after each parquet
+    // completes): a query issued while the ingest stream — or a
+    // concurrent [[compact]] — is live never reads a half-written
+    // directory. Dead-incarnation dirs (a reset checkpoint restarting
+    // at batch 0) are purged by the next commit; between reset and
+    // first commit a query can still see the old incarnation's
+    // committed rows — the same window every BatchIndex consumer has,
+    // disclosed here rather than hidden.
+    val (compacted, dirs) = committedView(spark, s"$root/assign")
+    require(compacted.nonEmpty || dirs.nonEmpty,
+      s"no committed index state under $root/assign")
+    Ivf.topKPruned(probes, idCol, vecCol, cents, k, nprobe)({
       // basePath keeps `batch` and `centroid_id` as discovered partition
       // columns over the explicit committed-dir list; the centroid
       // filter (applied inside topKPruned) prunes at PartitionFilters
-      // level across every committed batch directory
-      spark.read.option("basePath", s"$path/assign").parquet(dirs: _*).drop("batch"))
+      // level across every committed batch directory AND the
+      // consolidated generation (itself centroid-partitioned).
+      // ignoreMissingFiles covers window (a) above: a listed file
+      // deleted by a concurrent retry/purge/compaction-cleanup before
+      // execution is skipped instead of failing the scan
+      val parts =
+        compacted.map(u => spark.read
+          .option("ignoreMissingFiles", "true")
+          .parquet(s"$root/assign/compacted=$u")).toSeq ++
+        (if (dirs.nonEmpty)
+          Seq(spark.read.option("basePath", s"$root/assign")
+            .option("ignoreMissingFiles", "true")
+            .parquet(dirs: _*).drop("batch"))
+         else Nil)
+      parts.reduce(_ unionByName _)
+    })
   }
 }

@@ -891,6 +891,340 @@ class StreamingSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("StreamingIvf: an effectively-empty batch commits no directory and queries keep working") {
+    // a batch whose rows are ALL zero-norm (dropped by the assign's
+    // cosine guard) used to write a marked partitioned directory with
+    // zero data files — partitionBy creates no partition subdirs for
+    // zero rows, and the marked-but-empty dir killed schema inference
+    // for every later topK. The guard skips the write AND the marker.
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("graft_sivf_empty").toString
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    graft.streaming.StreamingIvf.staticCentroids(e, "vec_id", "v", path, stride = 16, refine = 1)
+    val input = MemoryStream[(Long, Seq[Double])]
+    val indexed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = graft.streaming.StreamingIvf.run(
+        input.toDS().toDF("vec_id", "v"), "vec_id", "v", path) { (n, bid) =>
+        indexed.synchronized { indexed += ((bid, n)); () }
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_sivf_empty_ckpt").toString)
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    val rows = e.as[(Long, Seq[Double])].collect().toSeq
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      // batch 1: every vector zero-norm -> assign drops all rows
+      input.addData(Seq((900000L, Seq.fill(64)(0.0)), (900001L, Seq.fill(64)(0.0))): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(indexed.synchronized(indexed.toList).toMap === Map(0L -> rows.length.toLong, 1L -> 0L))
+    // no batch=1 directory at all (not even an unmarked husk)
+    assert(!new java.io.File(s"$path/assign/batch=1").exists())
+    // and the accumulated index still answers queries
+    val probes = e.where(col("vec_id") < 10)
+    val got = graft.streaming.StreamingIvf.topK(spark, probes, "vec_id", "v", path, k = 5, nprobe = 4)
+    assert(got.count() > 0)
+  }
+
+  test("StreamingIvf: compaction folds batch dirs into one generation — queries bit-identical, prune intact, live ingest untouched") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("graft_sivf_cp").toString
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    graft.streaming.StreamingIvf.staticCentroids(e, "vec_id", "v", path, stride = 16, refine = 1)
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamingIvf.run(
+        input.toDS().toDF("vec_id", "v"), "vec_id", "v", path) { (_, _) => () }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_sivf_cp_ckpt").toString)
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    val rows = e.as[(Long, Seq[Double])].collect().toSeq
+    val quarter = rows.length / 4
+    val chunks = Seq(rows.slice(0, quarter), rows.slice(quarter, 2 * quarter),
+      rows.slice(2 * quarter, 3 * quarter), rows.drop(3 * quarter)) // 4 batches
+    val probes = e.where(col("vec_id") < 10)
+    def topkRows() = graft.streaming.StreamingIvf
+      .topK(spark, probes, "vec_id", "v", path, k = 5, nprobe = 4)
+    def topkSet() = topkRows().select("probe_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    def dirNames() = new java.io.File(s"$path/assign").listFiles()
+      .map(_.getName).filter(n => !n.startsWith("_")).toSet
+    try {
+      chunks.take(3).foreach { c => input.addData(c: _*); q.processAllAvailable() }
+      val before = topkSet()
+      assert(before.nonEmpty)
+      assert(dirNames() === Set("batch=0", "batch=1", "batch=2"))
+
+      // default compaction beside the LIVE stream: folds everything
+      // except the newest batch dir (the foreachBatch-retry guard)
+      assert(graft.streaming.StreamingIvf.compact(spark, path) === Some(1L))
+      assert(dirNames() === Set("compacted=1", "batch=2"))
+      assert(topkSet() === before, "compaction changed query results")
+      // the candidate fetch still partition-prunes — on the consolidated
+      // generation too (it is centroid-partitioned like the batch dirs)
+      val plan = topkRows().queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [centroid_id"),
+        plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+
+      // full fold (the last batch is committed to the checkpoint —
+      // processAllAvailable returned): one directory total
+      assert(graft.streaming.StreamingIvf.compact(spark, path, upTo = Some(2L)) === Some(2L))
+      assert(dirNames() === Set("compacted=2"))
+      assert(topkSet() === before)
+
+      // live ingest continues untouched AFTER compaction: new batch dirs
+      // append beside the generation, and the accumulated result equals
+      // the one-shot build over the whole corpus (static quantizer)
+      input.addData(chunks(3): _*)
+      q.processAllAvailable()
+      assert(dirNames() === Set("compacted=2", "batch=3"))
+      val expect = operators.Ivf.topK(e, probes, "vec_id", "v",
+          k = 5, stride = 16, nprobe = 4, refine = 1)
+        .select("probe_id", "rank", "neighbor_id", "cosine")
+        .as[(Long, Int, Long, Double)].collect().toSet
+      assert(topkSet() === expect)
+    } finally q.stop()
+
+    // crash-window pins, both halves of the marker contract:
+    // (a) crash-after-marker-before-cleanup: a stale batch dir at an id
+    // the generation covers must stay invisible even though present.
+    // Twin rows (id+200000) make a regression impossible to miss.
+    val after = topkSet()
+    spark.read.option("basePath", s"$path/assign").parquet(s"$path/assign/compacted=2")
+      .select((col("neighbor_id") + 200000L).as("neighbor_id"), col("__cv"), col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/assign/batch=1")
+    new java.io.File(s"$path/assign/batch=1/_GRAFT_COMMIT").createNewFile()
+    assert(topkSet() === after, "batch dir covered by the generation leaked into query results")
+    // (b) crash-before-marker: an UNMARKED compacted dir (half-written
+    // generation) is invisible; readers use the state it would replace
+    spark.read.option("basePath", s"$path/assign").parquet(s"$path/assign/compacted=2")
+      .select((col("neighbor_id") + 300000L).as("neighbor_id"), col("__cv"), col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/assign/compacted=3")
+    assert(topkSet() === after, "unmarked generation leaked into query results")
+    // a compact RETRY overwrites the unmarked husk and completes the fold
+    assert(graft.streaming.StreamingIvf.compact(spark, path, upTo = Some(3L)) === Some(3L))
+    assert(topkSet() === after)
+  }
+
+  test("CurationGate: compaction preserves manifest and cross-restart dedup verdicts bit-for-bit") {
+    // the file-source restart fixture with a compaction between phases:
+    // documents accepted before the compaction must still dedup
+    // documents arriving after it, and the incremental manifest must be
+    // unchanged — the index/manifest ROWS are identical, only their
+    // directory layout differs
+    val root = java.nio.file.Files.createTempDirectory("graft_cgate_cp").toString
+    val srcDir = s"$root/src"; val ckpt = s"$root/ckpt"
+    val idx = s"$root/index"; val man = s"$root/manifest"
+    val lm = graft.streaming.CurationGate.staticLm(curationTrusted, "text")
+    val schema = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text").schema
+    def appendRows(rows: (Long, String, String)*): Unit =
+      rows.toDF("doc_id", "source", "text").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def start() = graft.streaming.CurationGate.run(
+        spark.readStream.schema(schema).parquet(srcDir),
+        "doc_id", "text", "source", lm, idx, man) { (survivors, _) =>
+        accepted.synchronized {
+          accepted ++= survivors.select("doc_id").as[Long].collect()
+          ()
+        }
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0L)).start()
+
+    // two batches of history (separate source files -> maxFilesPerTrigger
+    // is not needed; processAllAvailable folds them into one batch, so
+    // force two stream runs to get two index dirs)
+    appendRows((1L, "a", curW30), (2L, "a", curW31), (3L, "b", curU30))
+    val q1 = start(); try q1.processAllAvailable() finally q1.stop()
+    appendRows((12L, "a", curFresh))
+    val q2 = start(); try q2.processAllAvailable() finally q2.stop()
+    assert(accepted.synchronized(accepted.toSet) === Set(2L, 3L, 12L))
+    val manifestBefore = graft.streaming.CurationGate.currentManifest(spark, man)
+      .collect().map(r => r.toSeq).toSet
+    assert(new java.io.File(idx).listFiles().map(_.getName).count(_.startsWith("batch=")) === 2)
+
+    // compact both trees fully (streams stopped, last batch checkpointed)
+    graft.streaming.CurationGate.compact(spark, idx, man, upTo = Some(1L))
+    assert(new java.io.File(idx).listFiles().map(_.getName)
+      .filter(!_.startsWith("_")).toSet === Set("compacted=1"))
+    assert(new java.io.File(man).listFiles().map(_.getName)
+      .filter(!_.startsWith("_")).toSet === Set("compacted=1"))
+    assert(graft.streaming.CurationGate.currentManifest(spark, man)
+      .collect().map(r => r.toSeq).toSet === manifestBefore,
+      "compaction changed the manifest")
+
+    // phase 3 AFTER compaction: 10 is a near-dup of doc 2 — accepted two
+    // batches ago, now living in the consolidated generation — and must
+    // drop against it; a fresh near-dup-of-nothing survives
+    accepted.synchronized(accepted.clear())
+    appendRows((10L, "a", curW30var), (21L, "b",
+      (5 to 18).map(i => s"u$i").mkString(" "))) // u-subchain: passes the
+    // LM gate (all bigrams seen in the trusted u-chain) and J=12/28<0.6
+    // vs accepted doc 3
+    val q3 = start(); try q3.processAllAvailable() finally q3.stop()
+    assert(accepted.synchronized(accepted.toSet) === Set(21L),
+      "dedup against the compacted index regressed")
+
+    // and the rolled-up manifest across generation + new batch equals the
+    // one-shot manifest of the full accepted corpus {2, 3, 12, 21}
+    val all = Seq((1L, "a", curW30), (2L, "a", curW31), (3L, "b", curU30),
+      (12L, "a", curFresh), (10L, "a", curW30var),
+      (21L, "b", (5 to 18).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val expected = all.where(col("doc_id").isin(2L, 3L, 12L, 21L))
+      .select(col("source"), length(col("text")).cast("long").as("nc"),
+        operators.TextOps.docFingerprint(operators.TextOps.tokens(col("text"))).as("fp"))
+      .rollup(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("total_chars"),
+        expr("CAST(sum(CAST(fp AS DECIMAL(38,0))) % 1000000007 AS BIGINT)").as("fp_sum"),
+        expr("bit_xor(fp)").as("fp_xor"))
+      .select(coalesce(col("source"), lit("TOTAL")).as("source"),
+        col("n_docs"), col("total_chars"), col("fp_sum"), col("fp_xor"))
+      .collect().map(_.toSeq).toSet
+    assert(graft.streaming.CurationGate.currentManifest(spark, man)
+      .collect().map(_.toSeq).toSet === expected)
+  }
+
+  test("StreamingIvf: rebuild re-trains the quantizer — imbalance drops, queries match the one-shot build bit-for-bit") {
+    // the remediation for the pathology q165 detects: the bootstrap
+    // quantizer was trained before a hot near-collinear cluster arrived,
+    // so ONE list owns roughly half the corpus (every probe near the
+    // cluster pays a half-corpus candidate fetch). rebuild() re-trains
+    // on the accumulated corpus and rebuilds the index as generation 1.
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("graft_sivf_rb").toString
+    val base = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // two populations on interleaved id lattices (both hit the stride-16
+    // seed predicate, so a RE-train can draw seeds from both):
+    //   A (ids ≡ 0 mod 32)  — the bootstrap-era distribution;
+    //   B (ids ≡ 16 mod 32) — a LATER population living in a different
+    //       region (every dim shifted +5): under A-trained centroids all
+    //       of B crowds into the few lists nearest its direction — the
+    //       drifted-corpus imbalance q165 flags. B keeps A's per-vector
+    //       spread, so a re-train CAN split it across many lists (unlike
+    //       a degenerate collinear cluster, which is genuinely one point)
+    val popA = base.select((col("vec_id") * 32).as("vec_id"), col("v"))
+    val popB = base.select((col("vec_id") * 32 + 16).as("vec_id"),
+      transform(col("v"), x => x + lit(5.0)).as("v"))
+    val hot = popA.unionByName(popB)
+    // bootstrap trained on population A only (pre-drift)
+    graft.streaming.StreamingIvf.staticCentroids(popA, "vec_id", "v", path, stride = 16, refine = 1)
+    val input = MemoryStream[(Long, Seq[Double])]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sivf_rb_ckpt").toString
+    def start() = graft.streaming.StreamingIvf.run(
+        input.toDS().toDF("vec_id", "v"), "vec_id", "v", path) { (_, _) => () }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    val rows = hot.as[(Long, Seq[Double])].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val q1 = start()
+    try {
+      input.addData(b1: _*); q1.processAllAvailable()
+      input.addData(b2: _*); q1.processAllAvailable()
+    } finally q1.stop()
+
+    def maxListShare(cents: org.apache.spark.sql.DataFrame): Double = {
+      val sizes = operators.Ivf.assign(hot, "vec_id", "v", cents)
+        .groupBy(col("centroid_id")).agg(count(lit(1)).as("n"))
+        .select("n").as[Long].collect()
+      sizes.max.toDouble / sizes.sum
+    }
+    val shareBefore = maxListShare(spark.read.parquet(s"$path/centroids"))
+    assert(shareBefore > 0.25, s"fixture lost its hot population: $shareBefore")
+
+    val g = graft.streaming.StreamingIvf.rebuild(spark, path, stride = 16, refine = 1)
+    assert(g === 1L)
+    // superseded bootstrap state is gone; generation 1 is the tree now
+    assert(!new java.io.File(s"$path/centroids").exists())
+    assert(!new java.io.File(s"$path/assign").exists())
+    val centsNew = spark.read.parquet(s"$path/gen=1/centroids")
+    val shareAfter = maxListShare(centsNew)
+    assert(shareAfter < shareBefore / 2,
+      s"rebuild did not rebalance: $shareBefore -> $shareAfter")
+
+    // (b) queries over the rebuilt index == one-shot Ivf.topK with the
+    // NEW quantizer, bit-for-bit (same deterministic train on the same
+    // corpus -> same centroids -> same assignment -> same ranks)
+    val probes = hot.where(col("vec_id") < 320) // ~20 probes, both populations
+    def topkSet() = graft.streaming.StreamingIvf
+      .topK(spark, probes, "vec_id", "v", path, k = 5, nprobe = 4)
+      .select("probe_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val expect = operators.Ivf.topK(hot, probes, "vec_id", "v",
+        k = 5, stride = 16, nprobe = 4, refine = 1)
+      .select("probe_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(topkSet() === expect)
+
+    // ingest RESUMES into the new generation (same checkpoint): new rows
+    // are assigned with the generation-1 quantizer and appear in queries
+    val extra = Seq((500000L, Seq.tabulate(64)(i => math.sin(i + 1).abs + 0.5)),
+      (500001L, Seq.tabulate(64)(i => math.cos(2 * i + 1).abs + 0.25)))
+    val q2 = start()
+    try { input.addData(extra: _*); q2.processAllAvailable() } finally q2.stop()
+    assert(new java.io.File(s"$path/gen=1/assign").listFiles()
+      .exists(_.getName == "batch=2"), "post-rebuild ingest did not land in generation 1")
+    val union = hot.unionByName(extra.toDF("vec_id", "v"))
+    val expectAfter = operators.Ivf.topKPruned(probes, "vec_id", "v", centsNew, 5, 4)(
+      operators.Ivf.assign(union, "vec_id", "v", centsNew)
+        .join(union.select(col("vec_id").as("neighbor_id"), col("v").as("__cv")), Seq("neighbor_id")))
+      .select("probe_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(topkSet() === expectAfter)
+  }
+
+  test("seedIndex: a pre-existing corpus seeded as compacted=-1 gates batch 0 (dedup) and joins queries (ANN)") {
+    implicit val sqlCtx = spark.sqlContext
+    // --- StreamingDedup: batch 0 must drop near-dups of SEEDED docs
+    val root = java.nio.file.Files.createTempDirectory("graft_seed").toString
+    val idx = s"$root/index"
+    val seedDocs = Seq((1L, curW30), (3L, curU30)).toDF("doc_id", "text")
+    graft.streaming.StreamingDedup.seedIndex(
+      graft.operators.MinHash.corpusIndex(seedDocs, "doc_id", "text"), idx)
+    val input = MemoryStream[(Long, String)]
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = graft.streaming.StreamingDedup.run(
+        input.toDS().toDF("doc_id", "text"), "doc_id", "text", idx) { (survivors, _) =>
+        accepted.synchronized {
+          accepted ++= survivors.select("doc_id").as[Long].collect(); ()
+        }
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_seed_ckpt").toString)
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    try {
+      // 10 near-dups seeded doc 1 (drops in BATCH 0 — only possible if
+      // the seed generation is visible below batch id 0); 12 is fresh
+      input.addData((10L, curW31), (12L, curFresh))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(accepted.synchronized(accepted.toSet) === Set(12L))
+
+    // --- StreamingIvf: queries see seeded vectors unioned with batches
+    val path = s"$root/ivf"
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    graft.streaming.StreamingIvf.staticCentroids(e, "vec_id", "v", path, stride = 16, refine = 1)
+    val cents = spark.read.parquet(s"$path/centroids")
+    graft.streaming.StreamingIvf.seedIndex(
+      operators.Ivf.assign(e, "vec_id", "v", cents)
+        .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("__cv")), Seq("neighbor_id")),
+      path)
+    val probes = e.where(col("vec_id") < 10)
+    val got = graft.streaming.StreamingIvf.topK(spark, probes, "vec_id", "v", path, k = 5, nprobe = 4)
+      .select("probe_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val expect = operators.Ivf.topK(e, probes, "vec_id", "v",
+        k = 5, stride = 16, nprobe = 4, refine = 1)
+      .select("probe_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(got === expect)
+  }
+
   test("StreamingPhashDedup: media batches screen against the accepted fingerprint index") {
     implicit val sqlCtx = spark.sqlContext
     val idx = java.nio.file.Files.createTempDirectory("graft_pdedup").toString + "/index"
