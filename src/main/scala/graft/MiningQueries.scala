@@ -3162,7 +3162,460 @@ object MiningQueries {
         "imbalance vs perfect balance in exact ppm — the index-health " +
         "number that decides quantizer re-training / nprobe sizing; " +
         "map-side argmax assignment (raw stride seeds, SQL-replayed by " +
-        "the oracle), one k-cardinality agg, 1-row stats broadcast"))
+        "the oracle), one k-cardinality agg, 1-row stats broadcast"),
+
+    // --------------------------------- IVFADC + exact re-rank tier
+    Q("q166_ivfpq_rerank",
+      (s, d) => {
+        // the standard production answer to q164's recall ceiling: the
+        // compressed ADC rank is only a SHORTLIST generator — take its
+        // top-R, fetch those R raw vectors BY ID, and re-rank them with
+        // exact L2. Per (m, k, nprobe, R) cell the table reports
+        // recall@5 of the composed tier beside the IVF ceiling (the
+        // fraction of true neighbors in the probed lists at all — the
+        // hard upper bound no re-rank can cross: past it you raise
+        // nprobe, not R). Shared across cells exactly as q164: ONE
+        // coarse quantizer / assignment / residual frame, codebooks +
+        // codes shared across the nprobe and R axes. The re-rank fetch
+        // is ids-only: |probes|·R (probe, neighbor) rows broadcast
+        // against the corpus equi-join — the raw corpus never shuffles
+        // and only shortlisted vectors are ever scored exactly.
+        val e = T.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val probes = e.where(col("vec_id") < 10)
+        val cents = Ivf.centroids(e, "vec_id", "v", stride = 16)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val asg = Ivf.assign(e, "vec_id", "v", cents, id = "rid")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val res = Pq.residualFrame(e, "vec_id", "v", asg, cents, "rid")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cc = e.select(col("vec_id").as("neighbor_id"), col("v").as("__cv"))
+        val pp = probes.select(col("vec_id").as("probe_id"), col("v").as("__pv"))
+        val we = Window.partitionBy(col("probe_id"))
+          .orderBy(col("__d2").asc, col("neighbor_id").asc)
+        val exact = cc.join(broadcast(pp), col("probe_id") =!= col("neighbor_id"))
+          .select(col("probe_id"), col("neighbor_id"),
+            (Similarity.dot(col("__cv"), col("__cv"))
+              - lit(2.0) * Similarity.dot(col("__cv"), col("__pv"))
+              + Similarity.dot(col("__pv"), col("__pv"))).as("__d2"))
+          .withColumn("__rk", row_number().over(we))
+          .where(col("__rk") <= 5)
+          .select(col("probe_id"), col("neighbor_id"), lit(true).as("__hit"))
+          .localCheckpoint(true)
+        val nExact = exact.count() // |probes|*5 — a model-sized scalar
+        val pn = probes.select(col("vec_id").as("probe_id"), col("v").as("__pv"),
+          sqrt(Similarity.dot(col("v"), col("v"))).as("__pn")).where(col("__pn") > 0)
+        val wl = Window.partitionBy(col("probe_id"))
+          .orderBy(col("__c").desc, col("centroid_id").asc)
+        // the nprobe axis runs to 32 (half the ~64 lists) deliberately:
+        // the cosine-quantized lists vs L2 truth leave the ceiling at
+        // ~50% by nprobe=8, and the table must show where the composed
+        // tier actually crosses production recall — the answer a sizing
+        // decision needs is "raise nprobe, not R" and by how much.
+        // ONE ranked list frame at the largest nprobe serves every
+        // smaller cell: a probe's top-np' lists are a PREFIX of its
+        // top-32, so each (np, R) cell below is a filter on the
+        // candidate's list rank — never a re-probe.
+        val nprobes = Seq(2, 4, 8, 16, 32)
+        val listsRanked = pn.join(broadcast(cents))
+          .select(col("probe_id"),
+            (Similarity.dot(col("__pv"), col("__kv")) / (col("__pn") * col("__kn"))).as("__c"),
+            col("centroid_id"))
+          .withColumn("__r", row_number().over(wl)).where(col("__r") <= 32)
+          .select(col("probe_id"), col("centroid_id"), col("__r").as("__lrank"))
+          .localCheckpoint(true)
+        val lists32 = listsRanked.select(col("probe_id"), col("centroid_id"))
+        // IVF ceiling per nprobe: |true neighbors whose list is probed| —
+        // a |probes|*5-row join chain ending in one scalar
+        val ceiling: Map[Int, Long] = nprobes.map { np =>
+          val inProbed = exact
+            .join(asg.withColumnRenamed("rid", "neighbor_id"), Seq("neighbor_id"))
+            .join(listsRanked.where(col("__lrank") <= np)
+              .select(col("probe_id"), col("centroid_id")), Seq("probe_id", "centroid_id"))
+            .count()
+          np -> inProbed * 1000000L / nExact
+        }.toMap
+        val rows = for { m <- Seq(8, 16) } yield {
+          val kc = 16
+          val books = Pq.codebooks(res, "rid", "__res",
+              m = m, dims = 64, stride = 32, maxCodes = kc)
+            .localCheckpoint(true)
+          val enc = Pq.encode(res, "rid", "__res", books, m, 64)
+            .select(col("id"), col("subspace"), col("code"))
+            .join(asg.withColumnRenamed("rid", "id"), Seq("id"))
+            .localCheckpoint(true)
+          // ONE full ADC scoring (all candidates of the top-32 lists —
+          // a candidate's ADC distance depends only on its OWN list's
+          // table, never on nprobe) and ONE exact-distance fetch per m;
+          // every (np, R) cell is then pure window arithmetic over this
+          // frame: filter the candidate's list rank <= np, re-rank by
+          // ADC to apply the R cut, re-rank the survivors by exact d2.
+          // vs the per-cell shape: 10 ADC scorings + 10 fetches -> 2.
+          // (Production semantics unchanged: deployed queries touch
+          // only R raw vectors; the audit scores all candidates once
+          // because it prices 15 cells in one pass.)
+          val adcAll = Pq.searchTopKResidual(enc, probes, "vec_id", "v",
+              cents, books, m = m, dims = 64, k = Int.MaxValue,
+              probeLists = Some(lists32))
+            .select(col("probe_id"), col("neighbor_id"), col("adist_fp"))
+          val scored = broadcast(adcAll)
+            .join(asg.withColumnRenamed("rid", "neighbor_id"), Seq("neighbor_id"))
+            .join(listsRanked, Seq("probe_id", "centroid_id"))
+            .join(cc, Seq("neighbor_id")) // id->vector fetch, corpus never shuffles
+            .join(broadcast(pp), Seq("probe_id"))
+            .select(col("probe_id"), col("neighbor_id"), col("adist_fp"), col("__lrank"),
+              (Similarity.dot(col("__cv"), col("__cv"))
+                - lit(2.0) * Similarity.dot(col("__cv"), col("__pv"))
+                + Similarity.dot(col("__pv"), col("__pv"))).as("__d2"))
+            .localCheckpoint(true)
+          val wadc = Window.partitionBy(col("probe_id"))
+            .orderBy(col("adist_fp").asc, col("neighbor_id").asc)
+          val wr = Window.partitionBy(col("probe_id"))
+            .orderBy(col("__d2").asc, col("neighbor_id").asc)
+          for { np <- nprobes } yield {
+            Seq(10, 50, 100).map { r =>
+              scored.where(col("__lrank") <= np)
+                .withColumn("__adcrk", row_number().over(wadc))
+                .where(col("__adcrk") <= r)
+                .withColumn("__rk", row_number().over(wr))
+                .where(col("__rk") <= 5)
+                .join(exact, Seq("probe_id", "neighbor_id"), "left")
+                .agg(count(lit(1)).as("n_ranked"),
+                  sum(when(col("__hit"), 1L).otherwise(0L)).as("n_hits"))
+                .select(lit(m).as("m"), lit(kc).as("k_codes"), lit(np).as("nprobe"),
+                  lit(r).as("r_shortlist"), col("n_ranked"), col("n_hits"),
+                  (col("n_hits") * 1000000L / lit(nExact)).cast("long").as("recall_ppm"),
+                  lit(ceiling(np)).as("ivf_ceiling_ppm"))
+            }
+          }
+        }
+        rows.flatten.flatten.reduce(_ unionByName _)
+          .orderBy(col("m"), col("k_codes"), col("nprobe"), col("r_shortlist"))
+      },
+      // Deterministic (integer ADC shortlist, per-row in-order IEEE L2
+      // in the re-rank, unique tiebreaks — verified bit-identical at
+      // local[5] and local[16]): pinned literal oracle at the gate's
+      // sf0.01 corpus under the PinnedCorpus fingerprint guard.
+      Some(IvfPqRerankOracleSql),
+      "IVFADC + exact re-rank tier: ADC top-R shortlist (q164's " +
+        "compressed rank) -> ids-only raw-vector fetch -> exact L2 " +
+        "top-5, recall@5 per (m, k, nprobe, R) cell beside the IVF " +
+        "ceiling (share of true neighbors in probed lists — the bound " +
+        "re-rank cannot cross); the production deployment shape where " +
+        "the 8-16 byte codes pick ~R candidates and only those R raw " +
+        "vectors are ever touched"),
+
+    // ------------------------------------- ABTT applied: corrected space
+    Q("q167_abtt_correction",
+      (s, d) => {
+        // closes the loop q142 opened: it MEASURED the common-direction
+        // mass; this query REMOVES it (all-but-the-top, Mu & Viswanath
+        // 2018) and quantifies what the correction does to retrieval.
+        // Everything stays exact-integer so the oracle replays the full
+        // pipeline in HUGEINT: vectors quantize to f = floor(x·2^20),
+        // the q141 top direction u comes out of the SAME 12-round
+        // power-iteration program, and the corrected vector is the
+        // exact rank-one removal f' = f − (f·u)·u div (u·u) (truncating
+        // div — DuckDB `//`, Spark `div`, BigInteger all agree). Output
+        // per probe: |top5 ∩ top5'| between the RAW-space and
+        // CORRECTED-space exact-cosine rankings (the q24 audit re-run
+        // on the corrected space), plus the corpus explained-mass share
+        // before/after — after MUST collapse to ~0, the invariant that
+        // proves the removal actually happened.
+        // Scale shape: u is model-sized (64 ints, driver); the
+        // correction is one map-side projection per vector; the only
+        // corpus-costly stage is the exact top-5 audit itself (q24's
+        // disclosed brute shape — LSH/IVF swap in at scale).
+        val e = T.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val top = PowerIteration.topEigen(s, embeddingGramUpper(s, d), d = 64, rounds = 12)
+          .orderBy(col("i")).collect().map(_.getLong(1))
+        val uLit = typedLit(top.toSeq)
+        val uu = top.map(x => BigInt(x) * BigInt(x)).sum // <= 64·2^40, fits long
+        val f = e.select(col("vec_id"),
+            transform(col("v"), x => floor(x * lit(1048576.0)).cast("long")).as("f"))
+          .withColumn("u", uLit)
+          .withColumn("proj",
+            aggregate(zip_with(col("f"), col("u"), (a, b) => a * b),
+              lit(0L), (acc, t) => acc + t))
+          .withColumn("fc", expr(
+            s"zip_with(f, u, (fi, ui) -> fi - (CAST(proj AS DECIMAL(38,0)) * ui) div ${uu.toLong}L)"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+        // exact integer-space cosine top-5 per probe, in one space
+        def top5(vecCol: String): DataFrame = {
+          val base = f.select(col("vec_id"), col(vecCol).as("__x"),
+            aggregate(zip_with(col(vecCol), col(vecCol), (a, b) => a * b),
+              lit(0L), (acc, t) => acc + t).as("__nn"))
+            .where(col("__nn") > 0)
+          val pp = base.where(col("vec_id") < 10)
+            .select(col("vec_id").as("probe_id"), col("__x").as("__px"), col("__nn").as("__pn"))
+          val w = Window.partitionBy(col("probe_id"))
+            .orderBy(col("__cos").desc, col("neighbor_id").asc)
+          base.select(col("vec_id").as("neighbor_id"), col("__x"), col("__nn"))
+            .join(broadcast(pp), col("probe_id") =!= col("neighbor_id"))
+            .select(col("probe_id"), col("neighbor_id"),
+              (aggregate(zip_with(col("__x"), col("__px"), (a, b) => a * b),
+                lit(0L), (acc, t) => acc + t).cast("double")
+                / (sqrt(col("__nn").cast("double")) * sqrt(col("__pn").cast("double"))))
+                .as("__cos"))
+            .withColumn("__rk", row_number().over(w))
+            .where(col("__rk") <= 5)
+            .select(col("probe_id"), col("neighbor_id"))
+        }
+        // explained-mass ppm of direction u in one space (q142's ratio)
+        def explained(vecCol: String): Long = {
+          val pr = f.select(
+            aggregate(zip_with(col(vecCol), col("u"), (a, b) => a * b),
+              lit(0L), (acc, t) => acc + t).as("p"),
+            aggregate(zip_with(col(vecCol), col(vecCol), (a, b) => a * b),
+              lit(0L), (acc, t) => acc + t).as("ff"))
+          val r = pr.agg(
+            sum(col("p").cast("decimal(19,0)") * col("p").cast("decimal(19,0)")).as("num"),
+            sum(col("ff").cast("decimal(38,0)")).as("sff")).collect()(0)
+          (BigInt(r.getDecimal(0).toBigInteger) * 1000000L /
+            (uu * BigInt(r.getDecimal(1).toBigInteger))).toLong
+        }
+        val before = explained("f")
+        val after = explained("fc")
+        val overlap = top5("f").join(top5("fc"), Seq("probe_id", "neighbor_id"))
+          .groupBy(col("probe_id")).agg(count(lit(1)).as("__n"))
+        f.where(col("vec_id") < 10).select(col("vec_id").as("probe_id"))
+          .join(overlap, Seq("probe_id"), "left")
+          .select(col("probe_id"), coalesce(col("__n"), lit(0L)).as("overlap_top5"),
+            lit(before).as("explained_before_ppm"), lit(after).as("explained_after_ppm"))
+          .orderBy(col("probe_id"))
+      },
+      Some(abttCorrectionOracleSql(12)),
+      "all-but-the-top APPLIED (Mu & Viswanath 2018): exact integer " +
+        "rank-one removal of q141's top direction from every vector " +
+        "(f - (f.u)u div u.u, truncating div), then the q24 exact-cosine " +
+        "top-5 audit re-run in the corrected space — per-probe " +
+        "raw-vs-corrected top-5 overlap plus the explained-mass share " +
+        "before/after (after ~ 0 proves the removal); oracle replays " +
+        "power iteration + correction + both rankings + ratios in HUGEINT"),
+
+    // --------------------------------- PQ recall on the corrected space
+    Q("q168_abtt_pq_recall",
+      (s, d) => {
+        // the OTHER audit q142 said the correction would sharpen: q131's
+        // PQ recall@5 (m=8, k=16 codes — the 8-byte index) re-run on the
+        // ABTT-corrected space beside the raw space. The common
+        // direction is exactly the kind of shared mass PQ codebooks
+        // waste their budget on (every subspace spends codes encoding a
+        // component every vector shares); removing it reallocates the
+        // same 8 bytes to the DISCRIMINATING directions. Both spaces run
+        // the identical pipeline: codebooks -> encode -> ADC top-5 vs
+        // the exact-L2 top-5 OF THE SAME SPACE. Corrected vectors are
+        // the q167 integers divided back to doubles (deterministic,
+        // exactly representable division by 2^20).
+        val e = T.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val top = PowerIteration.topEigen(s, embeddingGramUpper(s, d), d = 64, rounds = 12)
+          .orderBy(col("i")).collect().map(_.getLong(1))
+        val uLit = typedLit(top.toSeq)
+        val uu = top.map(x => BigInt(x) * BigInt(x)).sum
+        val corrected = e
+          .select(col("vec_id"),
+            transform(col("v"), x => floor(x * lit(1048576.0)).cast("long")).as("f"))
+          .withColumn("u", uLit)
+          .withColumn("proj",
+            aggregate(zip_with(col("f"), col("u"), (a, b) => a * b),
+              lit(0L), (acc, t) => acc + t))
+          .withColumn("fc", expr(
+            s"zip_with(f, u, (fi, ui) -> fi - (CAST(proj AS DECIMAL(38,0)) * ui) div ${uu.toLong}L)"))
+          .select(col("vec_id"),
+            transform(col("fc"), x => x.cast("double") / lit(1048576.0)).as("v"))
+        val spaces = Seq("raw" -> e, "corrected" -> corrected)
+        val rows = spaces.map { case (tag, vecsRaw) =>
+          val vecs = vecsRaw.localCheckpoint(true)
+          val probes = vecs.where(col("vec_id") < 10)
+          val books = Pq.codebooks(vecs, "vec_id", "v", m = 8, dims = 64, stride = 32)
+          val enc = Pq.encode(vecs, "vec_id", "v", books, m = 8, dims = 64)
+            .select(col("id"), col("subspace"), col("code"))
+          val pq = Pq.searchTopK(enc, probes, "vec_id", "v", books, m = 8, dims = 64, k = 5)
+            .select(col("probe_id"), col("neighbor_id"))
+          val cc = vecs.select(col("vec_id").as("neighbor_id"), col("v").as("__cv"))
+          val pp = probes.select(col("vec_id").as("probe_id"), col("v").as("__pv"))
+          val w = Window.partitionBy(col("probe_id"))
+            .orderBy(col("__d2").asc, col("neighbor_id").asc)
+          val exact = cc.join(broadcast(pp), col("probe_id") =!= col("neighbor_id"))
+            .select(col("probe_id"), col("neighbor_id"),
+              (Similarity.dot(col("__cv"), col("__cv"))
+                - lit(2.0) * Similarity.dot(col("__cv"), col("__pv"))
+                + Similarity.dot(col("__pv"), col("__pv"))).as("__d2"))
+            .withColumn("__rk", row_number().over(w))
+            .where(col("__rk") <= 5)
+            .select(col("probe_id"), col("neighbor_id"), lit(true).as("__hit"))
+            .localCheckpoint(true)
+          val nExact = exact.count()
+          pq.join(exact, Seq("probe_id", "neighbor_id"), "left")
+            .agg(count(lit(1)).as("n_ranked"),
+              sum(when(col("__hit"), 1L).otherwise(0L)).as("n_hits"))
+            .select(lit(tag).as("space"), col("n_ranked"), col("n_hits"),
+              (col("n_hits") * 1000000L / lit(nExact)).cast("long").as("recall_ppm"))
+        }
+        rows.reduce(_ unionByName _).orderBy(col("space"))
+      },
+      // Deterministic (exact-integer correction, fixed-point PQ tables,
+      // in-order IEEE exact baseline, unique tiebreaks — verified
+      // bit-identical at local[5]/local[16]): pinned literal oracle at
+      // the gate's sf0.01 corpus under the PinnedCorpus guard.
+      Some(AbttPqRecallOracleSql),
+      "q131's PQ recall@5 audit re-run on the ABTT-corrected space " +
+        "beside the raw space (same m=8, k=16 budget, exact-L2 truth of " +
+        "each space): measures whether removing the common direction " +
+        "reallocates the 8-byte code budget to discriminating directions " +
+        "— the decision input for correcting the metric space before " +
+        "committing a PQ index"),
+
+    // ------------------------------------ dataset-build flagship (write side)
+    Q("q169_dataset_build",
+      (s, d) => {
+        // the training-data team's LAST MILE, composed end-to-end in one
+        // run: q162's curation waterfall -> q119's temperature mixture
+        // (budget 120 docs, alpha=1/2) -> q118's interleaved curriculum
+        // position -> the dataset WRITTEN as curriculum-ordered parquet
+        // in 16 q127-style hash shards -> q160's packing accounting +
+        // q150's manifest fingerprints over exactly the written set.
+        // The returned frame IS the written manifest artifact (read
+        // back from target/q169_dataset/manifest) — per-source
+        // survivor/sampled/token/sequence counts, fill ppm, and the
+        // order-independent content fingerprints, plus the TOTAL row a
+        // data card publishes. Scale shape: every stage is a proven
+        // registry device; the write is range-free (arithmetic
+        // curriculum positions, hash shards — no global sort), and the
+        // audit aggregations are |sources|-bounded after one pass over
+        // the sampled set.
+        val docs = T.documents(s, d)
+        val docsW = docs.select(col("doc_id"), col("lang"), col("text"))
+          .repartition(32, col("doc_id"))
+        val grams = CorpusGrams.counts(docsW, Seq("doc_id", "lang"), "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val repDoc = grams
+          .groupBy(col("doc_id"))
+          .agg(max(when(col("k") === 2, col("c"))).as("top2"),
+            sum(when(col("k") === 2, col("c"))).as("n2"),
+            sum(when(col("k") === 3 && col("c") >= 2, col("c"))
+              .otherwise(lit(0L))).as("dup3"),
+            sum(when(col("k") === 3, col("c"))).as("n3"))
+          .select(col("doc_id"),
+            expr("(top2 * 1000000) div n2").as("top2ppm"),
+            expr("(dup3 * 1000000) div n3").as("dup3ppm"))
+        val bg2 = grams.where(col("k") === 2)
+          .select(col("doc_id"), col("lang"),
+            split(col("g"), " ").getItem(0).as("w1"),
+            split(col("g"), " ").getItem(1).as("w2"), col("c"))
+        val lm = BigramLm.train(bg2.where(col("lang") === "en"), Some("c"))
+        val xent = BigramLm.score(bg2, Seq("doc_id"), lm, Some("c"))
+        val passA = docs.join(repDoc, Seq("doc_id"))
+          .where(col("top2ppm") <= 80000 && col("dup3ppm") <= 100000)
+          .select(col("doc_id"), col("lang"), col("source"), col("text"), col("n_chars"))
+        // the q162 lineage-cut discipline (fresh aliases before the cut)
+        val passB = graft.Engine.truncate(
+          passA.join(xent, Seq("doc_id"))
+            .where(col("xent_fp") <= 322000L)
+            .select(Seq("doc_id", "lang", "source", "text", "n_chars")
+              .map(c => col(c).as(c)): _*))
+        val ndPairs = JaccardJoin.nearDupPairs(passB, "doc_id", "text",
+          ngram = 3, num = 6, den = 10).select(col("id_a"), col("id_b"))
+        val comp = Components.connectedComponents(ndPairs, "id_a", "id_b")
+        val drops = comp.join(passB, comp("id") === passB("doc_id"))
+          .withColumn("__rk", row_number().over(
+            Window.partitionBy(col("comp"))
+              .orderBy(col("n_chars").desc, col("id").asc)))
+          .where(col("__rk") =!= 1).select(col("id").as("doc_id"))
+        val fin = graft.Engine.truncate(
+          passB.join(drops, Seq("doc_id"), "left_anti")
+            .select(Seq("doc_id", "lang", "source", "text", "n_chars")
+              .map(c => col(c).as(c)): _*))
+
+        // ---- mixture: temperature-scaled per-lang keep rates (q119)
+        val rates = Mixture.temperatureRatesPpm(fin, "lang", budgetDocs = 120L)
+        val samp = fin
+          .join(broadcast(rates.select(col("lang"), col("rate_ppm"))), Seq("lang"))
+          .where(Mixture.priorityPpm(col("doc_id")) < col("rate_ppm"))
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
+        // ---- curriculum: arithmetic interleaved position (q118)
+        val srcs = samp.select(col("source")).distinct()
+          .orderBy(col("source")).collect().map(_.getString(0))
+        val srcIdx = map(srcs.zipWithIndex.flatMap {
+          case (src, i) => Seq(lit(src), lit(i.toLong)) }.toSeq: _*)
+        val wric = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+        val staged = graft.Engine.truncate(samp
+          .withColumn("ris", row_number().over(wric).cast("long"))
+          .withColumn("position",
+            (col("ris") - 1L) * lit(srcs.length.toLong) +
+              element_at(srcIdx, col("source")))
+          .withColumn("out_shard",
+            pmod(pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)), lit(16L))))
+        // ---- THE WRITE: curriculum order within 16 hash shards (q127's
+        // layout device) — the artifact a training run reads
+        val outPath = new java.io.File("target/q169_dataset").getAbsolutePath
+        // sort by (out_shard, position): the dynamic-partition writer
+        // requires a partition-column sort and would otherwise inject
+        // its own (stability-unspecified) re-sort on top — leading with
+        // out_shard satisfies that requirement so the position order
+        // actually reaches the files
+        staged.repartition(col("out_shard"))
+          .sortWithinPartitions(col("out_shard"), col("position"))
+          .write.mode("overwrite").partitionBy("out_shard").parquet(s"$outPath/data")
+        // ---- audits over exactly the staged set
+        val wpk = Window.partitionBy(col("source"), col("pshard")).orderBy(col("ris"))
+        val tok = staged.select(col("source"), col("ris"),
+            expr("(ris - 1) div 128").as("pshard"),
+            size(split(lower(col("text")), " ")).cast("long").as("n"))
+          .withColumn("cum", sum(col("n")).over(
+            wpk.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val pk = tok.groupBy(col("source"), col("pshard"))
+          .agg(count(lit(1)).as("nd"), sum(col("n")).as("tt"),
+            expr("(max(cum) + 255) div 256").as("ns"))
+          .groupBy(col("source"))
+          .agg(sum(col("nd")).as("n_sampled"), sum(col("tt")).as("total_tokens"),
+            sum(col("ns")).as("n_sequences"))
+        val man = staged
+          .select(col("source"), TextOps.docFingerprint(TextOps.tokens(col("text"))).as("fp"))
+          .groupBy(col("source"))
+          .agg(expr("CAST(sum(CAST(fp AS DECIMAL(38,0))) % 1000000007 AS BIGINT)").as("fp_sum"),
+            expr("bit_xor(fp)").as("fp_xor"))
+        val sv = fin.groupBy(col("source")).agg(count(lit(1)).as("n_survivors"))
+        val perBase = sv.join(pk, Seq("source"), "left").join(man, Seq("source"), "left")
+          .select(col("source"), col("n_survivors"),
+            coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+            coalesce(col("total_tokens"), lit(0L)).as("total_tokens"),
+            coalesce(col("n_sequences"), lit(0L)).as("n_sequences"),
+            coalesce(col("fp_sum"), lit(0L)).as("fp_sum"),
+            coalesce(col("fp_xor"), lit(0L)).as("fp_xor"))
+        def withFill(df: DataFrame): DataFrame = df.withColumn("fill_ppm",
+          when(col("n_sequences") > 0,
+            expr("(total_tokens * 1000000) div (n_sequences * 256)")).otherwise(lit(0L)))
+        val outCols = Seq("source", "n_survivors", "n_sampled", "total_tokens",
+          "n_sequences", "fill_ppm", "fp_sum", "fp_xor").map(col)
+        val total = withFill(perBase.agg(
+            sum(col("n_survivors")).as("n_survivors"),
+            sum(col("n_sampled")).as("n_sampled"),
+            sum(col("total_tokens")).as("total_tokens"),
+            sum(col("n_sequences")).as("n_sequences"),
+            expr("CAST(sum(fp_sum) % 1000000007 AS BIGINT)").as("fp_sum"),
+            expr("bit_xor(fp_xor)").as("fp_xor"))
+          .withColumn("source", lit("TOTAL")))
+        val audit = withFill(perBase).select(outCols: _*)
+          .unionByName(total.select(outCols: _*))
+        // the manifest artifact IS the returned result: write it beside
+        // the data, return the read-back (deterministic, tiny)
+        audit.coalesce(1).write.mode("overwrite").parquet(s"$outPath/manifest")
+        s.read.parquet(s"$outPath/manifest").orderBy(col("source"))
+      },
+      Some(DatasetBuildOracleSql),
+      "dataset-build flagship (the write-side last mile): q162 curation " +
+        "survivors -> q119 temperature mixture (budget 120) -> q118 " +
+        "arithmetic curriculum positions -> parquet dataset WRITTEN in " +
+        "curriculum order across 16 hash shards -> q160 packing " +
+        "accounting + q150 manifest fingerprints over exactly the " +
+        "written set; returns the written manifest artifact (per-source " +
+        "+ TOTAL data-card rows); oracle composes the proven q162 + " +
+        "q119 + q118 + q160 + q150 SQL over one WITH RECURSIVE list"))
 
   /** q141/q142/q144: the ONE distributed corpus-sized stage of the eigen
     * family — GramMatrix's map-side-combined d×d reduction, unpacked to
@@ -3265,6 +3718,80 @@ object MiningQueries {
        |        FROM tot)
        |SELECT vec_id, proj_fp, (SELECT explained_ppm FROM ppm) AS explained_ppm
        |FROM pr ORDER BY abs(proj_fp) DESC, vec_id LIMIT 10""".stripMargin
+  }
+
+  /** Pinned literal oracle of q168 (computed once at the gate's sf0.01
+    * corpus, verified bit-identical at local[5]/local[16]; stale-pin
+    * protection: PinnedCorpus guard).
+    */
+  private lazy val AbttPqRecallOracleSql: String =
+    s"""SELECT c1 AS space, CAST(c2 AS BIGINT) AS n_ranked,
+              CAST(c3 AS BIGINT) AS n_hits, CAST(c4 AS BIGINT) AS recall_ppm
+       FROM (VALUES
+         $AbttPqRecallPinnedRows) t(c1, c2, c3, c4)
+       ORDER BY space"""
+
+  private lazy val AbttPqRecallPinnedRows: String =
+    """('corrected', 50, 4, 80000),
+         ('raw', 50, 7, 140000)"""
+
+  /** DuckDB replay of q167: the q141/q142 prelude + exact rank-one
+    * removal of the learned direction + BOTH exact-cosine top-5
+    * rankings + the before/after explained-mass ratios, all in
+    * HUGEINT (truncating `//` matches Spark's `div` — the q141
+    * verification).
+    */
+  private def abttCorrectionOracleSql(rounds: Int): String = {
+    val xf = s"x$rounds"
+    s"""${powerIterationPrelude(rounds)},
+       |e2 AS MATERIALIZED (SELECT vec_id, list_transform(embedding::DOUBLE[],
+       |        x -> CAST(floor(x * 1048576) AS BIGINT)) AS f FROM embeddings),
+       |uu AS (SELECT sum(CAST(x AS HUGEINT) * x) AS uu FROM $xf),
+       |fl AS MATERIALIZED (SELECT e2.vec_id, i.i AS i, e2.f[i.i + 1] AS fi
+       |      FROM e2, range(0, 64) i(i)),
+       |pr AS MATERIALIZED (SELECT fl.vec_id, sum(CAST(fl.fi AS HUGEINT) * $xf.x) AS proj
+       |      FROM fl JOIN $xf ON $xf.i = fl.i GROUP BY 1),
+       |fcl AS MATERIALIZED (SELECT fl.vec_id, fl.i,
+       |        CAST(fl.fi - (pr.proj * $xf.x) // (SELECT uu FROM uu) AS BIGINT) AS fi
+       |      FROM fl JOIN pr USING (vec_id) JOIN $xf ON $xf.i = fl.i),
+       |nr AS MATERIALIZED (SELECT vec_id, sum(fi * fi) AS nn FROM fl GROUP BY 1),
+       |ncc AS MATERIALIZED (SELECT vec_id, sum(fi * fi) AS nn FROM fcl GROUP BY 1),
+       |rt AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |         CAST(sum(p.fi * c.fi) AS DOUBLE)
+       |           / (sqrt(CAST(pn.nn AS DOUBLE)) * sqrt(CAST(cn.nn AS DOUBLE))) AS cos
+       |       FROM fl p JOIN fl c ON p.i = c.i AND p.vec_id < 10 AND c.vec_id != p.vec_id
+       |       JOIN nr pn ON pn.vec_id = p.vec_id JOIN nr cn ON cn.vec_id = c.vec_id
+       |       WHERE pn.nn > 0 AND cn.nn > 0
+       |       GROUP BY 1, 2, pn.nn, cn.nn),
+       |rt5 AS (SELECT probe_id, neighbor_id FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY probe_id
+       |           ORDER BY cos DESC, neighbor_id) AS rk FROM rt) WHERE rk <= 5),
+       |ct AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |         CAST(sum(p.fi * c.fi) AS DOUBLE)
+       |           / (sqrt(CAST(pn.nn AS DOUBLE)) * sqrt(CAST(cn.nn AS DOUBLE))) AS cos
+       |       FROM fcl p JOIN fcl c ON p.i = c.i AND p.vec_id < 10 AND c.vec_id != p.vec_id
+       |       JOIN ncc pn ON pn.vec_id = p.vec_id JOIN ncc cn ON cn.vec_id = c.vec_id
+       |       WHERE pn.nn > 0 AND cn.nn > 0
+       |       GROUP BY 1, 2, pn.nn, cn.nn),
+       |ct5 AS (SELECT probe_id, neighbor_id FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY probe_id
+       |           ORDER BY cos DESC, neighbor_id) AS rk FROM ct) WHERE rk <= 5),
+       |ov AS (SELECT rt5.probe_id, count(*) AS n
+       |       FROM rt5 JOIN ct5 USING (probe_id, neighbor_id) GROUP BY 1),
+       |ffr AS (SELECT sum(CAST(fi AS HUGEINT) * fi) AS sff FROM fl),
+       |ffc AS (SELECT sum(CAST(fi AS HUGEINT) * fi) AS sff FROM fcl),
+       |prc AS (SELECT fcl.vec_id, sum(CAST(fcl.fi AS HUGEINT) * $xf.x) AS proj
+       |        FROM fcl JOIN $xf ON $xf.i = fcl.i GROUP BY 1),
+       |bef AS (SELECT CAST(sum(proj * proj) * 1000000
+       |          // ((SELECT uu FROM uu) * (SELECT sff FROM ffr)) AS BIGINT) AS ppm FROM pr),
+       |aft AS (SELECT CAST(sum(proj * proj) * 1000000
+       |          // ((SELECT uu FROM uu) * (SELECT sff FROM ffc)) AS BIGINT) AS ppm FROM prc)
+       |SELECT p.vec_id AS probe_id, CAST(COALESCE(ov.n, 0) AS BIGINT) AS overlap_top5,
+       |       (SELECT ppm FROM bef) AS explained_before_ppm,
+       |       (SELECT ppm FROM aft) AS explained_after_ppm
+       |FROM (SELECT DISTINCT vec_id FROM e2 WHERE vec_id < 10) p
+       |LEFT JOIN ov ON ov.probe_id = p.vec_id
+       |ORDER BY probe_id""".stripMargin
   }
 
   /** The WITH-clause body shared by q141's and q142's oracles: q94's
@@ -3398,14 +3925,57 @@ object MiningQueries {
          (16, 16, 4, 16, 32, 50, 11, 220000)) t(c1, c2, c3, c4, c5, c6, c7, c8)
        ORDER BY m, k_codes, nprobe"""
 
-  /** DuckDB replay of q162: the perplexity prelude + q158's per-doc
-    * repetition metrics + the three-stage waterfall, with q136's
-    * recursive pair/component template applied to the perplexity
-    * survivors. One WITH RECURSIVE list; every fragment is a
-    * previously-proven oracle device.
+  /** Pinned literal oracle of q166 (computed once at the gate's sf0.01
+    * corpus, verified bit-identical at local[5]/local[16]; stale-pin
+    * protection: PinnedCorpus guard).
     */
-  private lazy val CurationOracleSql: String =
-    s"""WITH RECURSIVE $PerplexityDocCtes,
+  private lazy val IvfPqRerankOracleSql: String =
+    s"""SELECT CAST(c1 AS INTEGER) AS m, CAST(c2 AS INTEGER) AS k_codes,
+              CAST(c3 AS INTEGER) AS nprobe, CAST(c4 AS INTEGER) AS r_shortlist,
+              CAST(c5 AS BIGINT) AS n_ranked, CAST(c6 AS BIGINT) AS n_hits,
+              CAST(c7 AS BIGINT) AS recall_ppm, CAST(c8 AS BIGINT) AS ivf_ceiling_ppm
+       FROM (VALUES
+         $IvfPqRerankPinnedRows) t(c1, c2, c3, c4, c5, c6, c7, c8)
+       ORDER BY m, k_codes, nprobe, r_shortlist"""
+
+  private lazy val IvfPqRerankPinnedRows: String =
+    """(8,16,2,10,50,11,220000,280000),
+         (8,16,2,50,50,14,280000,280000),
+         (8,16,2,100,50,14,280000,280000),
+         (8,16,4,10,50,15,300000,420000),
+         (8,16,4,50,50,21,420000,420000),
+         (8,16,4,100,50,21,420000,420000),
+         (8,16,8,10,50,17,340000,500000),
+         (8,16,8,50,50,24,480000,500000),
+         (8,16,8,100,50,25,500000,500000),
+         (8,16,16,10,50,17,340000,760000),
+         (8,16,16,50,50,29,580000,760000),
+         (8,16,16,100,50,33,660000,760000),
+         (8,16,32,10,50,15,300000,1000000),
+         (8,16,32,50,50,32,640000,1000000),
+         (8,16,32,100,50,40,800000,1000000),
+         (16,16,2,10,50,12,240000,280000),
+         (16,16,2,50,50,14,280000,280000),
+         (16,16,2,100,50,14,280000,280000),
+         (16,16,4,10,50,16,320000,420000),
+         (16,16,4,50,50,21,420000,420000),
+         (16,16,4,100,50,21,420000,420000),
+         (16,16,8,10,50,18,360000,500000),
+         (16,16,8,50,50,24,480000,500000),
+         (16,16,8,100,50,25,500000,500000),
+         (16,16,16,10,50,20,400000,760000),
+         (16,16,16,50,50,34,680000,760000),
+         (16,16,16,100,50,38,760000,760000),
+         (16,16,32,10,50,22,440000,1000000),
+         (16,16,32,50,50,39,780000,1000000),
+         (16,16,32,100,50,48,960000,1000000)"""
+
+  /** The q162 survivor pipeline as a reusable CTE block (through
+    * `fin`, the post-waterfall surviving documents WITH their source) —
+    * q162's oracle appends the per-lang waterfall counts, q169's the
+    * mixture/curriculum/packing/manifest build. */
+  private lazy val CurationSurvivorCtes: String =
+    s"""$PerplexityDocCtes,
       rg AS (SELECT doc_id, 2 AS k, w[i] || ' ' || w[i+1] AS g
              FROM t, unnest(range(1, len(w))) AS u(i)
              UNION ALL
@@ -3420,7 +3990,7 @@ object MiningQueries {
              FROM rc GROUP BY 1),
       rm AS (SELECT doc_id, (top2 * 1000000) // n2 AS top2ppm,
                     (dup3 * 1000000) // n3 AS dup3ppm FROM rd),
-      pa AS (SELECT d.doc_id, d.lang, d.n_chars, d.text FROM documents d
+      pa AS (SELECT d.doc_id, d.lang, d.source, d.n_chars, d.text FROM documents d
              JOIN rm ON rm.doc_id = d.doc_id
              WHERE rm.top2ppm <= 80000 AND rm.dup3ppm <= 100000),
       pbv AS (SELECT pa.* FROM pa JOIN xd ON xd.doc_id = pa.doc_id
@@ -3441,7 +4011,16 @@ object MiningQueries {
                    row_number() OVER (PARTITION BY c ORDER BY p2.n_chars DESC, comp.id) AS rk
                  FROM comp JOIN pbv p2 ON p2.doc_id = comp.id),
       drops AS (SELECT id FROM ranked WHERE rk <> 1),
-      fin AS (SELECT pbv.* FROM pbv WHERE doc_id NOT IN (SELECT id FROM drops)),
+      fin AS (SELECT pbv.* FROM pbv WHERE doc_id NOT IN (SELECT id FROM drops))"""
+
+  /** DuckDB replay of q162: the perplexity prelude + q158's per-doc
+    * repetition metrics + the three-stage waterfall, with q136's
+    * recursive pair/component template applied to the perplexity
+    * survivors. One WITH RECURSIVE list; every fragment is a
+    * previously-proven oracle device.
+    */
+  private lazy val CurationOracleSql: String =
+    s"""WITH RECURSIVE $CurationSurvivorCtes,
       n0 AS (SELECT lang, count(*) AS n_raw FROM documents GROUP BY 1),
       na AS (SELECT lang, count(*) AS n FROM pa GROUP BY 1),
       nb AS (SELECT lang, count(*) AS n FROM pbv GROUP BY 1),
@@ -3462,6 +4041,70 @@ object MiningQueries {
              CAST((sum(n_final) * 1000000) // sum(n_raw) AS BIGINT)
       FROM mixx
       ORDER BY lang"""
+
+  /** DuckDB replay of q169: the q162 survivor CTEs + q119's temperature
+    * mixture + q118's curriculum arithmetic + q160's per-source packing
+    * + q150's manifest reducers, per-source rows + the TOTAL row.
+    */
+  private lazy val DatasetBuildOracleSql: String =
+    s"""WITH RECURSIVE $CurationSurvivorCtes,
+      lc AS (SELECT lang, count(*)::BIGINT AS n_docs FROM fin GROUP BY 1),
+      wt AS (SELECT lang, n_docs,
+                    CAST(floor(sqrt(n_docs * 1.0e10)) AS BIGINT) AS weight FROM lc),
+      tw AS (SELECT lang, n_docs, weight,
+                    CAST(sum(weight) OVER () AS BIGINT) AS tot FROM wt),
+      rr AS (SELECT lang,
+                    least(1000000, (weight * 1000000 * 120) // (tot * n_docs))::BIGINT AS rate_ppm
+             FROM tw),
+      samp AS (SELECT fin.* FROM fin JOIN rr USING (lang)
+               WHERE ((doc_id * 2654435761) % 1000000007) % 1000000 < rr.rate_ppm),
+      rk2 AS (SELECT samp.*,
+                row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id)::BIGINT AS ris
+              FROM samp),
+      tok AS (SELECT source, ris, (ris - 1) // 128 AS pshard,
+                     len(string_split(lower(text), ' ')) AS n FROM rk2),
+      cumt AS (SELECT *, sum(n) OVER (PARTITION BY source, pshard ORDER BY ris
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM tok),
+      pk AS (SELECT source, pshard, count(*) AS nd, sum(n) AS tt,
+                    (max(cum) + 255) // 256 AS ns
+             FROM cumt GROUP BY 1, 2),
+      pks AS (SELECT source, sum(nd) AS n_sampled, sum(tt) AS total_tokens,
+                     sum(ns) AS n_sequences FROM pk GROUP BY 1),
+      mh AS (SELECT source, list_transform(string_split(lower(text), ' '), x ->
+               list_reduce(list_prepend(CAST(7 AS BIGINT),
+                 list_transform(range(1, length(x)+1), i -> CAST(ascii(substr(x, i, 1)) AS BIGINT))),
+                 (a, c) -> (a*31 + c) % 1000000007)) AS wh
+             FROM samp),
+      mf AS (SELECT source,
+               list_reduce(list_prepend(CAST(7 AS BIGINT), wh),
+                           (acc, x) -> (acc*1000003 + x) % 1000000007) AS fp
+             FROM mh),
+      manf AS (SELECT source, CAST(sum(CAST(fp AS HUGEINT)) % 1000000007 AS BIGINT) AS fp_sum,
+                      bit_xor(fp) AS fp_xor FROM mf GROUP BY 1),
+      sv AS (SELECT source, count(*)::BIGINT AS n_survivors FROM fin GROUP BY 1),
+      per AS (SELECT sv.source, sv.n_survivors,
+                     CAST(COALESCE(pks.n_sampled, 0) AS BIGINT) AS n_sampled,
+                     CAST(COALESCE(pks.total_tokens, 0) AS BIGINT) AS total_tokens,
+                     CAST(COALESCE(pks.n_sequences, 0) AS BIGINT) AS n_sequences,
+                     CAST(COALESCE(manf.fp_sum, 0) AS BIGINT) AS fp_sum,
+                     CAST(COALESCE(manf.fp_xor, 0) AS BIGINT) AS fp_xor
+              FROM sv LEFT JOIN pks ON pks.source = sv.source
+                      LEFT JOIN manf ON manf.source = sv.source)
+      SELECT source, n_survivors, n_sampled, total_tokens, n_sequences,
+             CASE WHEN n_sequences > 0
+                  THEN CAST((total_tokens * 1000000) // (n_sequences * 256) AS BIGINT)
+                  ELSE 0 END AS fill_ppm,
+             fp_sum, fp_xor
+      FROM per
+      UNION ALL
+      SELECT 'TOTAL', CAST(sum(n_survivors) AS BIGINT), CAST(sum(n_sampled) AS BIGINT),
+             CAST(sum(total_tokens) AS BIGINT), CAST(sum(n_sequences) AS BIGINT),
+             CASE WHEN sum(n_sequences) > 0
+                  THEN CAST((sum(total_tokens) * 1000000) // (sum(n_sequences) * 256) AS BIGINT)
+                  ELSE 0 END,
+             CAST(sum(fp_sum) % 1000000007 AS BIGINT), bit_xor(fp_xor)
+      FROM per
+      ORDER BY source"""
 
   /** DuckDB replay of q141: the prelude chain + the Rayleigh quotient. */
   private def powerIterationOracleSql(rounds: Int): String = {

@@ -497,7 +497,10 @@ class PlanSpec extends SparkSpec {
       "q162_curation_waterfall" -> "1-row trained-LM scalars broadcast (the q159 scorer composed into the waterfall)",
       "q163_perplexity_pruned" -> "1-row trained-LM scalars broadcast (the q159 device; the pruned pair/ctx tables themselves attach as broadcast HASH joins)",
       "q164_ivfpq_sweep" -> "exact-L2 recall baseline: probes broadcast by design (the q131 shape) + centroid codebook scoring (k rows) broadcast per nprobe cell (the q42 shape)",
-      "q165_ivf_balance" -> "centroid codebook scoring (k rows) broadcast (the q42 assignment shape) + 1-row (total, k) stats broadcast (the q126 device)")
+      "q165_ivf_balance" -> "centroid codebook scoring (k rows) broadcast (the q42 assignment shape) + 1-row (total, k) stats broadcast (the q126 device)",
+      "q166_ivfpq_rerank" -> "exact-L2 recall baseline + centroid codebook scoring broadcast (q164's shapes); the re-rank fetch itself is a broadcast HASH join on neighbor_id",
+      "q167_abtt_correction" -> "exact-cosine top-5 audits (raw + corrected space): probes broadcast by design (the q24 shape); the correction itself is map-side",
+      "q168_abtt_pq_recall" -> "exact-L2 recall baselines of both spaces: probes broadcast by design (the q131 shape)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       val bad = plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct")
