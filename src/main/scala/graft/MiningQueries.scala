@@ -3226,14 +3226,18 @@ object MiningQueries {
           .localCheckpoint(true)
         val lists32 = listsRanked.select(col("probe_id"), col("centroid_id"))
         // IVF ceiling per nprobe: |true neighbors whose list is probed| —
-        // a |probes|*5-row join chain ending in one scalar
-        val ceiling: Map[Int, Long] = nprobes.map { np =>
-          val inProbed = exact
-            .join(asg.withColumnRenamed("rid", "neighbor_id"), Seq("neighbor_id"))
-            .join(listsRanked.where(col("__lrank") <= np)
-              .select(col("probe_id"), col("centroid_id")), Seq("probe_id", "centroid_id"))
-            .count()
-          np -> inProbed * 1000000L / nExact
+        // ONE |probes|*5-row join pass aggregating every nprobe bound
+        // at once instead of five separate count() jobs
+        val ceilAggs = nprobes.map(np =>
+          sum(when(col("__lrank") <= np, 1L).otherwise(0L)).as(s"__c$np"))
+        val ceilRow = exact
+          .join(asg.withColumnRenamed("rid", "neighbor_id"), Seq("neighbor_id"))
+          .join(listsRanked, Seq("probe_id", "centroid_id"))
+          .agg(ceilAggs.head, ceilAggs.tail: _*)
+          .collect()(0)
+        val ceiling: Map[Int, Long] = nprobes.zipWithIndex.map { case (np, i) =>
+          np -> (if (ceilRow.isNullAt(i)) 0L
+                 else ceilRow.getLong(i)) * 1000000L / nExact
         }.toMap
         val rows = for { m <- Seq(8, 16) } yield {
           val kc = 16

@@ -21,13 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object ReliableSweep {
 
-  private def resultHash(df: DataFrame): (Long, Long, Long) = {
+  private def resultHash(df: DataFrame): (String, Long, Long) = {
     val cols = df.columns.sorted.toSeq.map(col)
+    // DECIMAL(38) accumulator: a long sum of xxhash64 values overflows
+    // under ANSI mode (Spark 4 default) after a handful of rows
     val h = df.select(xxhash64(struct(cols: _*)).as("__h"))
-      .agg(sum(col("__h")).as("s"), expr("bit_xor(__h)").as("x"),
+      .agg(sum(col("__h").cast("decimal(38,0)")).as("s"), expr("bit_xor(__h)").as("x"),
         count(lit(1)).as("n"))
       .collect()(0)
-    (if (h.isNullAt(0)) 0L else h.getLong(0),
+    (if (h.isNullAt(0)) "0" else h.getDecimal(0).toBigInteger.toString,
       if (h.isNullAt(1)) 0L else h.getLong(1), h.getLong(2))
   }
 

@@ -354,11 +354,18 @@ object ScaleBench {
 
     val curDocs1 = spark.read.parquet(s"${dirs(1)}/documents.parquet")
     val gateLm = CurationGate.staticLm(curDocs1.where(pmod(col("doc_id"), lit(10L)) === 1L), "text")
+    // shared setup frames are staged as PARQUET, not localCheckpoint:
+    // run()'s between-cell cleanup unpersists every persistent RDD, and
+    // a checkpointed frame reused across cells would lose its blocks
+    // after the first topkCell (measured: CHECKPOINT_RDD_BLOCK_ID_NOT_
+    // FOUND on the second min-of-2 sample)
+    val stageDir = tmpDir("stage")
     // the timed batch: 500 docs, ids shifted clear of every history id —
     // constant across cells, so the only variable is history size
-    val gateBatch = curDocs1.where(pmod(col("doc_id"), lit(10L)) === 0L)
+    curDocs1.where(pmod(col("doc_id"), lit(10L)) === 0L)
       .withColumn("doc_id", col("doc_id") + lit(5000000000L))
-      .localCheckpoint(true)
+      .write.mode("overwrite").parquet(s"$stageDir/gatebatch")
+    val gateBatch = spark.read.parquet(s"$stageDir/gatebatch")
     def gateCell(histDir: String): Double = {
       val idx = tmpDir("gidx"); val man = tmpDir("gman")
       val ckpt = tmpDir("gckpt"); val src = tmpDir("gsrc")
@@ -381,9 +388,10 @@ object ScaleBench {
         try q.processAllAvailable() finally q.stop()
       }
     }
-    val e1 = spark.read.parquet(s"${dirs(1)}/embeddings.parquet")
+    spark.read.parquet(s"${dirs(1)}/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .localCheckpoint(true)
+      .write.mode("overwrite").parquet(s"$stageDir/e1")
+    val e1 = spark.read.parquet(s"$stageDir/e1")
     def sivfIngestCell(histDir: String): Double = {
       val path = tmpDir("sivf"); val ckpt = tmpDir("sckpt"); val src = tmpDir("ssrc")
       StreamingIvf.staticCentroids(e1, "vec_id", "v", path, stride = 16, refine = 1)
@@ -429,17 +437,38 @@ object ScaleBench {
     val gate10 = math.min(gateCell(dirs(10)), gateCell(dirs(10)))
     val sivf1 = math.min(sivfIngestCell(dirs(1)), sivfIngestCell(dirs(1)))
     val sivf10 = math.min(sivfIngestCell(dirs(10)), sivfIngestCell(dirs(10)))
+    // The measured cost is PLAN CONSTRUCTION — the committed-dir
+    // listing + partition discovery — and it has two regimes: below
+    // spark.sql.sources.parallelPartitionDiscovery.threshold (32 root
+    // paths) the driver lists every batch=/centroid_id= dir SERIALLY
+    // (the 12-dir cell measures ~2s of pure driver listing at ~730
+    // dirs), above it a parallel listing job takes over (so the 96-dir
+    // cell is FASTER than the 12-dir one at this toy scale — disclosed,
+    // not hidden). Growth WITH batch count shows within one regime
+    // (96 -> 384 dirs), and compaction removes the term entirely.
     val tree12 = buildSivfTree(12)
     val tree96 = buildSivfTree(96)
-    val topk12 = math.min(topkCell(tree12), topkCell(tree12))
-    val topk96 = math.min(topkCell(tree96), topkCell(tree96))
-    StreamingIvf.compact(spark, tree96, upTo = Some(95L))
-    val topk96c = math.min(topkCell(tree96), topkCell(tree96))
+    val tree384 = buildSivfTree(384)
+    // one discarded warm-up: the FIRST topK call in the JVM pays
+    // codegen/localCheckpoint/FileSystem-stat warm-up that dwarfs the
+    // listing cost under measurement (measured 2.7s vs 0.9s steady)
+    topkCell(tree12)
+    def minOf(n: Int)(cell: => Double): Double = {
+      val ts = Seq.fill(n)(cell)
+      System.err.println(s"[scalebench] topk samples: ${ts.map(t => f"$t%.3f").mkString(", ")}")
+      ts.min
+    }
+    val topk12 = minOf(3)(topkCell(tree12))
+    val topk96 = minOf(3)(topkCell(tree96))
+    val topk384 = minOf(3)(topkCell(tree384))
+    StreamingIvf.compact(spark, tree384, upTo = Some(383L))
+    val topk384c = minOf(3)(topkCell(tree384))
     val streamingJson =
       f""""curation_ingest":{"h1":$gate1%.3f,"h10":$gate10%.3f,"ratio10":${gate10 / gate1}%.2f},""" +
       f""""sivf_ingest":{"h1":$sivf1%.3f,"h10":$sivf10%.3f,"ratio10":${sivf10 / sivf1}%.2f},""" +
-      f""""sivf_topk":{"b12":$topk12%.3f,"b96":$topk96%.3f,"growth_8x_dirs":${topk96 / topk12}%.2f,""" +
-      f""""b96_compacted":$topk96c%.3f,"compacted_vs_b12":${topk96c / topk12}%.2f}"""
+      f""""sivf_topk":{"b12_serial_listing":$topk12%.3f,"b96":$topk96%.3f,"b384":$topk384%.3f,""" +
+      f""""growth_4x_dirs":${topk384 / topk96}%.2f,"b384_compacted":$topk384c%.3f,""" +
+      f""""compacted_vs_b96":${topk384c / topk96}%.2f}"""
 
     def cellJson(cells: Map[Int, Double]): String =
       f""""r1":${cells(1)}%.3f,"r10":${cells(10)}%.3f,"ratio10":${cells(10) / cells(1)}%.2f"""

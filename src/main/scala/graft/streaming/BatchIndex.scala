@@ -135,7 +135,13 @@ private[streaming] object BatchIndex {
     *    with zero survivors writes a data-less dir, which would kill
     *    schema inference);
     *  - `upTo`: inclusive fold bound. Default folds everything except
-    *    the NEWEST batch dir (the live-retry guard above).
+    *    the NEWEST batch dir (the live-retry guard above);
+    *  - `targetBytes`: output file sizing — the generation is written
+    *    as ceil(foldedBytes / targetBytes) tasks (q145's bin-packing
+    *    arithmetic applied to the consolidated write), so a compaction
+    *    of ten thousand tiny batch files lands as a handful of
+    *    target-sized ones instead of reproducing the fragmentation one
+    *    level up.
     *
     * Returns the active consolidated generation id after the call (the
     * previous one if there was nothing new to fold).
@@ -146,7 +152,8 @@ private[streaming] object BatchIndex {
       partitionCols: Seq[String] = Nil,
       committedOnly: Boolean = false,
       schema: Option[StructType] = None,
-      upTo: Option[Long] = None): Option[Long] = {
+      upTo: Option[Long] = None,
+      targetBytes: Long = 128L << 20): Option[Long] = {
     val root = new Path(indexPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = currentCompacted(spark, indexPath)
@@ -192,7 +199,21 @@ private[streaming] object BatchIndex {
       // in place rather than guess a schema
       cur.foreach(cleanup); return cur
     }
-    val df = parts.reduce(_ unionByName _)
+    // ceil(foldedBytes / targetBytes) output tasks: the whole point of
+    // compaction is fewer, target-sized files
+    val foldedBytes = (cur.map(u => s"$indexPath/compacted=$u").toSeq ++
+      fold.map(id => s"$indexPath/batch=$id")).map { dir =>
+      val it = fs.listFiles(new Path(dir), true)
+      var b = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        val n = f.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) b += f.getLen
+      }
+      b
+    }.sum
+    val outTasks = math.max(1L, (foldedBytes + targetBytes - 1) / targetBytes).toInt
+    val df = parts.reduce(_ unionByName _).coalesce(outTasks)
     val w = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(s"$indexPath/compacted=$newU")

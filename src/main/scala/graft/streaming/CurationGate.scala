@@ -177,6 +177,12 @@ object CurationGate {
     * key). The LM comes from [[staticLm]] (or any pre-materialized
     * [[BigramLm.Lm]]).
     */
+  /** `compactEvery = Some(n)`: auto-compact both state trees after
+    * every n-th committed batch (default fold bound — the just-
+    * committed batch stays live), bounding the directory count a
+    * long-running ingest accumulates; [[compact]] stays available for
+    * operator-driven runs.
+    */
   def run(
       docs: DataFrame,
       idCol: String,
@@ -185,7 +191,8 @@ object CurationGate {
       lm: BigramLm.Lm,
       indexPath: String,
       manifestPath: String,
-      cfg: Config = Config())(
+      cfg: Config = Config(),
+      compactEvery: Option[Int] = None)(
       onSurvivors: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
     require(cfg.b * cfg.r <= cfg.k, s"b*r must not exceed k: ${cfg.b}*${cfg.r} > ${cfg.k}")
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -239,6 +246,9 @@ object CurationGate {
             .coalesce(1)
             .write.mode("overwrite").parquet(s"$manifestPath/batch=$batchId")
           BatchIndex.purgeBeyond(spark, manifestPath, batchId)
+          compactEvery.filter(_ > 0).foreach { every =>
+            if ((batchId + 1) % every == 0) compact(spark, indexPath, manifestPath)
+          }
           onSurvivors(survivors, batchId)
         } finally { batchIdx.unpersist(); () }
       } finally { grams.unpersist(); () }

@@ -163,11 +163,18 @@ object StreamingIvf {
     * `<path>/assign/batch=<id>`, centroid-partitioned. `onIndexed`
     * receives (rowsIndexed, batchId) after each commit.
     */
+  /** `compactEvery = Some(n)`: auto-compact after every n-th committed
+    * batch (the default fold bound — the just-committed batch stays
+    * live), so a long-running ingest never accumulates more than ~n
+    * batch directories. Out-of-band [[compact]] stays available for
+    * operator-driven runs.
+    */
   def run(
       vecs: DataFrame,
       idCol: String,
       vecCol: String,
-      path: String)(onIndexed: (Long, Long) => Unit): DataStreamWriter[Row] = {
+      path: String,
+      compactEvery: Option[Int] = None)(onIndexed: (Long, Long) => Unit): DataStreamWriter[Row] = {
     vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       // resolved per batch: a [[rebuild]] between runs (stream stopped,
@@ -203,6 +210,9 @@ object StreamingIvf {
         if (fs.exists(p)) fs.delete(p, true)
       }
       BatchIndex.purgeBeyond(spark, s"$root/assign", batchId)
+      compactEvery.filter(_ > 0).foreach { every =>
+        if ((batchId + 1) % every == 0) compact(spark, path)
+      }
       onIndexed(n, batchId)
     }
   }

@@ -1008,6 +1008,45 @@ class StreamingSpec extends SparkSpec {
     assert(topkSet() === after)
   }
 
+  test("StreamingIvf: compactEvery auto-compacts during ingest — dir count bounded, results unchanged") {
+    // compactEvery=2 over 4 batches: after batch 1 commits the fold
+    // takes batch 0 (the just-committed dir stays live per the retry
+    // guard) -> {compacted=0, batch=1}; after batch 3 it takes 1 and 2
+    // -> {compacted=2, batch=3}. The ingest itself bounds the tree.
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("graft_sivf_auto").toString
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    graft.streaming.StreamingIvf.staticCentroids(e, "vec_id", "v", path, stride = 16, refine = 1)
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamingIvf.run(
+        input.toDS().toDF("vec_id", "v"), "vec_id", "v", path,
+        compactEvery = Some(2)) { (_, _) => () }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_sivf_auto_ckpt").toString)
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    val rows = e.as[(Long, Seq[Double])].collect().toSeq
+    val quarter = rows.length / 4
+    val chunks = Seq(rows.slice(0, quarter), rows.slice(quarter, 2 * quarter),
+      rows.slice(2 * quarter, 3 * quarter), rows.drop(3 * quarter))
+    try {
+      chunks.foreach { c => input.addData(c: _*); q.processAllAvailable() }
+    } finally q.stop()
+    assert(new java.io.File(s"$path/assign").listFiles()
+      .map(_.getName).filter(n => !n.startsWith("_")).toSet
+      === Set("compacted=2", "batch=3"))
+    val probes = e.where(col("vec_id") < 10)
+    val got = graft.streaming.StreamingIvf
+      .topK(spark, probes, "vec_id", "v", path, k = 5, nprobe = 4)
+      .select("probe_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val expect = operators.Ivf.topK(e, probes, "vec_id", "v",
+        k = 5, stride = 16, nprobe = 4, refine = 1)
+      .select("probe_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(got === expect)
+  }
+
   test("CurationGate: compaction preserves manifest and cross-restart dedup verdicts bit-for-bit") {
     // the file-source restart fixture with a compaction between phases:
     // documents accepted before the compaction must still dedup
@@ -1070,6 +1109,63 @@ class StreamingSpec extends SparkSpec {
 
     // and the rolled-up manifest across generation + new batch equals the
     // one-shot manifest of the full accepted corpus {2, 3, 12, 21}
+    val all = Seq((1L, "a", curW30), (2L, "a", curW31), (3L, "b", curU30),
+      (12L, "a", curFresh), (10L, "a", curW30var),
+      (21L, "b", (5 to 18).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val expected = all.where(col("doc_id").isin(2L, 3L, 12L, 21L))
+      .select(col("source"), length(col("text")).cast("long").as("nc"),
+        operators.TextOps.docFingerprint(operators.TextOps.tokens(col("text"))).as("fp"))
+      .rollup(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("total_chars"),
+        expr("CAST(sum(CAST(fp AS DECIMAL(38,0))) % 1000000007 AS BIGINT)").as("fp_sum"),
+        expr("bit_xor(fp)").as("fp_xor"))
+      .select(coalesce(col("source"), lit("TOTAL")).as("source"),
+        col("n_docs"), col("total_chars"), col("fp_sum"), col("fp_xor"))
+      .collect().map(_.toSeq).toSet
+    assert(graft.streaming.CurationGate.currentManifest(spark, man)
+      .collect().map(_.toSeq).toSet === expected)
+  }
+
+  test("CurationGate: compactEvery auto-compacts both trees during ingest — verdicts and manifest unchanged") {
+    // compactEvery=2 over 4 batches: after batch 1 the fold takes batch
+    // 0, after batch 3 it takes 1 and 2 — the index a batch dedups
+    // against is partly a consolidated generation from batch 2 onward,
+    // and the manifest keeps merging to the one-shot result.
+    implicit val sqlCtx = spark.sqlContext
+    val lm = graft.streaming.CurationGate.staticLm(curationTrusted, "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_cgate_auto").toString
+    val idx = s"$root/index"; val man = s"$root/manifest"
+    val input = MemoryStream[(Long, String, String)]
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = graft.streaming.CurationGate.run(
+        input.toDS().toDF("doc_id", "source", "text"),
+        "doc_id", "text", "source", lm, idx, man,
+        compactEvery = Some(2)) { (survivors, _) =>
+        accepted.synchronized {
+          accepted ++= survivors.select("doc_id").as[Long].collect(); ()
+        }
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_cgate_auto_ckpt").toString)
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    try {
+      input.addData((1L, "a", curW30), (2L, "a", curW31), (3L, "b", curU30))
+      q.processAllAvailable() // batch 0: keep-longest keeps 2; 3 distinct
+      input.addData((12L, "a", curFresh))
+      q.processAllAvailable() // batch 1 -> auto-compact folds batch 0
+      input.addData((10L, "a", curW30var))
+      q.processAllAvailable() // batch 2: near-dup of 2 — 2 now lives in
+                              // the consolidated generation — must drop
+      input.addData((21L, "b", (5 to 18).map(i => s"u$i").mkString(" ")))
+      q.processAllAvailable() // batch 3 -> auto-compact folds 1 and 2
+    } finally q.stop()
+    assert(accepted.synchronized(accepted.toSet) === Set(2L, 3L, 12L, 21L))
+    def dirsOf(p: String) = new java.io.File(p).listFiles()
+      .map(_.getName).filter(n => !n.startsWith("_")).toSet
+    assert(dirsOf(idx) === Set("compacted=2", "batch=3"))
+    assert(dirsOf(man) === Set("compacted=2", "batch=3"))
+    // manifest merged across generations + live batches == one-shot
     val all = Seq((1L, "a", curW30), (2L, "a", curW31), (3L, "b", curU30),
       (12L, "a", curFresh), (10L, "a", curW30var),
       (21L, "b", (5 to 18).map(i => s"u$i").mkString(" ")))
