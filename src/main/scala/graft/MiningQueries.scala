@@ -3272,28 +3272,41 @@ object MiningQueries {
                 - lit(2.0) * Similarity.dot(col("__cv"), col("__pv"))
                 + Similarity.dot(col("__pv"), col("__pv"))).as("__d2"))
             .localCheckpoint(true)
-          val wadc = Window.partitionBy(col("probe_id"))
+          // ALL 15 (np, R) cells of this m in ONE windowed pass: the
+          // cell grid explodes in as a literal dimension and both ranks
+          // partition by (probe, np, R) — per-cell ranks are identical
+          // to a per-cell computation (same ordering, same filters),
+          // but the job runs 2 windows over |scored|·15 rows instead of
+          // 30 windows across 15 union branches (each branch was its
+          // own exchange; the stage-count overhead dominated the cell
+          // math — measured 8.4s -> the one-pass shape)
+          val cellGrid = typedLit(for { np <- nprobes; r <- Seq(10, 50, 100) } yield (np, r))
+          val wadc = Window.partitionBy(col("probe_id"), col("__np"), col("__r"))
             .orderBy(col("adist_fp").asc, col("neighbor_id").asc)
-          val wr = Window.partitionBy(col("probe_id"))
+          val wr = Window.partitionBy(col("probe_id"), col("__np"), col("__r"))
             .orderBy(col("__d2").asc, col("neighbor_id").asc)
-          for { np <- nprobes } yield {
-            Seq(10, 50, 100).map { r =>
-              scored.where(col("__lrank") <= np)
-                .withColumn("__adcrk", row_number().over(wadc))
-                .where(col("__adcrk") <= r)
-                .withColumn("__rk", row_number().over(wr))
-                .where(col("__rk") <= 5)
-                .join(exact, Seq("probe_id", "neighbor_id"), "left")
-                .agg(count(lit(1)).as("n_ranked"),
-                  sum(when(col("__hit"), 1L).otherwise(0L)).as("n_hits"))
-                .select(lit(m).as("m"), lit(kc).as("k_codes"), lit(np).as("nprobe"),
-                  lit(r).as("r_shortlist"), col("n_ranked"), col("n_hits"),
-                  (col("n_hits") * 1000000L / lit(nExact)).cast("long").as("recall_ppm"),
-                  lit(ceiling(np)).as("ivf_ceiling_ppm"))
-            }
-          }
+          val ceilMap = map(nprobes.flatMap(np =>
+            Seq(lit(np), lit(ceiling(np)))): _*)
+          Seq(scored
+            .withColumn("__cell", explode(cellGrid))
+            .select(col("probe_id"), col("neighbor_id"), col("adist_fp"),
+              col("__lrank"), col("__d2"),
+              col("__cell._1").as("__np"), col("__cell._2").as("__r"))
+            .where(col("__lrank") <= col("__np"))
+            .withColumn("__adcrk", row_number().over(wadc))
+            .where(col("__adcrk") <= col("__r"))
+            .withColumn("__rk", row_number().over(wr))
+            .where(col("__rk") <= 5)
+            .join(exact, Seq("probe_id", "neighbor_id"), "left")
+            .groupBy(col("__np"), col("__r"))
+            .agg(count(lit(1)).as("n_ranked"),
+              sum(when(col("__hit"), 1L).otherwise(0L)).as("n_hits"))
+            .select(lit(m).as("m"), lit(kc).as("k_codes"), col("__np").as("nprobe"),
+              col("__r").as("r_shortlist"), col("n_ranked"), col("n_hits"),
+              (col("n_hits") * 1000000L / lit(nExact)).cast("long").as("recall_ppm"),
+              element_at(ceilMap, col("__np")).as("ivf_ceiling_ppm")))
         }
-        rows.flatten.flatten.reduce(_ unionByName _)
+        rows.flatten.reduce(_ unionByName _)
           .orderBy(col("m"), col("k_codes"), col("nprobe"), col("r_shortlist"))
       },
       // Deterministic (integer ADC shortlist, per-row in-order IEEE L2
