@@ -1271,6 +1271,15 @@ class StreamingSpec extends SparkSpec {
       .select("probe_id", "rank", "neighbor_id", "cosine")
       .as[(Long, Int, Long, Double)].collect().toSet
     assert(topkSet() === expectAfter)
+
+    // compaction RESOLVES THE GENERATION: it must fold the rebuilt
+    // compacted dir + the post-rebuild batch into a new generation
+    // UNDER gen=1, with queries unchanged — the genRoot interplay a
+    // rebuild-then-long-ingest deployment hits
+    assert(graft.streaming.StreamingIvf.compact(spark, path, upTo = Some(2L)) === Some(2L))
+    assert(new java.io.File(s"$path/gen=1/assign").listFiles()
+      .map(_.getName).filter(n => !n.startsWith("_")).toSet === Set("compacted=2"))
+    assert(topkSet() === expectAfter)
   }
 
   test("seedIndex: a pre-existing corpus seeded as compacted=-1 gates batch 0 (dedup) and joins queries (ANN)") {
