@@ -20,30 +20,69 @@ import org.apache.spark.sql.types.StructType
   * COMPACTION (the streaming small-files fix): a long-running ingest
   * accumulates one directory per micro-batch forever, and a reader's
   * file-listing + parquet-footer cost grows with batch count even
-  * though the data doesn't. [[compact]] folds historical batch
-  * directories into ONE consolidated `<root>/compacted=<upTo>`
-  * generation — readers then open the single consolidated directory
-  * plus only the batch directories newer than it. The contract:
-  *  - the consolidated directory carries the SAME commit-marker
-  *    protocol as [[StreamingIvf]]'s batch dirs (marker written after
-  *    the parquet completes), so a reader never sees a half-written
-  *    generation: an unmarked `compacted=` dir is invisible and readers
-  *    fall back to the batch directories it would have replaced;
-  *  - compaction is retry-idempotent the same way batches are — a
-  *    crashed compaction either left no marker (its output is invisible,
-  *    re-run overwrites) or marked its output but died before cleanup
-  *    (readers already ignore the superseded dirs; the next compaction
-  *    deletes them);
-  *  - LIVE INGEST IS UNTOUCHED: by default the newest batch directory
-  *    is never folded, because it is the only directory an at-least-once
-  *    foreachBatch retry can rewrite — folding it would let a retrying
-  *    batch see its own rows as "accepted" (self-dedup drops the whole
-  *    batch). Pass `upTo = Some(maxId)` only when the stream is stopped
-  *    AND its final batch is known committed to the CHECKPOINT.
+  * though the data doesn't. Consolidated state comes in two shapes:
+  *
+  *  - `<root>/compacted=<hi>` — a FULL generation covering every batch
+  *    id ≤ hi (the legacy single-generation layout, still what
+  *    `tiered = false` folds and what [[StreamingIvf.rebuild]] writes);
+  *  - `<root>/run=<lo>-<hi>` — a SIZE-TIERED run covering batch ids in
+  *    [lo, hi]. Tiered compaction (`tiered = true`, the long-ingest
+  *    default wired into every gate's `compactEvery`) folds new batch
+  *    directories into a run and merges that run with its predecessors
+  *    only while a predecessor is not more than `mergeFactor`× larger —
+  *    the classic logarithmic-merge policy. A byte is rewritten
+  *    O(mergeFactor · log(corpus/batch)) times over the ingest's
+  *    lifetime instead of O(N/compactEvery) times (the full-fold policy
+  *    refolds the ENTIRE previous generation every compaction —
+  *    quadratic total write volume over a long stream), while the
+  *    directory count stays O(log corpus) + compactEvery.
+  *
+  * READER MODEL: the active state is the set of committed runs minus
+  * any run whose id range is CONTAINED in another committed run's range
+  * (a just-merged constituent, or a batch tree absorbed by a full
+  * generation — `compacted=<hi>` covers (-inf, hi]), plus every batch
+  * directory with id above the active runs' max hi. Run ranges never
+  * partially overlap: new runs cover only ids above the previous bound,
+  * and merges take range-adjacent constituents, so containment is a
+  * total supersede rule.
+  *
+  * CRASH/RETRY contract (unchanged from the single-generation layout):
+  *  - a run/generation is invisible until its commit marker exists
+  *    (marker written after the parquet completes), so a reader never
+  *    sees a half-written fold; a crashed fold's unmarked husk is
+  *    overwritten by the deterministic retry (same constituents → same
+  *    target name);
+  *  - a fold that marked its output but died before cleanup leaves its
+  *    constituents on disk — readers already ignore them (containment /
+  *    the batch-id bound) and the NEXT compaction deletes them.
+  *
+  * DEFERRED CLEANUP (grace period): a compaction deletes only state
+  * that was ALREADY superseded when the call started — the directories
+  * it supersedes itself stay on disk (invisible to readers) until the
+  * next compaction. An in-flight query that listed directories just
+  * before a compaction can therefore still open every file it listed;
+  * without the grace period the query would silently skip the deleted
+  * dirs (ignoreMissingFiles) while its plan also lacks the new run —
+  * a successfully-completed but arbitrarily incomplete result.
+  *
+  * LIVE INGEST IS UNTOUCHED: by default the newest batch directory is
+  * never folded, because it is the only directory an at-least-once
+  * foreachBatch retry can rewrite — folding it would let a retrying
+  * batch see its own rows as "accepted" (self-dedup drops the whole
+  * batch). Pass `upTo = Some(maxId)` only when the stream is stopped
+  * AND its final batch is known committed to the CHECKPOINT.
   */
 private[streaming] object BatchIndex {
 
   val CommitMarker = "_GRAFT_COMMIT"
+
+  /** One consolidated directory covering batch ids in [lo, hi].
+    * `compacted=<hi>` parses as lo = Long.MinValue (a full generation).
+    */
+  final case class Run(lo: Long, hi: Long, dir: String) {
+    def contains(other: Run): Boolean =
+      (lo <= other.lo && other.hi <= hi) && dir != other.dir
+  }
 
   def touchCommit(spark: SparkSession, dir: String): Unit = {
     val p = new Path(s"$dir/$CommitMarker")
@@ -56,61 +95,82 @@ private[streaming] object BatchIndex {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  private def childIds(spark: SparkSession, indexPath: String, prefix: String): Seq[Long] = {
+  private def childNames(spark: SparkSession, indexPath: String): Seq[String] = {
     val p = new Path(indexPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .collect { case n if n.startsWith(prefix) => n.stripPrefix(prefix).toLong }
   }
 
   def batchDirIds(spark: SparkSession, indexPath: String): Seq[Long] =
-    childIds(spark, indexPath, "batch=")
+    childNames(spark, indexPath)
+      .collect { case n if n.startsWith("batch=") => n.stripPrefix("batch=").toLong }
 
-  /** The highest MARKED consolidated generation, if any — the one
-    * readers use. Unmarked `compacted=` dirs (a compaction that died
-    * mid-write) are invisible by the marker contract.
+  /** Every run-shaped child directory, committed or not, as parsed
+    * [[Run]]s — `compacted=<hi>` and `run=<lo>-<hi>` both.
     */
-  def currentCompacted(spark: SparkSession, indexPath: String): Option[Long] =
-    childIds(spark, indexPath, "compacted=")
-      .filter(u => isCommitted(spark, s"$indexPath/compacted=$u"))
-      .sorted.lastOption
+  private def allRuns(spark: SparkSession, indexPath: String): Seq[Run] =
+    childNames(spark, indexPath).flatMap { n =>
+      if (n.startsWith("compacted="))
+        Some(Run(Long.MinValue, n.stripPrefix("compacted=").toLong, s"$indexPath/$n"))
+      else if (n.startsWith("run=")) {
+        val Array(lo, hi) = n.stripPrefix("run=").split("-", 2)
+        Some(Run(lo.toLong, hi.toLong, s"$indexPath/$n"))
+      } else None
+    }
+
+  /** The runs a reader uses: committed, minus any run contained in
+    * another committed run's range (superseded by a merge / full fold).
+    * Sorted oldest-first (by hi — ranges are disjoint after the
+    * containment filter).
+    */
+  def activeRuns(spark: SparkSession, indexPath: String): Seq[Run] = {
+    val committed = allRuns(spark, indexPath)
+      .filter(r => isCommitted(spark, r.dir))
+    committed.filter(r => !committed.exists(_.contains(r))).sortBy(_.hi)
+  }
+
+  /** Batch dirs with id ≤ this bound are superseded by consolidated
+    * state — the reader's exclusion bound (max hi over active runs).
+    */
+  def foldBound(spark: SparkSession, indexPath: String): Option[Long] =
+    activeRuns(spark, indexPath).map(_.hi).maxOption
 
   /** Dead-incarnation purge: a reused indexPath with a reset checkpoint
     * restarts batchIds at 0 — directories beyond the current batch are
     * a previous run's corpse and would surface as phantom accepted rows.
-    * A consolidated generation STRICTLY beyond the current batch is the
-    * same corpse one level up (it folds batches the new incarnation has
-    * not produced); `compacted=<u>` with u <= batchId stays — it is the
-    * valid folded history the incarnation resumes against.
+    * Consolidated state STRICTLY beyond the current batch is the same
+    * corpse one level up (it folds batches the new incarnation has not
+    * produced); runs with hi <= batchId stay — they are the valid folded
+    * history the incarnation resumes against.
     */
   def purgeBeyond(spark: SparkSession, indexPath: String, batchId: Long): Unit = {
     val p = new Path(indexPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     batchDirIds(spark, indexPath).filter(_ > batchId)
       .foreach(id => fs.delete(new Path(s"$indexPath/batch=$id"), true))
-    childIds(spark, indexPath, "compacted=").filter(_ > batchId)
-      .foreach(u => fs.delete(new Path(s"$indexPath/compacted=$u"), true))
+    allRuns(spark, indexPath).filter(_.hi > batchId)
+      .foreach(r => fs.delete(new Path(r.dir), true))
   }
 
-  /** The accepted-corpus index: the consolidated generation (if one is
-    * marked) plus every batch directory NEWER than it with id <
-    * `beforeBatch` (a retry of batch N must not dedup against its own
-    * half-written output). Empty frame of `template`'s schema when
-    * nothing exists yet.
+  /** The accepted-corpus index: every active run plus every batch
+    * directory NEWER than the fold bound with id < `beforeBatch` (a
+    * retry of batch N must not dedup against its own half-written
+    * output). Empty frame of `template`'s schema when nothing exists
+    * yet.
     */
   def read(
       spark: SparkSession,
       indexPath: String,
       template: DataFrame,
       beforeBatch: Long): DataFrame = {
-    val cur = currentCompacted(spark, indexPath)
+    val runs = activeRuns(spark, indexPath)
+    val bound = runs.map(_.hi).maxOption
     val dirs = batchDirIds(spark, indexPath)
-      .filter(id => id < beforeBatch && cur.forall(id > _))
+      .filter(id => id < beforeBatch && bound.forall(id > _))
       .map(id => s"$indexPath/batch=$id")
     val parts =
-      cur.map(u => spark.read.schema(template.schema)
-        .parquet(s"$indexPath/compacted=$u")).toSeq ++
+      runs.map(r => spark.read.schema(template.schema).parquet(r.dir)) ++
       (if (dirs.nonEmpty)
         Seq(spark.read.schema(template.schema).parquet(dirs: _*)) else Nil)
     if (parts.isEmpty)
@@ -118,10 +178,28 @@ private[streaming] object BatchIndex {
     else parts.reduce(_ unionByName _)
   }
 
-  /** Fold historical batch directories (and the previous consolidated
-    * generation) into `<root>/compacted=<newUpTo>`, commit-mark it,
-    * then delete the superseded directories. See the class doc for the
-    * crash/retry contract.
+  private def dataBytes(spark: SparkSession, dir: String): Long = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else {
+      val it = fs.listFiles(p, true)
+      var b = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        val n = f.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) b += f.getLen
+      }
+      b
+    }
+  }
+
+  private def hasDataFiles(spark: SparkSession, dir: String): Boolean =
+    dataBytes(spark, dir) > 0
+
+  /** Fold batch directories into consolidated state. See the class doc
+    * for the two policies, the crash/retry contract, and the deferred
+    * cleanup. Parameters:
     *
     *  - `partitionCols`: partition layout of the consolidated write
     *    (e.g. `centroid_id` for [[StreamingIvf]]'s assign tree, so a
@@ -136,15 +214,23 @@ private[streaming] object BatchIndex {
     *    schema inference);
     *  - `upTo`: inclusive fold bound. Default folds everything except
     *    the NEWEST batch dir (the live-retry guard above);
-    *  - `targetBytes`: output file sizing — the generation is written
-    *    as ceil(foldedBytes / targetBytes) tasks (q145's bin-packing
+    *  - `targetBytes`: output file sizing — each consolidated write is
+    *    ceil(foldedBytes / targetBytes) tasks (q145's bin-packing
     *    arithmetic applied to the consolidated write), so a compaction
     *    of ten thousand tiny batch files lands as a handful of
     *    target-sized ones instead of reproducing the fragmentation one
-    *    level up.
+    *    level up;
+    *  - `tiered`: false = legacy full fold (absorb ALL active runs +
+    *    eligible batches into one `compacted=<hi>` generation — O(N²)
+    *    total write volume over a long ingest, use for operator-driven
+    *    final folds); true = size-tiered runs (bounded write
+    *    amplification — the `compactEvery` policy);
+    *  - `mergeFactor`: tiered merge threshold — a new run absorbs its
+    *    predecessor while the predecessor is at most this many times
+    *    larger.
     *
-    * Returns the active consolidated generation id after the call (the
-    * previous one if there was nothing new to fold).
+    * Returns the fold bound after the call (max batch id covered by
+    * consolidated state; unchanged if there was nothing to fold).
     */
   def compact(
       spark: SparkSession,
@@ -153,72 +239,104 @@ private[streaming] object BatchIndex {
       committedOnly: Boolean = false,
       schema: Option[StructType] = None,
       upTo: Option[Long] = None,
-      targetBytes: Long = 128L << 20): Option[Long] = {
+      targetBytes: Long = 128L << 20,
+      tiered: Boolean = false,
+      mergeFactor: Int = 4): Option[Long] = {
+    require(mergeFactor >= 1, s"mergeFactor must be >= 1, got $mergeFactor")
     val root = new Path(indexPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cur = currentCompacted(spark, indexPath)
 
-    def cleanup(keep: Long): Unit = {
-      // superseded state: batch dirs the generation absorbed (or that a
-      // prior crashed cleanup left behind) + older/unmarked generations
-      batchDirIds(spark, indexPath).filter(_ <= keep)
-        .foreach(id => fs.delete(new Path(s"$indexPath/batch=$id"), true))
-      childIds(spark, indexPath, "compacted=").filter(_ < keep)
-        .foreach(u => fs.delete(new Path(s"$indexPath/compacted=$u"), true))
+    // ---- entry snapshot: what is active now, and what a PREVIOUS fold
+    // already superseded (safe to delete — the deferred-cleanup grace
+    // has elapsed; anything THIS call supersedes stays until next time)
+    val runs0 = allRuns(spark, indexPath)
+    val committedRuns = runs0.filter(r => isCommitted(spark, r.dir))
+    val active0 = committedRuns.filter(r => !committedRuns.exists(_.contains(r))).sortBy(_.hi)
+    val bound0 = active0.map(_.hi).maxOption
+    // stale = superseded before this call started: merged/absorbed
+    // constituents, batch dirs at-or-below the bound, and UNMARKED fold
+    // husks below the bound (a crashed fold whose retry already landed
+    // under a different name would otherwise linger forever)
+    val staleRuns0 = committedRuns.filterNot(active0.contains) ++
+      runs0.filter(r => !isCommitted(spark, r.dir) && bound0.exists(r.hi <= _))
+    val staleBatches0 = batchDirIds(spark, indexPath)
+      .filter(id => bound0.exists(id <= _))
+    def cleanupStale(): Unit = {
+      staleBatches0.foreach(id => fs.delete(new Path(s"$indexPath/batch=$id"), true))
+      staleRuns0.foreach(r => fs.delete(new Path(r.dir), true))
     }
 
     val eligible = batchDirIds(spark, indexPath).sorted
       .filter(id => !committedOnly || isCommitted(spark, s"$indexPath/batch=$id"))
-    val limit = upTo.getOrElse(eligible.lastOption.getOrElse(Long.MinValue) - 1)
-    val fold = eligible.filter(id => cur.forall(id > _) && id <= limit)
-    if (fold.isEmpty) { cur.foreach(cleanup); return cur }
-
-    val newU = fold.max
-    // a batch with zero survivors writes a data-less directory; without
-    // an explicit schema such a dir breaks per-dir inference, so it is
-    // skipped on read (it contributes no rows) while its id still
-    // advances the generation bound (readers exclude it either way)
-    def hasDataFiles(dir: String): Boolean = {
-      val it = fs.listFiles(new Path(dir), true)
-      var found = false
-      while (!found && it.hasNext) {
-        val n = it.next().getPath.getName
-        found = !n.startsWith("_") && !n.startsWith(".")
-      }
-      found
+    // ADVICE r10: the default bound is newest-minus-one ONLY when a
+    // newest batch exists — an empty eligible list must not underflow
+    // Long.MinValue - 1 to Long.MaxValue
+    val limit = upTo.orElse(eligible.lastOption.map(_ - 1))
+    val fold = limit match {
+      case None => Seq.empty[Long]
+      case Some(l) => eligible.filter(id => bound0.forall(id > _) && id <= l)
     }
+
     def readDir(dir: String): Option[DataFrame] = schema match {
       case Some(s) => Some(spark.read.schema(s).parquet(dir))
-      case None => if (hasDataFiles(dir)) Some(spark.read.parquet(dir)) else None
+      case None =>
+        if (hasDataFiles(spark, dir)) Some(spark.read.parquet(dir)) else None
     }
-    val parts = cur.flatMap(u => readDir(s"$indexPath/compacted=$u")).toSeq ++
-      fold.flatMap(id => readDir(s"$indexPath/batch=$id"))
-    if (parts.isEmpty) {
-      // every eligible dir is data-less and no schema was given: there
-      // is nothing to write a generation FROM — leave the (empty) dirs
-      // in place rather than guess a schema
-      cur.foreach(cleanup); return cur
-    }
-    // ceil(foldedBytes / targetBytes) output tasks: the whole point of
-    // compaction is fewer, target-sized files
-    val foldedBytes = (cur.map(u => s"$indexPath/compacted=$u").toSeq ++
-      fold.map(id => s"$indexPath/batch=$id")).map { dir =>
-      val it = fs.listFiles(new Path(dir), true)
-      var b = 0L
-      while (it.hasNext) {
-        val f = it.next()
-        val n = f.getPath.getName
-        if (!n.startsWith("_") && !n.startsWith(".")) b += f.getLen
+    // write `srcDirs` (already-consolidated runs + batch dirs) as one
+    // consolidated directory, sized to ceil(bytes / targetBytes) files,
+    // marker after the parquet completes
+    def writeFold(srcDirs: Seq[String], outDir: String): Boolean = {
+      val parts = srcDirs.flatMap(readDir)
+      if (parts.isEmpty) false
+      else {
+        val bytes = srcDirs.map(d => dataBytes(spark, d)).sum
+        val outTasks = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        val df = parts.reduce(_ unionByName _).coalesce(outTasks)
+        val w = df.write.mode("overwrite")
+        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+          .parquet(outDir)
+        touchCommit(spark, outDir)
+        true
       }
-      b
-    }.sum
-    val outTasks = math.max(1L, (foldedBytes + targetBytes - 1) / targetBytes).toInt
-    val df = parts.reduce(_ unionByName _).coalesce(outTasks)
-    val w = df.write.mode("overwrite")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(s"$indexPath/compacted=$newU")
-    touchCommit(spark, s"$indexPath/compacted=$newU")
-    cleanup(newU)
-    Some(newU)
+    }
+
+    if (!tiered) {
+      // ---- full fold: one generation absorbing every active run + fold
+      if (fold.isEmpty && active0.size <= 1) { cleanupStale(); return bound0 }
+      val newU = (fold ++ bound0).max
+      val src = active0.map(_.dir) ++ fold.map(id => s"$indexPath/batch=$id")
+      if (!writeFold(src, s"$indexPath/compacted=$newU")) {
+        // every source dir is data-less and no schema was given: there
+        // is nothing to write a generation FROM — leave the (empty)
+        // dirs in place rather than guess a schema
+        cleanupStale(); return bound0
+      }
+      cleanupStale()
+      Some(newU)
+    } else {
+      // ---- tiered fold: plan the merged run BEFORE writing (a new run
+      // absorbs predecessors while a predecessor is ≤ mergeFactor×
+      // its accumulated size), so one write lands the final shape —
+      // no intermediate level-1 run that an immediate merge rewrites
+      if (fold.isEmpty) { cleanupStale(); return bound0 }
+      var lo = fold.min
+      val hi = fold.max
+      var bytes = fold.map(id => dataBytes(spark, s"$indexPath/batch=$id")).sum
+      var src = fold.map(id => s"$indexPath/batch=$id")
+      var rest = active0 // oldest-first; absorb from the newest end
+      while (rest.nonEmpty && dataBytes(spark, rest.last.dir) <= mergeFactor * bytes) {
+        val r = rest.last
+        rest = rest.init
+        lo = math.min(lo, r.lo)
+        bytes += dataBytes(spark, r.dir)
+        src = r.dir +: src
+      }
+      val outDir =
+        if (lo == Long.MinValue) s"$indexPath/compacted=$hi"
+        else s"$indexPath/run=$lo-$hi"
+      if (!writeFold(src, outDir)) { cleanupStale(); return bound0 }
+      cleanupStale()
+      Some(hi)
+    }
   }
 }

@@ -247,7 +247,11 @@ object CurationGate {
             .write.mode("overwrite").parquet(s"$manifestPath/batch=$batchId")
           BatchIndex.purgeBeyond(spark, manifestPath, batchId)
           compactEvery.filter(_ > 0).foreach { every =>
-            if ((batchId + 1) % every == 0) compact(spark, indexPath, manifestPath)
+            // tiered: bounded write amplification over a long ingest
+            // (a full fold would rewrite the whole accepted corpus
+            // every `every` batches — O(N²) total bytes written)
+            if ((batchId + 1) % every == 0)
+              compact(spark, indexPath, manifestPath, tiered = true)
           }
           onSurvivors(survivors, batchId)
         } finally { batchIdx.unpersist(); () }
@@ -267,9 +271,10 @@ object CurationGate {
     * see [[BatchIndex.compact]]'s retry guard).
     */
   def compact(spark: SparkSession, indexPath: String, manifestPath: String,
-      upTo: Option[Long] = None): Unit = {
-    BatchIndex.compact(spark, indexPath, upTo = upTo)
-    BatchIndex.compact(spark, manifestPath, schema = Some(ManifestSchema), upTo = upTo)
+      upTo: Option[Long] = None, tiered: Boolean = false): Unit = {
+    BatchIndex.compact(spark, indexPath, upTo = upTo, tiered = tiered)
+    BatchIndex.compact(spark, manifestPath, schema = Some(ManifestSchema),
+      upTo = upTo, tiered = tiered)
     ()
   }
 

@@ -122,8 +122,8 @@ object StreamingDedup {
     * written. Safe beside live ingest with the default `upTo`.
     */
   def compact(spark: SparkSession, indexPath: String,
-      upTo: Option[Long] = None): Option[Long] =
-    BatchIndex.compact(spark, indexPath, upTo = upTo)
+      upTo: Option[Long] = None, tiered: Boolean = false): Option[Long] =
+    BatchIndex.compact(spark, indexPath, upTo = upTo, tiered = tiered)
 
   // index layout shared with StreamingPhashDedup — see [[BatchIndex]]
   private def purgeBeyond(spark: SparkSession, indexPath: String, batchId: Long): Unit =

@@ -39,6 +39,14 @@ import graft.operators.Ivf
   */
 object StreamingIvf {
 
+  /** Rebuild-in-progress fence at `<path>/_REBUILD`: [[rebuild]] creates
+    * it first and removes it after the generation switch; [[run]]'s
+    * foreachBatch throws while it exists (fail the batch loudly — the
+    * checkpoint retries it into the new generation — rather than
+    * silently writing into a generation the rebuild deletes).
+    */
+  val RebuildMarker = "_REBUILD"
+
   // ------------------------------------------------------- generations
   // The quantizer is static per GENERATION: [[rebuild]] re-trains it on
   // the accumulated corpus and rebuilds the whole index under
@@ -116,23 +124,36 @@ object StreamingIvf {
       stride: Int = 16,
       refine: Int = 1,
       maxK: Int = 64): Long = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // ingest fence: [[run]]'s foreachBatch refuses to commit while this
+    // marker exists, so a concurrent ingest FAILS LOUDLY (and its
+    // checkpoint retries into the new generation after the switch)
+    // instead of silently writing into a generation this rebuild is
+    // about to delete. A rebuild retry tolerates a stale marker (its
+    // own crash left it); the marker clears on the generation switch.
+    val lock = new org.apache.hadoop.fs.Path(s"$path/$RebuildMarker")
+    fs.create(lock, true).close()
     val oldRoot = genRoot(spark, path)
-    val (compacted, dirs) = committedView(spark, s"$oldRoot/assign")
-    require(compacted.nonEmpty || dirs.nonEmpty,
+    val (runDirs, batchDirs) = committedView(spark, s"$oldRoot/assign")
+    require(runDirs.nonEmpty || batchDirs.nonEmpty,
       s"no committed index state under $oldRoot/assign — nothing to rebuild from")
     val corpus = {
       val parts =
-        compacted.map(u => spark.read.parquet(s"$oldRoot/assign/compacted=$u")).toSeq ++
-        (if (dirs.nonEmpty)
+        runDirs.map(d => spark.read.parquet(d)) ++
+        (if (batchDirs.nonEmpty)
           Seq(spark.read.option("basePath", s"$oldRoot/assign")
-            .parquet(dirs: _*).drop("batch"))
+            .parquet(batchDirs: _*).drop("batch"))
          else Nil)
       parts.reduce(_ unionByName _).select(col("neighbor_id"), col("__cv"))
     }
-    val maxBatch = math.max(
-      compacted.getOrElse(Long.MinValue),
-      BatchIndex.batchDirIds(spark, s"$oldRoot/assign").sorted.lastOption
-        .getOrElse(Long.MinValue))
+    // the new generation's bound derives from COMMITTED state only
+    // (ADVICE r10): an uncommitted trailing batch dir (stream died
+    // mid-write) must stay ABOVE the rebuilt compacted bound, so its
+    // checkpoint retry re-lands visibly in the new generation instead
+    // of being stamped as covered and silently lost
+    val maxBatch = (BatchIndex.foldBound(spark, s"$oldRoot/assign").toSeq ++
+      batchDirs.map(d => d.substring(d.lastIndexOf("batch=") + 6).toLong)).max
     val g = currentGen(spark, path).getOrElse(0L) + 1
     val newRoot = s"$path/gen=$g"
     val cents = Ivf.centroids(corpus, "neighbor_id", "__cv", stride, refine, maxK)
@@ -146,9 +167,8 @@ object StreamingIvf {
       BatchIndex.touchCommit(spark, s"$newRoot/assign/compacted=$maxBatch")
     } finally { cents.unpersist(); () }
     // the atomic switch: marker creation makes generation g current
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.create(new org.apache.hadoop.fs.Path(s"$path/_GEN=$g"), true).close()
+    fs.delete(lock, false)
     // superseded generation's state (bootstrap layout lives at the tree
     // root; later generations under their own gen dir)
     if (oldRoot == path) {
@@ -177,6 +197,16 @@ object StreamingIvf {
       compactEvery: Option[Int] = None)(onIndexed: (Long, Long) => Unit): DataStreamWriter[Row] = {
     vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
+      // the [[rebuild]] fence: refuse to write while a rebuild owns the
+      // tree — this batch would land in the generation the rebuild is
+      // about to delete and be silently lost. Failing the batch keeps
+      // it in the checkpoint; the retry (after the switch) re-lands it
+      // in the new generation.
+      val lockPath = new org.apache.hadoop.fs.Path(s"$path/$RebuildMarker")
+      if (lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(lockPath))
+        throw new IllegalStateException(
+          s"StreamingIvf rebuild in progress at $path ($RebuildMarker present) — " +
+            s"batch $batchId refused; it will retry after the generation switch")
       // resolved per batch: a [[rebuild]] between runs (stream stopped,
       // checkpoint kept) switches ingest to the new generation too
       val root = genRoot(spark, path)
@@ -211,7 +241,10 @@ object StreamingIvf {
       }
       BatchIndex.purgeBeyond(spark, s"$root/assign", batchId)
       compactEvery.filter(_ > 0).foreach { every =>
-        if ((batchId + 1) % every == 0) compact(spark, path)
+        // tiered: the in-band policy — bounded write amplification over
+        // a long ingest (a full fold here would rewrite the ENTIRE
+        // accumulated corpus every `every` batches)
+        if ((batchId + 1) % every == 0) compact(spark, path, tiered = true)
       }
       onIndexed(n, batchId)
     }
@@ -243,21 +276,25 @@ object StreamingIvf {
     * NEW batch dirs, and readers see either the old generation + old
     * batch dirs or the new generation — never both (marker protocol).
     */
-  def compact(spark: SparkSession, path: String, upTo: Option[Long] = None): Option[Long] =
+  def compact(spark: SparkSession, path: String, upTo: Option[Long] = None,
+      tiered: Boolean = false): Option[Long] =
     BatchIndex.compact(spark, s"${genRoot(spark, path)}/assign",
-      partitionCols = Seq("centroid_id"), committedOnly = true, upTo = upTo)
+      partitionCols = Seq("centroid_id"), committedOnly = true, upTo = upTo,
+      tiered = tiered)
 
-  /** Committed view of the assign tree: the consolidated generation (if
-    * marked) and every committed batch dir newer than it.
+  /** Committed view of the assign tree: every active consolidated run
+    * and every committed batch dir newer than the fold bound — both as
+    * directory paths.
     */
   private def committedView(
-      spark: SparkSession, assignPath: String): (Option[Long], Seq[String]) = {
-    val cur = BatchIndex.currentCompacted(spark, assignPath)
+      spark: SparkSession, assignPath: String): (Seq[String], Seq[String]) = {
+    val runs = BatchIndex.activeRuns(spark, assignPath)
+    val bound = runs.map(_.hi).maxOption
     val dirs = BatchIndex.batchDirIds(spark, assignPath)
-      .filter(id => cur.forall(id > _))
+      .filter(id => bound.forall(id > _))
       .map(id => s"$assignPath/batch=$id")
       .filter(d => BatchIndex.isCommitted(spark, d))
-    (cur, dirs)
+    (runs.map(_.dir), dirs)
   }
 
   /** Approximate top-k against the accumulated streamed index — the
@@ -295,22 +332,25 @@ object StreamingIvf {
     // first commit a query can still see the old incarnation's
     // committed rows — the same window every BatchIndex consumer has,
     // disclosed here rather than hidden.
-    val (compacted, dirs) = committedView(spark, s"$root/assign")
-    require(compacted.nonEmpty || dirs.nonEmpty,
+    val (runDirs, dirs) = committedView(spark, s"$root/assign")
+    require(runDirs.nonEmpty || dirs.nonEmpty,
       s"no committed index state under $root/assign")
     Ivf.topKPruned(probes, idCol, vecCol, cents, k, nprobe)({
       // basePath keeps `batch` and `centroid_id` as discovered partition
       // columns over the explicit committed-dir list; the centroid
       // filter (applied inside topKPruned) prunes at PartitionFilters
       // level across every committed batch directory AND the
-      // consolidated generation (itself centroid-partitioned).
+      // consolidated runs (themselves centroid-partitioned).
       // ignoreMissingFiles covers window (a) above: a listed file
-      // deleted by a concurrent retry/purge/compaction-cleanup before
-      // execution is skipped instead of failing the scan
+      // deleted by a concurrent retry/purge before execution is skipped
+      // instead of failing the scan. Compaction cleanup is DEFERRED one
+      // round ([[BatchIndex.compact]]'s grace period), so a scan racing
+      // a compaction still finds every directory it listed — the
+      // missing-file tolerance is for retry overwrites, not a license
+      // for cleanup to pull files out from under a running query.
       val parts =
-        compacted.map(u => spark.read
-          .option("ignoreMissingFiles", "true")
-          .parquet(s"$root/assign/compacted=$u")).toSeq ++
+        runDirs.map(d => spark.read
+          .option("ignoreMissingFiles", "true").parquet(d)) ++
         (if (dirs.nonEmpty)
           Seq(spark.read.option("basePath", s"$root/assign")
             .option("ignoreMissingFiles", "true")

@@ -958,10 +958,17 @@ class StreamingSpec extends SparkSpec {
       assert(dirNames() === Set("batch=0", "batch=1", "batch=2"))
 
       // default compaction beside the LIVE stream: folds everything
-      // except the newest batch dir (the foreachBatch-retry guard)
+      // except the newest batch dir (the foreachBatch-retry guard).
+      // Cleanup is DEFERRED one round (the in-flight-scan grace period):
+      // the folded batch dirs stay on disk, invisible to readers
+      assert(graft.streaming.StreamingIvf.compact(spark, path) === Some(1L))
+      assert(dirNames() === Set("compacted=1", "batch=0", "batch=1", "batch=2"))
+      assert(topkSet() === before, "compaction changed query results")
+      // the NEXT compaction (nothing new to fold) deletes the state the
+      // previous one superseded
       assert(graft.streaming.StreamingIvf.compact(spark, path) === Some(1L))
       assert(dirNames() === Set("compacted=1", "batch=2"))
-      assert(topkSet() === before, "compaction changed query results")
+      assert(topkSet() === before)
       // the candidate fetch still partition-prunes — on the consolidated
       // generation too (it is centroid-partitioned like the batch dirs)
       val plan = topkRows().queryExecution.executedPlan.toString
@@ -969,7 +976,11 @@ class StreamingSpec extends SparkSpec {
         plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
 
       // full fold (the last batch is committed to the checkpoint —
-      // processAllAvailable returned): one directory total
+      // processAllAvailable returned): one active generation; the
+      // superseded one lingers a grace round then goes
+      assert(graft.streaming.StreamingIvf.compact(spark, path, upTo = Some(2L)) === Some(2L))
+      assert(dirNames() === Set("compacted=1", "compacted=2", "batch=2"))
+      assert(topkSet() === before)
       assert(graft.streaming.StreamingIvf.compact(spark, path, upTo = Some(2L)) === Some(2L))
       assert(dirNames() === Set("compacted=2"))
       assert(topkSet() === before)
@@ -1009,10 +1020,12 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("StreamingIvf: compactEvery auto-compacts during ingest — dir count bounded, results unchanged") {
-    // compactEvery=2 over 4 batches: after batch 1 commits the fold
-    // takes batch 0 (the just-committed dir stays live per the retry
-    // guard) -> {compacted=0, batch=1}; after batch 3 it takes 1 and 2
-    // -> {compacted=2, batch=3}. The ingest itself bounds the tree.
+    // compactEvery=2 over 4 batches, TIERED policy: after batch 1
+    // commits the fold takes batch 0 (the just-committed dir stays live
+    // per the retry guard) -> run=0-0; after batch 3 it takes 1 and 2
+    // and absorbs run=0-0 (predecessor within mergeFactor of the new
+    // bytes) -> run=0-2, with batch=0 (superseded a round earlier)
+    // cleaned and this round's constituents kept one grace round.
     implicit val sqlCtx = spark.sqlContext
     val path = java.nio.file.Files.createTempDirectory("graft_sivf_auto").toString
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
@@ -1034,7 +1047,9 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
     assert(new java.io.File(s"$path/assign").listFiles()
       .map(_.getName).filter(n => !n.startsWith("_")).toSet
-      === Set("compacted=2", "batch=3"))
+      === Set("run=0-0", "run=0-2", "batch=1", "batch=2", "batch=3"))
+    // reader view: the merged run + the live batch only (constituents
+    // are contained / below the bound — invisible until cleaned)
     val probes = e.where(col("vec_id") < 10)
     val got = graft.streaming.StreamingIvf
       .topK(spark, probes, "vec_id", "v", path, k = 5, nprobe = 4)
@@ -1045,6 +1060,203 @@ class StreamingSpec extends SparkSpec {
       .select("probe_id", "rank", "neighbor_id", "cosine")
       .as[(Long, Int, Long, Double)].collect().toSet
     assert(got === expect)
+  }
+
+  test("StreamingIvf: tiered compaction builds a multi-level run tree — topK bit-identical, both crash windows pinned") {
+    // a LARGE first batch followed by small ones: the small folds must
+    // NOT absorb the large run (predecessor > mergeFactor x new bytes),
+    // so the tree becomes genuinely multi-level — the shape a long
+    // ingest converges to, where full-fold compaction would rewrite the
+    // big run every round (the O(N^2) write amplification this policy
+    // removes)
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("graft_sivf_tier").toString
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    graft.streaming.StreamingIvf.staticCentroids(e, "vec_id", "v", path, stride = 16, refine = 1)
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamingIvf.run(
+        input.toDS().toDF("vec_id", "v"), "vec_id", "v", path) { (_, _) => () }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_sivf_tier_ckpt").toString)
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    val rows = e.as[(Long, Seq[Double])].collect().toSeq
+    // big batch = 13 id-shifted copies of the corpus (~3.5 MB written),
+    // small batches = 40-row slices (~50 KB each incl. per-file parquet
+    // overhead): the merge decisions sit far from the mergeFactor
+    // boundary in BYTES, so the pinned tree shape cannot flap on
+    // parquet size drift
+    def shifted(k: Int) = rows.map { case (id, v) => (id + 1000000L * k, v) }
+    val big = (0 until 13).flatMap(shifted)
+    val chunks = Seq(big, shifted(13).take(40), shifted(14).take(40), shifted(15).take(40))
+    val all = chunks.flatten.toDF("vec_id", "v")
+    val probes = e.where(col("vec_id") < 10)
+    def topkSet() = graft.streaming.StreamingIvf
+      .topK(spark, probes, "vec_id", "v", path, k = 5, nprobe = 4)
+      .select("probe_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    def dirNames() = new java.io.File(s"$path/assign").listFiles()
+      .map(_.getName).filter(n => !n.startsWith("_")).toSet
+    def compactTiered() = graft.streaming.StreamingIvf.compact(spark, path, tiered = true)
+    try {
+      chunks.take(2).foreach { c => input.addData(c: _*); q.processAllAvailable() }
+      assert(compactTiered() === Some(0L)) // fold=[0] -> run=0-0 (big)
+      assert(dirNames() === Set("run=0-0", "batch=0", "batch=1"))
+      input.addData(chunks(2): _*); q.processAllAvailable()
+      // fold=[1] (small): run=0-0 is far larger than mergeFactor x the
+      // new bytes -> NOT absorbed; the tree goes multi-level
+      assert(compactTiered() === Some(1L))
+      assert(dirNames() === Set("run=0-0", "run=1-1", "batch=1", "batch=2"))
+      input.addData(chunks(3): _*); q.processAllAvailable()
+      // fold=[2] (small) absorbs run=1-1 (similar size) but still not
+      // run=0-0: levels merge geometrically, the big run is not rewritten
+      assert(compactTiered() === Some(2L))
+      assert(dirNames() === Set("run=0-0", "run=1-1", "run=1-2", "batch=2", "batch=3"))
+    } finally q.stop()
+    // reader view = run=0-0 + run=1-2 + batch=3: bit-identical to a
+    // one-shot assignment of every ingested row under the SAME static
+    // quantizer (duplicate-vector cosine ties break by neighbor_id —
+    // deterministic on both sides)
+    val centsS = spark.read.parquet(s"$path/centroids")
+    val expect = operators.Ivf.topKPruned(probes, "vec_id", "v", centsS, 5, 4)(
+        operators.Ivf.assign(all, "vec_id", "v", centsS)
+          .join(all.select(col("vec_id").as("neighbor_id"), col("v").as("__cv")),
+            Seq("neighbor_id")))
+      .select("probe_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(topkSet() === expect)
+
+    // crash window (a): an UNMARKED run husk (a merge that died before
+    // its marker) is invisible even with hostile twin rows inside
+    spark.read.option("basePath", s"$path/assign").parquet(s"$path/assign/run=1-2")
+      .select((col("neighbor_id") + 400000L).as("neighbor_id"), col("__cv"), col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/assign/run=1-3")
+    assert(topkSet() === expect, "unmarked run husk leaked into query results")
+    // crash window (b): a marked CONSTITUENT below the bound (merge
+    // marked its output but died before cleanup) stays invisible; the
+    // next compaction collects it, and the unmarked husk above the
+    // bound survives for its retry
+    assert(compactTiered() === Some(2L)) // nothing new to fold: cleanup only
+    assert(dirNames() === Set("run=0-0", "run=1-2", "run=1-3", "batch=3"))
+    assert(topkSet() === expect)
+
+    // a full fold (stream stopped, upTo = last) absorbs the whole
+    // multi-level tree into one generation, queries unchanged
+    assert(graft.streaming.StreamingIvf.compact(spark, path, upTo = Some(3L)) === Some(3L))
+    assert(topkSet() === expect)
+    assert(graft.streaming.StreamingIvf.compact(spark, path, upTo = Some(3L)) === Some(3L))
+    assert(dirNames() === Set("compacted=3"))
+    assert(topkSet() === expect)
+  }
+
+  test("StreamingIvf: ingest refuses to write while a rebuild owns the tree (_REBUILD fence), then retries cleanly") {
+    // item: a concurrent ingest during rebuild() used to write into the
+    // superseded generation and be silently deleted. The fence makes it
+    // fail LOUDLY; the checkpoint retry after the fence clears lands the
+    // batch in the surviving tree.
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sivf_fence").toString
+    val path = s"$root/idx"; val srcDir = s"$root/src"; val ckpt = s"$root/ckpt"
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    graft.streaming.StreamingIvf.staticCentroids(e, "vec_id", "v", path, stride = 16, refine = 1)
+    val rows = e.as[(Long, Seq[Double])].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    def appendRows(rs: Seq[(Long, Seq[Double])]): Unit =
+      rs.toDF("vec_id", "v").coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "v").schema
+    def start() = graft.streaming.StreamingIvf.run(
+        spark.readStream.schema(schema).parquet(srcDir), "vec_id", "v", path) { (_, _) => () }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    appendRows(b1)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // a rebuild that died mid-way leaves the fence on disk
+    new java.io.File(s"$path/${graft.streaming.StreamingIvf.RebuildMarker}").createNewFile()
+    appendRows(b2)
+    val q2 = start()
+    val failure = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+      q2.awaitTermination()
+    }
+    def rootCause(t: Throwable): Throwable =
+      if (t.getCause == null || t.getCause == t) t else rootCause(t.getCause)
+    assert(rootCause(failure).isInstanceOf[IllegalStateException])
+    assert(rootCause(failure).getMessage.contains("rebuild in progress"))
+    assert(!new java.io.File(s"$path/assign/batch=1").exists(),
+      "fenced batch must not write index state")
+
+    // fence clears (rebuild retry completes, or operator intervention);
+    // the SAME checkpoint retries the refused batch and it lands
+    new java.io.File(s"$path/${graft.streaming.StreamingIvf.RebuildMarker}").delete()
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    val probes = e.where(col("vec_id") < 10)
+    val got = graft.streaming.StreamingIvf
+      .topK(spark, probes, "vec_id", "v", path, k = 5, nprobe = 4)
+      .select("probe_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val expect = operators.Ivf.topK(e, probes, "vec_id", "v",
+        k = 5, stride = 16, nprobe = 4, refine = 1)
+      .select("probe_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(got === expect)
+  }
+
+  test("StreamingIvf: rebuild bounds the new generation by COMMITTED state — an uncommitted trailing batch re-lands visibly") {
+    // ADVICE r10 (high): rebuild used to stamp compacted=<max ALL batch
+    // dirs> while folding only committed rows — a stream that died
+    // mid-write on batch N had its retry land at id N <= the bound,
+    // excluded by every reader and deleted by the next compact: silent
+    // permanent loss. The bound must come from committed dirs only.
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("graft_sivf_advhigh").toString
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    graft.streaming.StreamingIvf.staticCentroids(e, "vec_id", "v", path, stride = 16, refine = 1)
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamingIvf.run(
+        input.toDS().toDF("vec_id", "v"), "vec_id", "v", path) { (_, _) => () }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_sivf_advhigh_ckpt").toString)
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    val rows = e.as[(Long, Seq[Double])].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    // simulate batch 2 dying MID-WRITE: parquet exists, marker absent
+    val cents0 = spark.read.parquet(s"$path/centroids")
+    val lost = Seq((700000L, Seq.tabulate(64)(i => math.sin(i + 1).abs + 0.5)),
+      (700001L, Seq.tabulate(64)(i => math.cos(2 * i + 1).abs + 0.25))).toDF("vec_id", "v")
+    operators.Ivf.assign(lost, "vec_id", "v", cents0)
+      .join(lost.select(col("vec_id").as("neighbor_id"), col("v").as("__cv")), Seq("neighbor_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/assign/batch=2")
+
+    val g = graft.streaming.StreamingIvf.rebuild(spark, path, stride = 16, refine = 1)
+    assert(g === 1L)
+    // the new generation's bound covers only COMMITTED batches (0, 1) —
+    // NOT the uncommitted husk at 2
+    assert(new java.io.File(s"$path/gen=1/assign/compacted=1").exists(),
+      new java.io.File(s"$path/gen=1/assign").listFiles().map(_.getName).mkString(","))
+    // ... so the checkpoint retry of batch 2 (simulated at layout level:
+    // run() resolves genRoot per batch and writes batch=2 + marker into
+    // gen=1) lands ABOVE the bound and is visible to queries
+    val centsNew = spark.read.parquet(s"$path/gen=1/centroids")
+    operators.Ivf.assign(lost, "vec_id", "v", centsNew)
+      .join(lost.select(col("vec_id").as("neighbor_id"), col("v").as("__cv")), Seq("neighbor_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/gen=1/assign/batch=2")
+    new java.io.File(s"$path/gen=1/assign/batch=2/_GRAFT_COMMIT").createNewFile()
+    val probeLost = lost.where(col("vec_id") === 700000L)
+    val got = graft.streaming.StreamingIvf
+      .topK(spark, probeLost, "vec_id", "v", path, k = 3, nprobe = 64)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(got.contains(700001L),
+      s"retried batch invisible after rebuild — neighbors seen: $got")
   }
 
   test("CurationGate: compaction preserves manifest and cross-restart dedup verdicts bit-for-bit") {
@@ -1085,7 +1297,10 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.toSeq).toSet
     assert(new java.io.File(idx).listFiles().map(_.getName).count(_.startsWith("batch=")) === 2)
 
-    // compact both trees fully (streams stopped, last batch checkpointed)
+    // compact both trees fully (streams stopped, last batch
+    // checkpointed); the second call collects the state the first
+    // superseded (deferred-cleanup grace round)
+    graft.streaming.CurationGate.compact(spark, idx, man, upTo = Some(1L))
     graft.streaming.CurationGate.compact(spark, idx, man, upTo = Some(1L))
     assert(new java.io.File(idx).listFiles().map(_.getName)
       .filter(!_.startsWith("_")).toSet === Set("compacted=1"))
@@ -1163,8 +1378,12 @@ class StreamingSpec extends SparkSpec {
     assert(accepted.synchronized(accepted.toSet) === Set(2L, 3L, 12L, 21L))
     def dirsOf(p: String) = new java.io.File(p).listFiles()
       .map(_.getName).filter(n => !n.startsWith("_")).toSet
-    assert(dirsOf(idx) === Set("compacted=2", "batch=3"))
-    assert(dirsOf(man) === Set("compacted=2", "batch=3"))
+    // tiered policy: batch 1's compact folds batch 0 into run=0-0
+    // (batch=0 kept one grace round, gone after batch 3's compact);
+    // batch 3's compact folds 1-2 and absorbs run=0-0 -> run=0-2,
+    // keeping this round's constituents for their own grace round
+    assert(dirsOf(idx) === Set("run=0-0", "run=0-2", "batch=1", "batch=2", "batch=3"))
+    assert(dirsOf(man) === Set("run=0-0", "run=0-2", "batch=1", "batch=2", "batch=3"))
     // manifest merged across generations + live batches == one-shot
     val all = Seq((1L, "a", curW30), (2L, "a", curW31), (3L, "b", curU30),
       (12L, "a", curFresh), (10L, "a", curW30var),
@@ -1276,6 +1495,12 @@ class StreamingSpec extends SparkSpec {
     // compacted dir + the post-rebuild batch into a new generation
     // UNDER gen=1, with queries unchanged — the genRoot interplay a
     // rebuild-then-long-ingest deployment hits
+    assert(graft.streaming.StreamingIvf.compact(spark, path, upTo = Some(2L)) === Some(2L))
+    assert(new java.io.File(s"$path/gen=1/assign").listFiles()
+      .map(_.getName).filter(n => !n.startsWith("_")).toSet
+      === Set("compacted=1", "compacted=2", "batch=2"))
+    assert(topkSet() === expectAfter)
+    // the grace round: a second compact collects the superseded state
     assert(graft.streaming.StreamingIvf.compact(spark, path, upTo = Some(2L)) === Some(2L))
     assert(new java.io.File(s"$path/gen=1/assign").listFiles()
       .map(_.getName).filter(n => !n.startsWith("_")).toSet === Set("compacted=2"))
