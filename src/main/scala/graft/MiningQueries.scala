@@ -3262,15 +3262,8 @@ object MiningQueries {
               cents, books, m = m, dims = 64, k = Int.MaxValue,
               probeLists = Some(lists32))
             .select(col("probe_id"), col("neighbor_id"), col("adist_fp"))
-          val scored = broadcast(adcAll)
-            .join(asg.withColumnRenamed("rid", "neighbor_id"), Seq("neighbor_id"))
-            .join(listsRanked, Seq("probe_id", "centroid_id"))
-            .join(cc, Seq("neighbor_id")) // id->vector fetch, corpus never shuffles
-            .join(broadcast(pp), Seq("probe_id"))
-            .select(col("probe_id"), col("neighbor_id"), col("adist_fp"), col("__lrank"),
-              (Similarity.dot(col("__cv"), col("__cv"))
-                - lit(2.0) * Similarity.dot(col("__cv"), col("__pv"))
-                + Similarity.dot(col("__pv"), col("__pv"))).as("__d2"))
+          val scored = rerankScoredFrame(adcAll,
+              asg.withColumnRenamed("rid", "neighbor_id"), listsRanked, cc, pp)
             .localCheckpoint(true)
           // ALL 15 (np, R) cells of this m in ONE windowed pass: the
           // cell grid explodes in as a literal dimension and both ranks
@@ -3632,7 +3625,52 @@ object MiningQueries {
         "accounting + q150 manifest fingerprints over exactly the " +
         "written set; returns the written manifest artifact (per-source " +
         "+ TOTAL data-card rows); oracle composes the proven q162 + " +
-        "q119 + q118 + q160 + q150 SQL over one WITH RECURSIVE list"))
+        "q119 + q118 + q160 + q150 SQL over one WITH RECURSIVE list"),
+
+    // --------------------------- re-rank tier as a production operator
+    Q("q170_ivfpq_rerank_op",
+      (s, d) => {
+        // q166 PROVED the (nprobe, R) sizing table; this is the
+        // deployment API at one production cell (m=16, 16 codes,
+        // nprobe=8, R=50, top-5): [[Pq.searchRerank]] — ADC shortlist
+        // over the probed lists -> ids-only broadcast fetch of the R
+        // raw vectors -> exact L2 top-5. The corpus is scored only by
+        // its 16-byte codes; exactly |probes|·R raw vectors are ever
+        // touched, and the raw corpus never shuffles (PlanSpec-pinned).
+        // StreamingSpec pins the same operator over StreamingIvf's
+        // generation tree (batch/stream parity).
+        val e = T.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val probes = e.where(col("vec_id") < 10)
+        val cents = Ivf.centroids(e, "vec_id", "v", stride = 16)
+          .localCheckpoint(true)
+        val asg = Ivf.assign(e, "vec_id", "v", cents, id = "rid")
+          .localCheckpoint(true)
+        val res = Pq.residualFrame(e, "vec_id", "v", asg, cents, "rid")
+          .localCheckpoint(true)
+        val books = Pq.codebooks(res, "rid", "__res",
+            m = 16, dims = 64, stride = 32, maxCodes = 16)
+          .localCheckpoint(true)
+        val enc = Pq.encode(res, "rid", "__res", books, 16, 64)
+          .select(col("id"), col("subspace"), col("code"))
+          .join(asg.withColumnRenamed("rid", "id"), Seq("id"))
+        Pq.searchRerank(enc, probes, "vec_id", "v", cents, books,
+            m = 16, dims = 64, nprobe = 8, r = 50, k = 5)(
+            e.select(col("vec_id").as("neighbor_id"), col("v").as("__cv")))
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      // Deterministic (integer ADC shortlist, per-row in-order IEEE L2
+      // floored to fixed-point, unique tiebreaks — verified bit-identical
+      // at local[5] and local[16]): pinned literal oracle at the gate's
+      // sf0.01 corpus under the PinnedCorpus fingerprint guard.
+      Some(IvfPqRerankOpOracleSql),
+      "IVFADC + exact re-rank as the production OPERATOR " +
+        "(Pq.searchRerank): per probe the nprobe=8 nearest lists' codes " +
+        "are ADC-ranked, the top R=50 ids fetch their raw vectors by " +
+        "broadcast equi-join (corpus never shuffles, never exactly " +
+        "scored beyond 50 rows/probe), exact L2 re-ranks to top-5; " +
+        "works unchanged over the one-shot index layout and " +
+        "StreamingIvf's generation tree"))
 
   /** q141/q142/q144: the ONE distributed corpus-sized stage of the eigen
     * family — GramMatrix's map-side-combined d×d reduction, unpacked to
@@ -3918,6 +3956,27 @@ object MiningQueries {
              CAST((sum(CASE WHEN xent > 322000 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS flag_ppm
       FROM xd GROUP BY lang ORDER BY lang"""
 
+  /** q166's audit-scored frame: every ADC-scored candidate joined to its
+    * list rank, raw vector, and probe vector, with the exact L2 attached.
+    * JOIN SIDES ARE THE SCALE CONTRACT (PlanSpec-pinned): `adcAll` is
+    * corpus-proportional (~½·|corpus|·|probes| candidate rows) and `asg`/
+    * `cc` are corpus-sized — all three stay on the shuffle/stream side;
+    * only the genuinely model-sized frames broadcast (`listsRanked` =
+    * |probes|·32 rows, `pp` = |probes| rows). A broadcast hint on the
+    * candidate side would be a driver/executor memory bomb at 100×.
+    */
+  private[graft] def rerankScoredFrame(adcAll: DataFrame, asgN: DataFrame,
+      listsRanked: DataFrame, cc: DataFrame, pp: DataFrame): DataFrame =
+    adcAll
+      .join(asgN, Seq("neighbor_id"))
+      .join(broadcast(listsRanked), Seq("probe_id", "centroid_id"))
+      .join(cc, Seq("neighbor_id")) // id->vector fetch, corpus never shuffles
+      .join(broadcast(pp), Seq("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"), col("adist_fp"), col("__lrank"),
+        (Similarity.dot(col("__cv"), col("__cv"))
+          - lit(2.0) * Similarity.dot(col("__cv"), col("__pv"))
+          + Similarity.dot(col("__pv"), col("__pv"))).as("__d2"))
+
   /** Pinned literal oracle of q164 (computed once at the gate's sf0.01
     * corpus by the recall-audited implementation, verified bit-identical
     * at local[5]/local[16]; stale-pin protection: PinnedCorpus guard).
@@ -3986,6 +4045,70 @@ object MiningQueries {
          (16,16,32,10,50,22,440000,1000000),
          (16,16,32,50,50,39,780000,1000000),
          (16,16,32,100,50,48,960000,1000000)"""
+
+  /** Pinned literal oracle of q170 (computed once at the gate's sf0.01
+    * corpus, verified bit-identical at local[5]/local[16]; stale-pin
+    * protection: PinnedCorpus guard).
+    */
+  private lazy val IvfPqRerankOpOracleSql: String =
+    s"""SELECT CAST(c1 AS BIGINT) AS probe_id, CAST(c2 AS INTEGER) AS rank,
+              CAST(c3 AS BIGINT) AS neighbor_id, CAST(c4 AS BIGINT) AS adist_fp,
+              CAST(c5 AS BIGINT) AS d2_fp
+       FROM (VALUES
+         $IvfPqRerankOpPinnedRows) t(c1, c2, c3, c4, c5)
+       ORDER BY probe_id, rank"""
+
+  private lazy val IvfPqRerankOpPinnedRows: String =
+    """(0,1,365,892196,1321219),
+         (0,2,334,1105262,1336468),
+         (0,3,387,1139288,1402703),
+         (0,4,423,1083076,1474437),
+         (0,5,7,1080666,1483017),
+         (1,1,386,886232,1318092),
+         (1,2,195,1103473,1420307),
+         (1,3,64,1433669,1433667),
+         (1,4,124,1267890,1462238),
+         (1,5,402,1251746,1484108),
+         (2,1,418,1325463,1564413),
+         (2,2,112,1472365,1582697),
+         (2,3,350,1398534,1593691),
+         (2,4,197,1447405,1608202),
+         (2,5,440,1427874,1611935),
+         (3,1,130,1220628,1258558),
+         (3,2,149,1205512,1405230),
+         (3,3,343,1294995,1450240),
+         (3,4,174,1268401,1460565),
+         (3,5,192,1487293,1487294),
+         (4,1,114,1066485,1261410),
+         (4,2,496,1230741,1381579),
+         (4,3,408,1422131,1420289),
+         (4,4,482,1312442,1438862),
+         (4,5,280,1273110,1510314),
+         (5,1,404,1162859,1408441),
+         (5,2,33,1275613,1444965),
+         (5,3,395,1320438,1519179),
+         (5,4,464,1505420,1529071),
+         (5,5,487,1427188,1545510),
+         (6,1,430,1294846,1420777),
+         (6,2,268,1583451,1552014),
+         (6,3,252,1235853,1561057),
+         (6,4,403,1449237,1610667),
+         (6,5,271,1335135,1612525),
+         (7,1,340,1182232,1063747),
+         (7,2,425,1230755,1242520),
+         (7,3,334,1116135,1348675),
+         (7,4,445,1476966,1382479),
+         (7,5,221,1192612,1416252),
+         (8,1,138,1200935,1349158),
+         (8,2,447,1242458,1508394),
+         (8,3,326,1485787,1538820),
+         (8,4,161,1518217,1556382),
+         (8,5,314,1439496,1560694),
+         (9,1,49,995841,1289390),
+         (9,2,256,1500567,1500565),
+         (9,3,198,1256920,1554669),
+         (9,4,259,1505114,1569751),
+         (9,5,319,1332606,1589844)"""
 
   /** The q162 survivor pipeline as a reusable CTE block (through
     * `fin`, the post-waterfall surviving documents WITH their source) —

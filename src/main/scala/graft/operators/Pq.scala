@@ -243,4 +243,86 @@ object Pq {
       .where(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("neighbor_id"), col("adist_fp"))
   }
+
+  /** IVFADC + exact re-rank — the production two-tier deployment shape
+    * (q166's audit promoted to an operator): the compressed ADC rank is
+    * only a SHORTLIST generator. Per probe, rank the `nprobe` nearest
+    * coarse lists, ADC-score only those lists' codes ([[
+    * searchTopKResidual]]), keep the top `r`, fetch ONLY those r raw
+    * vectors BY ID from `rawIndex`, and re-rank them with exact L2 to
+    * the final top `k`.
+    *
+    * `rawIndex` (by-name — constructed after the shortlist exists) is
+    * any (neighbor_id, __cv) frame: [[Ivf.writeIndex]]'s assign tree or
+    * [[graft.streaming.StreamingIvf]]'s committed generation view —
+    * extra columns (centroid_id, batch) are ignored.
+    *
+    * Output: (probe_id, rank, neighbor_id, adist_fp, d2_fp) — rank by
+    * exact L2 (ties → smaller neighbor_id), `adist_fp` the shortlist's
+    * compressed distance, `d2_fp` = floor(exact_d2 · 2^20) (per-row
+    * in-order IEEE then floor — deterministic under any partitioning).
+    *
+    * 100 TB shape: the corpus never shuffles and is never scored
+    * exactly beyond |probes|·r rows — the shortlist (|probes|·r ids) is
+    * localCheckpointed and BROADCAST against the raw index, so the
+    * fetch is a map-side hash-join over a partition/column-pruned scan;
+    * the 8-16 byte codes do all corpus-scale scoring. Recall is bounded
+    * by the IVF ceiling (true neighbors outside probed lists): raise
+    * `nprobe` for ceiling, `r` for ADC-ordering error — q166's sweep
+    * is the sizing table.
+    */
+  def searchRerank(
+      enc: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: DataFrame,
+      books: DataFrame,
+      m: Int,
+      dims: Int,
+      nprobe: Int,
+      r: Int,
+      k: Int)(rawIndex: => DataFrame): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    require(r >= k && k >= 1, s"need r >= k >= 1, got r=$r k=$k")
+    // probe -> nprobe closest coarse lists (cosine over the broadcast
+    // centroid table — identical list selection to Ivf.topKPruned, so a
+    // deployment can flip between flat and re-rank tiers cell-for-cell)
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"),
+        sqrt(VecExprs.dot(col(vecCol), col(vecCol))).as("__pn"))
+      .where(col("__pn") > 0)
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("__ccos").desc, col("centroid_id").asc)
+    val probeLists = p.join(broadcast(cents))
+      .select(col("probe_id"),
+        (VecExprs.dot(col("__pv"), col("__kv")) / (col("__pn") * col("__kn"))).as("__ccos"),
+        col("centroid_id"))
+      .withColumn("__cr", row_number().over(cw))
+      .where(col("__cr") <= nprobe)
+      .select(col("probe_id"), col("centroid_id"))
+      .localCheckpoint(true)
+    // ADC shortlist: |probes|·r rows — materialized once (it drives the
+    // raw fetch AND appears in the output), lineage cut so it joins the
+    // corpus as a broadcastable LEAF, not a re-executed ADC plan
+    val shortlist = searchTopKResidual(enc, probes, idCol, vecCol,
+        cents, books, m, dims, k = r, probeLists = Some(probeLists))
+      .select(col("probe_id"), col("neighbor_id"), col("adist_fp"))
+      .localCheckpoint(true)
+    // ids-only fetch: shortlist broadcasts; the corpus-scale raw index
+    // streams map-side and never shuffles
+    val fetched = rawIndex.select(col("neighbor_id"), col("__cv"))
+      .join(broadcast(shortlist), Seq("neighbor_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("__d2").asc, col("neighbor_id").asc)
+    fetched
+      .join(broadcast(p.select(col("probe_id"), col("__pv"))), Seq("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"), col("adist_fp"),
+        (VecExprs.dot(col("__cv"), col("__cv"))
+          - lit(2.0) * VecExprs.dot(col("__cv"), col("__pv"))
+          + VecExprs.dot(col("__pv"), col("__pv"))).as("__d2"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("adist_fp"),
+        floor(col("__d2") * lit(1048576.0)).cast("long").as("d2_fp"))
+  }
 }

@@ -332,31 +332,42 @@ object StreamingIvf {
     // first commit a query can still see the old incarnation's
     // committed rows — the same window every BatchIndex consumer has,
     // disclosed here rather than hidden.
+    Ivf.topKPruned(probes, idCol, vecCol, cents, k, nprobe)(
+      committedIndex(spark, path))
+  }
+
+  /** The committed index of the current generation as one frame —
+    * (neighbor_id, centroid_id, __cv) across every active consolidated
+    * run plus every committed batch directory: the raw-fetch side for
+    * [[graft.operators.Pq.searchRerank]] (the streamed twin of
+    * [[Ivf.writeIndex]]'s assign tree) and the scan [[topK]] prunes.
+    *
+    * basePath keeps `batch` and `centroid_id` as discovered partition
+    * columns over the explicit committed-dir list, so a centroid
+    * equality/In filter prunes at PartitionFilters level across every
+    * committed batch directory AND the consolidated runs (themselves
+    * centroid-partitioned). ignoreMissingFiles covers the concurrency
+    * window disclosed on [[topK]]: a listed file deleted by a
+    * concurrent retry/purge before execution is skipped instead of
+    * failing the scan. Compaction cleanup is DEFERRED one round
+    * ([[BatchIndex.compact]]'s grace period), so a scan racing a
+    * compaction still finds every directory it listed — the
+    * missing-file tolerance is for retry overwrites, not a license for
+    * cleanup to pull files out from under a running query.
+    */
+  def committedIndex(spark: SparkSession, path: String): DataFrame = {
+    val root = genRoot(spark, path)
     val (runDirs, dirs) = committedView(spark, s"$root/assign")
     require(runDirs.nonEmpty || dirs.nonEmpty,
       s"no committed index state under $root/assign")
-    Ivf.topKPruned(probes, idCol, vecCol, cents, k, nprobe)({
-      // basePath keeps `batch` and `centroid_id` as discovered partition
-      // columns over the explicit committed-dir list; the centroid
-      // filter (applied inside topKPruned) prunes at PartitionFilters
-      // level across every committed batch directory AND the
-      // consolidated runs (themselves centroid-partitioned).
-      // ignoreMissingFiles covers window (a) above: a listed file
-      // deleted by a concurrent retry/purge before execution is skipped
-      // instead of failing the scan. Compaction cleanup is DEFERRED one
-      // round ([[BatchIndex.compact]]'s grace period), so a scan racing
-      // a compaction still finds every directory it listed — the
-      // missing-file tolerance is for retry overwrites, not a license
-      // for cleanup to pull files out from under a running query.
-      val parts =
-        runDirs.map(d => spark.read
-          .option("ignoreMissingFiles", "true").parquet(d)) ++
-        (if (dirs.nonEmpty)
-          Seq(spark.read.option("basePath", s"$root/assign")
-            .option("ignoreMissingFiles", "true")
-            .parquet(dirs: _*).drop("batch"))
-         else Nil)
-      parts.reduce(_ unionByName _)
-    })
+    val parts =
+      runDirs.map(d => spark.read
+        .option("ignoreMissingFiles", "true").parquet(d)) ++
+      (if (dirs.nonEmpty)
+        Seq(spark.read.option("basePath", s"$root/assign")
+          .option("ignoreMissingFiles", "true")
+          .parquet(dirs: _*).drop("batch"))
+       else Nil)
+    parts.reduce(_ unionByName _)
   }
 }

@@ -472,6 +472,52 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q166 rerankScoredFrame: corpus-derived sides stay on the shuffle side — only model-sized frames broadcast") {
+    // round-10 finding: broadcast(adcAll) was corpus-proportional
+    // (~half the corpus x |probes| candidate rows) — a driver/executor
+    // memory bomb at 100x. The production shape pins here: with the
+    // auto-broadcast threshold off, EXACTLY the two hinted model-sized
+    // frames (listsRanked: |probes|*32; pp: |probes|) broadcast, and
+    // the corpus-scale frames (adcAll, asg, cc) join as shuffles
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val adcAll = spark.range(0, 1000).select(pmod(col("id"), lit(10L)).as("probe_id"),
+        col("id").as("neighbor_id"), (col("id") * 3).as("adist_fp"))
+      val asgN = spark.range(0, 1000).select(col("id").as("neighbor_id"),
+        pmod(col("id"), lit(8L)).as("centroid_id"))
+      val listsRanked = spark.range(0, 80).select((col("id") / 8).cast("long").as("probe_id"),
+        pmod(col("id"), lit(8L)).as("centroid_id"), lit(1).as("__lrank"))
+      val cc = spark.range(0, 1000).select(col("id").as("neighbor_id"),
+        array(lit(1.0), lit(2.0)).as("__cv"))
+      val pp = spark.range(0, 10).select(col("id").as("probe_id"),
+        array(lit(0.5), lit(0.25)).as("__pv"))
+      val plan = MiningQueries.rerankScoredFrame(adcAll, asgN, listsRanked, cc, pp)
+        .queryExecution.executedPlan.toString
+      val nBroadcast = plan.split("BroadcastExchange", -1).length - 1
+      assert(nBroadcast === 2, s"expected exactly the 2 hinted broadcasts, got $nBroadcast:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+      // the corpus-scale joins shuffle (scale out), they do not collect
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q170 searchRerank: ids-only fetch — the corpus joins only as the stream side of broadcast hash joins") {
+    // the operator's 100 TB contract: the raw corpus is never shuffled
+    // and never broadcast — the |probes|*R shortlist and the probe
+    // vectors are the only build sides; the sole hash exchange in the
+    // final plan is the probe_id window over the fetched (shortlisted)
+    // rows
+    val q = SparkEntry.queries("q170_ivfpq_rerank_op")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus-side shuffle join in the re-rank fetch:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(neighbor_id"),
+      s"corpus-key shuffle in the re-rank fetch:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("GLOBAL GUARD: no nested-loop or cartesian join in ANY registry query plan") {
     // every registry plan must be cluster-safe; the only tolerated
     // nested loops are the documented k-vs-n broadcast scorings where

@@ -1555,6 +1555,52 @@ class StreamingSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("Pq.searchRerank over StreamingIvf's generation tree == over the one-shot raw frame (batch/stream parity)") {
+    // the operator contract q170 pins batch-side: the raw-fetch side is
+    // pluggable — the streamed committed index (runs + batch dirs,
+    // centroid-partitioned) must yield bit-identical re-ranked results
+    // to the plain in-memory corpus frame
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("graft_sivf_rr").toString
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    graft.streaming.StreamingIvf.staticCentroids(e, "vec_id", "v", path, stride = 16, refine = 0)
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamingIvf.run(
+        input.toDS().toDF("vec_id", "v"), "vec_id", "v", path) { (_, _) => () }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_sivf_rr_ckpt").toString)
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    val rows = e.as[(Long, Seq[Double])].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      // fold half the tree so the parity covers runs AND batch dirs
+      graft.streaming.StreamingIvf.compact(spark, path, tiered = true)
+    } finally q.stop()
+
+    // shared PQ artifacts under the SAME static quantizer
+    val cents = spark.read.parquet(s"$path/centroids").localCheckpoint(true)
+    val probes = e.where(col("vec_id") < 10)
+    val asg = operators.Ivf.assign(e, "vec_id", "v", cents, id = "rid").localCheckpoint(true)
+    val res = operators.Pq.residualFrame(e, "vec_id", "v", asg, cents, "rid").localCheckpoint(true)
+    val books = operators.Pq.codebooks(res, "rid", "__res",
+      m = 8, dims = 64, stride = 32, maxCodes = 16).localCheckpoint(true)
+    val enc = operators.Pq.encode(res, "rid", "__res", books, 8, 64)
+      .select(col("id"), col("subspace"), col("code"))
+      .join(asg.withColumnRenamed("rid", "id"), Seq("id"))
+      .localCheckpoint(true)
+    def rerank(raw: => org.apache.spark.sql.DataFrame) =
+      operators.Pq.searchRerank(enc, probes, "vec_id", "v", cents, books,
+          m = 8, dims = 64, nprobe = 4, r = 20, k = 5)(raw)
+        .as[(Long, Int, Long, Long, Long)].collect().toSet
+    val batchSide = rerank(e.select(col("vec_id").as("neighbor_id"), col("v").as("__cv")))
+    val streamSide = rerank(graft.streaming.StreamingIvf.committedIndex(spark, path))
+    assert(batchSide.nonEmpty)
+    assert(streamSide === batchSide)
+  }
+
   test("StreamingPhashDedup: media batches screen against the accepted fingerprint index") {
     implicit val sqlCtx = spark.sqlContext
     val idx = java.nio.file.Files.createTempDirectory("graft_pdedup").toString + "/index"
