@@ -3563,6 +3563,12 @@ object MiningQueries {
         // ---- THE WRITE: curriculum order within 16 hash shards (q127's
         // layout device) — the artifact a training run reads
         val outPath = new java.io.File("target/q169_dataset").getAbsolutePath
+        // commit contract (the BatchIndex marker protocol on a one-shot
+        // artifact): begin() invalidates the previous build before the
+        // non-atomic overwrites start; commit() marks the pair complete
+        // only after BOTH directories landed — a crashed build leaves a
+        // marker-less root that AtomicDataset.read refuses loudly
+        graft.sinks.AtomicDataset.begin(s, outPath)
         // sort by (out_shard, position): the dynamic-partition writer
         // requires a partition-column sort and would otherwise inject
         // its own (stability-unspecified) re-sort on top — leading with
@@ -3615,7 +3621,8 @@ object MiningQueries {
         // the manifest artifact IS the returned result: write it beside
         // the data, return the read-back (deterministic, tiny)
         audit.coalesce(1).write.mode("overwrite").parquet(s"$outPath/manifest")
-        s.read.parquet(s"$outPath/manifest").orderBy(col("source"))
+        graft.sinks.AtomicDataset.commit(s, outPath)
+        graft.sinks.AtomicDataset.read(s, outPath, "manifest").orderBy(col("source"))
       },
       Some(DatasetBuildOracleSql),
       "dataset-build flagship (the write-side last mile): q162 curation " +

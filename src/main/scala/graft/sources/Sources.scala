@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Sources: in-memory fixtures, datagen (bounded + rate-throttled), and
   * the PROCTIME ingest column.
@@ -147,6 +147,37 @@ object Sources {
       startingOffsets: String = "earliest",
       extra: Map[String, String] = Map.empty): DataFrame =
     descriptor(spark, "kafka", kafkaOptions(bootstrapServers, topics, startingOffsets, extra))
+
+  /** The kafka connector's FIXED output schema (Spark pins it; every
+    * consumer transform starts from these seven columns). Exposed so a
+    * broker-less test can stand in a MemoryStream with exactly this
+    * shape and exercise the consumer-side plumbing end-to-end — the
+    * schema contract is what the sandbox cannot otherwise reach.
+    */
+  val KafkaWireSchema: StructType = StructType(Seq(
+    StructField("key", org.apache.spark.sql.types.BinaryType),
+    StructField("value", org.apache.spark.sql.types.BinaryType),
+    StructField("topic", org.apache.spark.sql.types.StringType),
+    StructField("partition", org.apache.spark.sql.types.IntegerType),
+    StructField("offset", org.apache.spark.sql.types.LongType),
+    StructField("timestamp", org.apache.spark.sql.types.TimestampType),
+    StructField("timestampType", org.apache.spark.sql.types.IntegerType)))
+
+  /** The first transform every kafka consumer applies: decode the wire
+    * frame's binary key/value to strings beside the record coordinates.
+    * Validates the input against [[KafkaWireSchema]]'s columns, so a
+    * drifted stand-in (or a connector upgrade changing the contract)
+    * fails loudly here instead of downstream. Works identically over
+    * the real connector's output and a MemoryStream stand-in.
+    */
+  def kafkaDecode(df: DataFrame): DataFrame = {
+    val missing = KafkaWireSchema.fieldNames.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"not a kafka wire frame — missing columns: ${missing.mkString(", ")}")
+    df.select(col("topic"), col("partition"), col("offset"), col("timestamp"),
+      col("key").cast("string").as("key_str"),
+      col("value").cast("string").as("value_str"))
+  }
 
   /** §2.8: PROCTIME() ingest column — micro-batch processing time.
     * `current_timestamp()` is evaluated per batch (constant-folded at

@@ -210,11 +210,18 @@ object CurationGate {
         val batchIdx = MinHash.corpusIndex(filtered, idCol, textCol, cfg.ngram, cfg.k, cfg.seed)
           .persist(StorageLevel.MEMORY_AND_DISK)
         try {
+          // the stored signature tree is read only for its (__id, __sh)
+          // columns (exact verify of banded candidates); the banding
+          // probe runs against the PRECOMPUTED, bucket-partitioned band
+          // tree — no re-banding of history, and the scan prunes to the
+          // partitions this batch touches (DedupStage's scaladoc)
           val accepted = BatchIndex.read(spark, indexPath, batchIdx, beforeBatch = batchId)
+          val acceptedBands = DedupStage.readBands(spark, indexPath,
+            DedupStage.bandRows(batchIdx, cfg.b, cfg.r), beforeBatch = batchId)
           // accepted-first rule — the [[DedupStage]] protocol shared
           // with StreamingDedup (drop set localCheckpointed inside)
           val dupOfAccepted = DedupStage.dupOfAccepted(
-            batchIdx, accepted, cfg.b, cfg.r, cfg.num, cfg.den)
+            batchIdx, acceptedBands, accepted, cfg.b, cfg.r, cfg.num, cfg.den)
           val fresh = batchIdx.join(dupOfAccepted, Seq("__id"), "left_anti")
           // within-batch: cluster verified pairs, keep the longest text
           // per cluster (ties -> smallest id) — q162's policy
@@ -239,6 +246,9 @@ object CurationGate {
             .select(col("__id"), col("__sh"), col("__sig"))
             .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
           BatchIndex.purgeBeyond(spark, indexPath, batchId)
+          // band the just-written batch into the band tree (batch-sized,
+          // retry-idempotent like the signature write it mirrors)
+          DedupStage.commitBands(spark, indexPath, batchId, cfg.b, cfg.r, batchIdx)
           val dropIds = dupOfAccepted.unionByName(innerDrop).select(col("__id").as(idCol))
           val survivors = graft.Engine.truncate(
             filtered.join(dropIds, Seq(idCol), "left_anti"))
@@ -273,6 +283,8 @@ object CurationGate {
   def compact(spark: SparkSession, indexPath: String, manifestPath: String,
       upTo: Option[Long] = None, tiered: Boolean = false): Unit = {
     BatchIndex.compact(spark, indexPath, upTo = upTo, tiered = tiered)
+    BatchIndex.compact(spark, DedupStage.bandsPath(indexPath),
+      partitionCols = Seq("__bp"), upTo = upTo, tiered = tiered)
     BatchIndex.compact(spark, manifestPath, schema = Some(ManifestSchema),
       upTo = upTo, tiered = tiered)
     ()

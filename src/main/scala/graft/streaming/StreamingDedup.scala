@@ -71,11 +71,17 @@ object StreamingDedup {
       val batchIdx = MinHash.corpusIndex(batch, idCol, textCol, ngram, k, seed)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
+        // signature tree read only for (__id, __sh) (exact verify); the
+        // banding probe runs against the precomputed bucket-partitioned
+        // band tree, pruned to the batch's touched partitions
         val accepted = readIndex(spark, indexPath, batchIdx, beforeBatch = batchId)
+        val acceptedBands = DedupStage.readBands(spark, indexPath,
+          DedupStage.bandRows(batchIdx, b, r), beforeBatch = batchId)
         // 1. accepted-first rule — the [[DedupStage]] protocol shared
         // with CurationGate: any batch doc near-dup of an accepted doc
         // drops (drop set localCheckpointed inside, computed once)
-        val dupOfAccepted = DedupStage.dupOfAccepted(batchIdx, accepted, b, r, num, den)
+        val dupOfAccepted = DedupStage.dupOfAccepted(
+          batchIdx, acceptedBands, accepted, b, r, num, den)
         val fresh = batchIdx.join(dupOfAccepted, Seq("__id"), "left_anti")
 
         // 2. within-batch: keep the lowest id of each near-dup cluster
@@ -94,6 +100,9 @@ object StreamingDedup {
           .select(col("__id"), col("__sh"), col("__sig"))
           .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
         purgeBeyond(spark, indexPath, batchId)
+        // band the just-written batch into the band tree (batch-sized,
+        // retry-idempotent like the signature write it mirrors)
+        DedupStage.commitBands(spark, indexPath, batchId, b, r, batchIdx)
         val dropIds = dupOfAccepted.unionByName(innerDrop).select(col("__id").as(idCol))
         onSurvivors(batch.join(dropIds, Seq(idCol), "left_anti"), batchId)
       } finally { batchIdx.unpersist(); () }
@@ -109,9 +118,17 @@ object StreamingDedup {
     * of this index layout ([[CurationGate]] shares it). Call before
     * the stream starts, on an empty tree.
     */
-  def seedIndex(index: DataFrame, indexPath: String): Unit = {
+  def seedIndex(index: DataFrame, indexPath: String, b: Int = 32, r: Int = 4): Unit = {
+    val spark = index.sparkSession
     index.write.mode("overwrite").parquet(s"$indexPath/compacted=-1")
-    BatchIndex.touchCommit(index.sparkSession, s"$indexPath/compacted=-1")
+    BatchIndex.touchCommit(spark, s"$indexPath/compacted=-1")
+    // the seed's band rows, bucket-partitioned like every batch's —
+    // b and r MUST match the gate the tree feeds ([[run]]'s / a
+    // [[CurationGate.Config]]'s values), or banding verdicts diverge
+    val bdir = s"${DedupStage.bandsPath(indexPath)}/compacted=-1"
+    DedupStage.bandRows(spark.read.parquet(s"$indexPath/compacted=-1"), b, r)
+      .write.mode("overwrite").partitionBy("__bp").parquet(bdir)
+    BatchIndex.touchCommit(spark, bdir)
   }
 
   /** Fold historical batch directories into one consolidated
@@ -122,8 +139,11 @@ object StreamingDedup {
     * written. Safe beside live ingest with the default `upTo`.
     */
   def compact(spark: SparkSession, indexPath: String,
-      upTo: Option[Long] = None, tiered: Boolean = false): Option[Long] =
+      upTo: Option[Long] = None, tiered: Boolean = false): Option[Long] = {
+    BatchIndex.compact(spark, DedupStage.bandsPath(indexPath),
+      partitionCols = Seq("__bp"), upTo = upTo, tiered = tiered)
     BatchIndex.compact(spark, indexPath, upTo = upTo, tiered = tiered)
+  }
 
   // index layout shared with StreamingPhashDedup — see [[BatchIndex]]
   private def purgeBeyond(spark: SparkSession, indexPath: String, batchId: Long): Unit =

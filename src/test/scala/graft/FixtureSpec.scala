@@ -345,4 +345,37 @@ class FixtureSpec extends SparkSpec {
     val manifest = spark.read.parquet(s"$outPath/manifest")
     assert(manifest.collect().map(_.toSeq).toSet === rows.map(_.toSeq).toSet)
   }
+
+  test("AtomicDataset commit contract: torn builds are refused, completed builds read back (q169's write path)") {
+    // the crash-window twin of StreamingSpec's unmarked-husk pins, on
+    // the one-shot artifact: a build that died between begin() and
+    // commit() must be detectable — read() refuses it loudly instead of
+    // serving a half-overwritten tree
+    import graft.sinks.AtomicDataset
+    val root = java.nio.file.Files.createTempDirectory("graft_atomic").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+
+    // crash window 1: died mid-build (data written, manifest + marker
+    // missing) — refused
+    AtomicDataset.begin(spark, root)
+    df.write.mode("overwrite").parquet(s"$root/data")
+    intercept[IllegalStateException] { AtomicDataset.read(spark, root, "data") }
+
+    // completed build reads back
+    df.groupBy(col("v")).count().write.mode("overwrite").parquet(s"$root/manifest")
+    AtomicDataset.commit(spark, root)
+    assert(AtomicDataset.read(spark, root, "data").count() === 2L)
+    assert(AtomicDataset.read(spark, root, "manifest").count() === 2L)
+
+    // crash window 2: a REBUILD died after begin() (previous files
+    // intact on disk, but the overwrite may have started anywhere) —
+    // the previous marker is gone, so the stale-looking tree is refused
+    // too; only a completed retry is served again
+    AtomicDataset.begin(spark, root)
+    intercept[IllegalStateException] { AtomicDataset.read(spark, root, "manifest") }
+    df.write.mode("overwrite").parquet(s"$root/data")
+    df.groupBy(col("v")).count().write.mode("overwrite").parquet(s"$root/manifest")
+    AtomicDataset.commit(spark, root)
+    assert(AtomicDataset.read(spark, root, "manifest").count() === 2L)
+  }
 }

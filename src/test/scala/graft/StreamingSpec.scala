@@ -1555,6 +1555,41 @@ class StreamingSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("dedup band index: stored bands partition-prune on touched buckets; verdicts match in-line banding") {
+    // the CurationGate history term (round-10 BENCH_scale): banding the
+    // FULL accepted corpus every micro-batch. The stored band tree must
+    // (a) prune its scan to the batch's touched __bp partitions at
+    // PartitionFilters level, and (b) yield the same drop verdicts as
+    // re-banding history in-line (bands are a deterministic function of
+    // the signature)
+    val idx = java.nio.file.Files.createTempDirectory("graft_bands").toString
+    val seedDocs = Seq((1L, curW30), (3L, curU30)).toDF("doc_id", "text")
+    val seedIdx = graft.operators.MinHash.corpusIndex(seedDocs, "doc_id", "text")
+    graft.streaming.StreamingDedup.seedIndex(seedIdx, idx)
+    val batchIdx = graft.operators.MinHash.corpusIndex(
+      Seq((10L, curW31), (12L, curFresh)).toDF("doc_id", "text"), "doc_id", "text")
+    val template = graft.streaming.DedupStage.bandRows(batchIdx, 32, 4)
+    val bands = graft.streaming.DedupStage.readBands(spark, idx, template, beforeBatch = 0L)
+    // (a) an isin filter on the partition column reaches PartitionFilters
+    // (the exact predicate dupOfAccepted pushes after its driver-side
+    // touched-partition collect)
+    val prunedPlan = bands.where(col("__bp").isin(3L, 7L))
+      .queryExecution.executedPlan.toString
+    assert(prunedPlan.contains("PartitionFilters: [__bp"),
+      prunedPlan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    // (b) verdicts: 10 near-dups seeded doc 1 and must drop; 12 is fresh
+    val drops = graft.streaming.DedupStage.dupOfAccepted(
+        batchIdx, bands, seedIdx, b = 32, r = 4, num = 8, den = 10)
+      .as[Long].collect().toSet
+    assert(drops === Set(10L))
+    // and the in-line-banding twin agrees bit-for-bit
+    val inline = graft.streaming.DedupStage.dupOfAccepted(
+        batchIdx, graft.streaming.DedupStage.bandRows(seedIdx, 32, 4), seedIdx,
+        b = 32, r = 4, num = 8, den = 10)
+      .as[Long].collect().toSet
+    assert(inline === drops)
+  }
+
   test("Pq.searchRerank over StreamingIvf's generation tree == over the one-shot raw frame (batch/stream parity)") {
     // the operator contract q170 pins batch-side: the raw-fetch side is
     // pluggable — the streamed committed index (runs + batch dirs,
@@ -1719,6 +1754,46 @@ class StreamingSpec extends SparkSpec {
       // (proves the descriptor path is live, not a stub)
       intercept[Exception] { graft.sources.Sources.kafka(spark, "broker:9092", "events") }
     }
+  }
+
+  test("kafka consumer path end-to-end over a wire-schema stand-in (no broker needed)") {
+    // the part of S5 the sandbox CAN exercise: a MemoryStream emitting
+    // exactly the connector's seven-column wire frame drives the full
+    // consumer pipeline (decode -> KeepLatest -> sink) — so the schema
+    // contract and every downstream transform are tested, and only the
+    // broker handshake remains classpath-gated
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Array[Byte], Array[Byte], String, Int, Long, java.sql.Timestamp, Int)]
+    val wire = input.toDS()
+      .toDF("key", "value", "topic", "partition", "offset", "timestamp", "timestampType")
+    // the stand-in really is the connector's shape (name+type, in order)
+    assert(wire.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      graft.sources.Sources.KafkaWireSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+    // a frame MISSING wire columns is refused by the decode (loud drift)
+    intercept[IllegalArgumentException] {
+      graft.sources.Sources.kafkaDecode(wire.drop("offset"))
+    }
+    val decoded = graft.sources.Sources.kafkaDecode(wire)
+    val latest = KeepLatest[String, (String, Long)](
+      decoded.select(col("key_str"), col("offset")).as[(String, Long)],
+      _._1, (a, b) => a._2 > b._2)
+      .toDF("iso", "v")
+    val q = latest.writeStream.format("memory").queryName("kafka_standin")
+      .outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_kafka_ckpt").toString)
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    def rec(k: String, v: String, off: Long) =
+      (k.getBytes("UTF-8"), v.getBytes("UTF-8"), "events", 0, off,
+        new java.sql.Timestamp(1700000000000L + off), 0)
+    try {
+      input.addData(rec("ES", "madrid", 0L), rec("ES", "MADRID", 1L), rec("CA", "ottawa", 2L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("kafka_standin")
+      .groupBy(col("iso")).agg(max(col("v")).as("v"))
+      .as[(String, Long)].collect().toSet
+    assert(got === Set(("ES", 1L), ("CA", 2L)))
   }
 
   // ----------------------------------------- K2/K3 console sink streams
