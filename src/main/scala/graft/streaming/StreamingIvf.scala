@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
-import graft.operators.Ivf
+import graft.operators.{Ivf, Pq}
 
 /** Incremental ANN index maintenance — the embedding analogue of
   * [[StreamingDedup]]: a stream of (id, vector) rows is continuously
@@ -87,6 +87,80 @@ object StreamingIvf {
     Ivf.centroids(bootstrap, idCol, vecCol, stride, refine, maxK)
       .write.mode("overwrite").parquet(s"$path/centroids")
 
+  /** Train static per-subspace PQ codebooks on the bootstrap slice's
+    * RESIDUALS under the already-materialized static centroids and write
+    * them at `<path>/books` — after this call every ingested batch ALSO
+    * stores its m PQ codes as an m-length `__codes` array column on the
+    * same assign rows. One tree, zero extra directories: compaction,
+    * generation rebuilds, and the centroid-partition prune all cover the
+    * codes for free, and Parquet column pruning keeps a code scan from
+    * ever touching the raw `__cv` floats. That is the point at corpus
+    * scale: [[graft.operators.Pq.searchRerank]]'s ADC stage reads
+    * (id, centroid_id, __codes) — 8-16 bytes of codes per vector — off
+    * [[committedEnc]], and only the per-probe top-R shortlist's raw
+    * vectors are ever fetched (via [[committedIndex]]).
+    *
+    * Static-model contract, same as [[staticCentroids]] /
+    * [[CurationGate.staticLm]]: books are trained ONCE per generation,
+    * so per-batch codes are bit-identical to a one-shot encode over the
+    * union (pinned in StreamingSpec) and a streamed index equals the
+    * batch index row-for-row. Call AFTER [[staticCentroids]] and BEFORE
+    * the first ingest/seed — a tree whose existing batches lack
+    * `__codes` cannot retrofit them in-band (the schemas would diverge);
+    * adding PQ to a live tree is a [[rebuild]] (which re-trains books on
+    * the accumulated corpus and re-encodes everything).
+    */
+  def staticPq(
+      bootstrap: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      m: Int,
+      dims: Int,
+      stride: Int = 16,
+      maxCodes: Int = 16,
+      refineRounds: Int = 0): Unit = {
+    val spark = bootstrap.sparkSession
+    val root = genRoot(spark, path)
+    val cents = spark.read.parquet(s"$root/centroids")
+    val asg = Ivf.assign(bootstrap, idCol, vecCol, cents, id = "rid")
+    val res = Pq.residualFrame(bootstrap, idCol, vecCol, asg, cents, "rid")
+    val books0 = Pq.codebooks(res, "rid", "__res", m, dims, stride, maxCodes)
+    val books =
+      if (refineRounds > 0)
+        Pq.refineCodebooks(res, "rid", "__res", books0, m, dims, refineRounds)
+      else books0
+    books.write.mode("overwrite").parquet(s"$root/books")
+  }
+
+  /** Attach each assign row's static PQ codes as an m-length `__codes`
+    * array (ordered by subspace): residual against the row's own
+    * centroid, argmin code per subspace against the broadcast books —
+    * [[graft.operators.Pq.encode]] on the residual, assembled into one
+    * array so codes travel on the same row as the assignment. Everything
+    * model-sized broadcasts; the only batch-sized shuffle is the
+    * m-rows-per-vector argmin + array assembly.
+    */
+  private def withCodes(assigned: DataFrame, cents: DataFrame, books: DataFrame): DataFrame = {
+    val Row(mMinus1: Int, subLen: Int) =
+      books.agg(max(col("subspace")), max(size(col("__cv")))).head
+    val m = mMinus1 + 1
+    val res = assigned
+      .join(broadcast(cents.select(col("centroid_id"), col("__kv"))), Seq("centroid_id"))
+      .select(col("neighbor_id"),
+        zip_with(col("__cv"), col("__kv"), (a, b) => a - b).as("__res"))
+    val codes = Pq.encode(res, "neighbor_id", "__res", books, m, m * subLen)
+      .groupBy(col("id").as("neighbor_id"))
+      .agg(transform(array_sort(collect_list(struct(col("subspace"), col("code")))),
+        x => x.getField("code")).as("__codes"))
+    assigned.join(codes, Seq("neighbor_id"))
+  }
+
+  private def hasBooks(spark: SparkSession, root: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/books")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Re-train the coarse quantizer on the ACCUMULATED corpus and rebuild
     * the index as a new generation — the out-of-band remediation for a
     * drifted/imbalanced quantizer (the pathology q165's balance audit
@@ -160,9 +234,26 @@ object StreamingIvf {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       cents.write.mode("overwrite").parquet(s"$newRoot/centroids")
-      Ivf.assign(corpus, "neighbor_id", "__cv", cents)
+      val assignedAll = Ivf.assign(corpus, "neighbor_id", "__cv", cents)
         .join(corpus, Seq("neighbor_id"))
-        .write.mode("overwrite").partitionBy("centroid_id")
+      // a PQ-encoded tree stays PQ-encoded across the rebuild: the old
+      // generation's codes are residuals against the SUPERSEDED
+      // centroids, so the books re-train on the new residuals at the
+      // same (m, dims, k) budget (derived from the old books; seeding
+      // stride = this rebuild's `stride`, refine 0 — the build-once
+      // codebook recipe) and every vector re-encodes
+      val out = if (hasBooks(spark, oldRoot)) {
+        val old = spark.read.parquet(s"$oldRoot/books")
+        val Row(mMinus1: Int, subLen: Int, maxCode: Int) =
+          old.agg(max(col("subspace")), max(size(col("__cv"))), max(col("code"))).head
+        val m = mMinus1 + 1
+        val asgF = Ivf.assign(corpus, "neighbor_id", "__cv", cents, id = "rid")
+        val resF = Pq.residualFrame(corpus, "neighbor_id", "__cv", asgF, cents, "rid")
+        Pq.codebooks(resF, "rid", "__res", m, m * subLen, stride, maxCodes = maxCode + 1)
+          .write.mode("overwrite").parquet(s"$newRoot/books")
+        withCodes(assignedAll, cents, spark.read.parquet(s"$newRoot/books"))
+      } else assignedAll
+      out.write.mode("overwrite").partitionBy("centroid_id")
         .parquet(s"$newRoot/assign/compacted=$maxBatch")
       BatchIndex.touchCommit(spark, s"$newRoot/assign/compacted=$maxBatch")
     } finally { cents.unpersist(); () }
@@ -224,7 +315,14 @@ object StreamingIvf {
       val n = assigned.count()
       val dir = s"$root/assign/batch=$batchId"
       if (n > 0) {
-        assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
+        // PQ-encoded tree ([[staticPq]]): the batch's codes ride the
+        // same rows — computed against this generation's static books,
+        // bit-identical to a one-shot encode (pinned in StreamingSpec)
+        val out =
+          if (hasBooks(spark, root))
+            withCodes(assigned, cents, spark.read.parquet(s"$root/books"))
+          else assigned
+        out.write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
         // commit marker AFTER the write completes: [[topK]] reads only
         // marked directories, so a query racing a half-written batch (a
         // parquet overwrite is not atomic) never sees uncommitted rows.
@@ -239,6 +337,24 @@ object StreamingIvf {
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) fs.delete(p, true)
       }
+      // post-commit fence RE-check (closes the check-then-write race of
+      // the pre-check above): a rebuild that acquired the lock after the
+      // pre-check and listed committed state before this batch's marker
+      // landed would fold WITHOUT this batch and delete its generation —
+      // and with the checkpoint commit then succeeding there is no retry:
+      // silent loss. Ordering argument: the rebuild creates its lock
+      // BEFORE any listing, so if its listing missed our marker the lock
+      // necessarily exists here (it clears only at the generation switch,
+      // after the full re-train + rewrite) — throwing keeps the batch in
+      // the checkpoint and the retry lands in the new generation. If the
+      // listing instead ran after our marker, the rebuild folds this
+      // batch and the retry's directory lands below the new bound —
+      // invisible to readers and bit-identical to the folded rows (static
+      // quantizer), swept by the next compaction: a spurious retry, never
+      // a double-count. The generation comparison covers the residual
+      // window of a rebuild fast enough to switch between our marker and
+      // this line.
+      postCommitFenceCheck(spark, path, root, batchId)
       BatchIndex.purgeBeyond(spark, s"$root/assign", batchId)
       compactEvery.filter(_ > 0).foreach { every =>
         // tiered: the in-band policy — bounded write amplification over
@@ -248,6 +364,22 @@ object StreamingIvf {
       }
       onIndexed(n, batchId)
     }
+  }
+
+  /** The post-commit half of the [[rebuild]]/ingest mutual exclusion —
+    * see the call site in [[run]] for the full ordering argument.
+    * `rootAtWrite` is the generation root the batch just wrote into.
+    */
+  private[graft] def postCommitFenceCheck(
+      spark: SparkSession, path: String, rootAtWrite: String, batchId: Long): Unit = {
+    val lock = new org.apache.hadoop.fs.Path(s"$path/$RebuildMarker")
+    val fenced = lock.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(lock)
+    if (fenced || genRoot(spark, path) != rootAtWrite)
+      throw new IllegalStateException(
+        s"StreamingIvf rebuild raced batch $batchId at $path (" +
+          (if (fenced) s"$RebuildMarker present after commit"
+           else "generation switched mid-batch") +
+          ") — batch refused; it will retry against the current generation")
   }
 
   /** Bootstrap the index with an EXISTING corpus's assignment (the
@@ -260,8 +392,18 @@ object StreamingIvf {
     */
   def seedIndex(assigned: DataFrame, path: String): Unit = {
     val spark = assigned.sparkSession
-    val dir = s"${genRoot(spark, path)}/assign/compacted=-1"
-    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
+    val root = genRoot(spark, path)
+    val dir = s"$root/assign/compacted=-1"
+    // a PQ-encoded tree's seed rows carry codes too (computed here when
+    // the caller's frame doesn't already) — otherwise the seed and the
+    // streamed batches would diverge in schema and the committed view's
+    // union would fail loudly
+    val out =
+      if (hasBooks(spark, root) && !assigned.columns.contains("__codes"))
+        withCodes(assigned, spark.read.parquet(s"$root/centroids"),
+          spark.read.parquet(s"$root/books"))
+      else assigned
+    out.write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
     BatchIndex.touchCommit(spark, dir)
   }
 
@@ -370,4 +512,19 @@ object StreamingIvf {
        else Nil)
     parts.reduce(_ unionByName _)
   }
+
+  /** The committed PQ-encoded index as [[graft.operators.Pq
+    * .searchRerank]]'s `enc` frame — (id, centroid_id, subspace, code)
+    * exploded from the stored `__codes` arrays. The whole point of
+    * [[staticPq]]: the ADC stage's scan reads ids + codes only (Parquet
+    * column pruning drops the raw `__cv` floats — at 100 TB that is the
+    * difference between scanning 8-16 bytes and d·8 bytes per vector),
+    * and raw vectors are touched only by the per-probe top-R shortlist
+    * fetch ([[committedIndex]]). Requires a tree ingested under
+    * [[staticPq]]; a code-less tree fails the column resolution loudly.
+    */
+  def committedEnc(spark: SparkSession, path: String): DataFrame =
+    committedIndex(spark, path)
+      .select(col("neighbor_id").as("id"), col("centroid_id"),
+        posexplode(col("__codes")).as(Seq("subspace", "code")))
 }

@@ -1205,6 +1205,41 @@ class StreamingSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("StreamingIvf: post-commit fence recheck refuses a batch whose marker raced a rebuild's listing") {
+    // The pre-write fence has a check-then-write window: a rebuild that
+    // takes the lock AFTER the check and lists committed dirs BEFORE the
+    // batch's marker lands folds without the batch and deletes its
+    // generation — with the checkpoint then committing, the rows would
+    // be silently lost. The post-commit recheck closes it: if the
+    // rebuild's listing missed the marker, its lock (created before any
+    // listing) is still on disk at recheck time, so the batch throws
+    // and the checkpoint retries it into the surviving generation.
+    val path = java.nio.file.Files.createTempDirectory("graft_sivf_recheck").toString
+    val root = path // bootstrap generation lives at the tree root
+
+    // clean state: no lock, generation unchanged -> no throw
+    graft.streaming.StreamingIvf.postCommitFenceCheck(spark, path, root, 7L)
+
+    // lock present after the (simulated) commit -> refuse the batch
+    val lock = new java.io.File(s"$path/${graft.streaming.StreamingIvf.RebuildMarker}")
+    assert(lock.createNewFile())
+    val e1 = intercept[IllegalStateException] {
+      graft.streaming.StreamingIvf.postCommitFenceCheck(spark, path, root, 7L)
+    }
+    assert(e1.getMessage.contains("present after commit"))
+    assert(lock.delete())
+
+    // generation switched between write and recheck (the fast-rebuild
+    // residue: lock already cleared, batch wrote into a superseded root)
+    new java.io.File(s"$path/_GEN=1").createNewFile()
+    val e2 = intercept[IllegalStateException] {
+      graft.streaming.StreamingIvf.postCommitFenceCheck(spark, path, root, 7L)
+    }
+    assert(e2.getMessage.contains("generation switched"))
+    // against the CURRENT generation root the same call passes
+    graft.streaming.StreamingIvf.postCommitFenceCheck(spark, path, s"$path/gen=1", 7L)
+  }
+
   test("StreamingIvf: rebuild bounds the new generation by COMMITTED state — an uncommitted trailing batch re-lands visibly") {
     // ADVICE r10 (high): rebuild used to stamp compacted=<max ALL batch
     // dirs> while folding only committed rows — a stream that died
@@ -1634,6 +1669,87 @@ class StreamingSpec extends SparkSpec {
     val streamSide = rerank(graft.streaming.StreamingIvf.committedIndex(spark, path))
     assert(batchSide.nonEmpty)
     assert(streamSide === batchSide)
+  }
+
+  test("StreamingIvf: staticPq streams PQ codes per batch — committedEnc == one-shot encode; searchRerank runs off the stored tree alone; rebuild re-encodes") {
+    // the 100 TB point of storing codes: searchRerank's ADC stage reads
+    // committedEnc (ids + codes, column-pruned — raw floats untouched)
+    // and only the top-R shortlist fetches raw vectors. Static-model
+    // contract: streamed per-batch codes must equal a one-shot encode
+    // over the union bit-for-bit, across batch dirs AND tiered runs,
+    // and a rebuild must re-train the books and re-encode everything.
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("graft_sivf_pqc").toString
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    graft.streaming.StreamingIvf.staticCentroids(e, "vec_id", "v", path, stride = 16, refine = 0)
+    graft.streaming.StreamingIvf.staticPq(e, "vec_id", "v", path, m = 8, dims = 64)
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamingIvf.run(
+        input.toDS().toDF("vec_id", "v"), "vec_id", "v", path) { (_, _) => () }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_sivf_pqc_ckpt").toString)
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    val rows = e.as[(Long, Seq[Double])].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      // fold half the tree so parity covers tiered runs AND batch dirs
+      graft.streaming.StreamingIvf.compact(spark, path, tiered = true)
+    } finally q.stop()
+
+    // one-shot twin under the same static models
+    def oneShotEnc(cents: org.apache.spark.sql.DataFrame,
+        books: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val asg = operators.Ivf.assign(e, "vec_id", "v", cents, id = "rid")
+      val res = operators.Pq.residualFrame(e, "vec_id", "v", asg, cents, "rid")
+      operators.Pq.encode(res, "rid", "__res", books, 8, 64)
+        .select(col("id"), col("subspace"), col("code"))
+        .join(asg.withColumnRenamed("rid", "id"), Seq("id"))
+        .select(col("id"), col("centroid_id"), col("subspace"), col("code"))
+    }
+    val cents0 = spark.read.parquet(s"$path/centroids").localCheckpoint(true)
+    val books0 = spark.read.parquet(s"$path/books").localCheckpoint(true)
+    val encCols = Seq("id", "centroid_id", "subspace", "code")
+    val encBatch = oneShotEnc(cents0, books0).select(encCols.map(col): _*).collect().toSet
+    val encStream = graft.streaming.StreamingIvf.committedEnc(spark, path)
+      .select(encCols.map(col): _*).collect().toSet
+    assert(encStream.nonEmpty)
+    assert(encStream === encBatch)
+
+    // searchRerank entirely off the stored tree == off the batch frames
+    val probes = e.where(col("vec_id") < 10)
+    def rr(enc: org.apache.spark.sql.DataFrame)(raw: => org.apache.spark.sql.DataFrame) =
+      operators.Pq.searchRerank(enc, probes, "vec_id", "v", cents0, books0,
+          m = 8, dims = 64, nprobe = 4, r = 20, k = 5)(raw)
+        .as[(Long, Int, Long, Long, Long)].collect().toSet
+    val rrBatch = rr(oneShotEnc(cents0, books0))(
+      e.select(col("vec_id").as("neighbor_id"), col("v").as("__cv")))
+    val rrStream = rr(graft.streaming.StreamingIvf.committedEnc(spark, path))(
+      graft.streaming.StreamingIvf.committedIndex(spark, path))
+    assert(rrBatch.nonEmpty)
+    assert(rrStream === rrBatch)
+
+    // rebuild re-trains the books on the new residuals at the same
+    // (m, dims, k) budget and re-encodes — the new generation's enc
+    // equals a one-shot encode under the NEW quantizer twin
+    val maxCode = books0.agg(max(col("code"))).head.getInt(0)
+    assert(graft.streaming.StreamingIvf.rebuild(spark, path, stride = 16, refine = 0) === 1L)
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("v").as("__cv"))
+    val cents1 = operators.Ivf.centroids(corpus, "neighbor_id", "__cv",
+      stride = 16, refine = 0, maxK = 64).localCheckpoint(true)
+    val asg1 = operators.Ivf.assign(e, "vec_id", "v", cents1, id = "rid")
+    val res1 = operators.Pq.residualFrame(e, "vec_id", "v", asg1, cents1, "rid")
+    val books1 = operators.Pq.codebooks(res1, "rid", "__res", 8, 64,
+      stride = 16, maxCodes = maxCode + 1).localCheckpoint(true)
+    val encBatch1 = operators.Pq.encode(res1, "rid", "__res", books1, 8, 64)
+      .select(col("id"), col("subspace"), col("code"))
+      .join(asg1.withColumnRenamed("rid", "id"), Seq("id"))
+      .select(encCols.map(col): _*).collect().toSet
+    val encStream1 = graft.streaming.StreamingIvf.committedEnc(spark, path)
+      .select(encCols.map(col): _*).collect().toSet
+    assert(encStream1 === encBatch1)
   }
 
   test("StreamingPhashDedup: media batches screen against the accepted fingerprint index") {
