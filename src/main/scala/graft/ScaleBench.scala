@@ -347,7 +347,7 @@ object ScaleBench {
     //    12 vs 96 batch directories, then compacted into one
     //    generation — growth from 12 to 96 is pure listing/footer
     //    overhead, and compaction must take it back out.
-    import graft.streaming.{CurationGate, StreamingDedup, StreamingIvf}
+    import graft.streaming.{CurationGate, StreamingDedup, StreamingIvf, StreamingSemDedup}
 
     def tmpDir(tag: String) =
       java.nio.file.Files.createTempDirectory(s"graft_sb_$tag").toString
@@ -436,10 +436,58 @@ object ScaleBench {
     val sivfProbes = e1.where(col("vec_id") < 10)
     def topkCell(path: String): Double =
       run(StreamingIvf.topK(spark, sivfProbes, "vec_id", "v", path, k = 5, nprobe = 4))
-    val gate1 = math.min(gateCell(dirs(1)), gateCell(dirs(1)))
-    val gate10 = math.min(gateCell(dirs(10)), gateCell(dirs(10)))
-    val sivf1 = math.min(sivfIngestCell(dirs(1)), sivfIngestCell(dirs(1)))
-    val sivf10 = math.min(sivfIngestCell(dirs(10)), sivfIngestCell(dirs(10)))
+    // StreamingSemDedup ingest vs accepted history (round 11): the
+    // semantic gate's per-batch scoring join is Σ_cell |batch_cell| ×
+    // |accepted_cell| — the SemDeDup cluster-scoped candidate shape, so
+    // for a batch touching every cell the cost term grows WITH cell
+    // occupancy (unlike StreamingIvf's history-free ingest). Measured
+    // honestly at 1x vs 10x seeded history; the mitigation at corpus
+    // scale is a finer quantizer (k ~ sqrt(n)) via rebuild — the q165
+    // balance audit is the trigger signal.
+    def semGateCell(histDir: String): Double = {
+      val path = tmpDir("semg"); val ckpt = tmpDir("semck"); val src = tmpDir("semsrc")
+      StreamingIvf.staticCentroids(e1, "vec_id", "v", path, stride = 16, refine = 1)
+      val cents = spark.read.parquet(s"$path/centroids")
+      val hist = spark.read.parquet(s"$histDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      StreamingIvf.seedIndex(
+        operators.Ivf.assign(hist, "vec_id", "v", cents)
+          .join(hist.select(col("vec_id").as("neighbor_id"), col("v").as("__cv")),
+            Seq("neighbor_id")), path)
+      e1.withColumn("vec_id", col("vec_id") + lit(5000000000L))
+        .write.mode("overwrite").parquet(src)
+      val schema = spark.read.parquet(src).schema
+      timeSec {
+        val q = StreamingSemDedup.run(
+            spark.readStream.schema(schema).parquet(src), "vec_id", "v", path,
+            threshold = 0.99) { (_, _) => () }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+    }
+    // one DISCARDED warm-up per ingest family + min-of-3 (round 11): the
+    // first streaming cell in the JVM pays codegen/state-store/FileSystem
+    // warm-up that dwarfs the history term under measurement, and with
+    // min-of-2 and no discard the h1 cell (always measured first)
+    // absorbed it — two identical-code runs read ratio10 1.16 and 1.63
+    // on the same cell. The topk cells below already discard a warm-up
+    // for exactly this reason.
+    def minOf3(cell: => Double, tag: String): Double = {
+      val ts = Seq.fill(3)(cell)
+      System.err.println(s"[scalebench] $tag samples: ${ts.map(t => f"$t%.3f").mkString(", ")}")
+      ts.min
+    }
+    gateCell(dirs(1)) // discarded warm-up
+    val gate1 = minOf3(gateCell(dirs(1)), "gate_h1")
+    val gate10 = minOf3(gateCell(dirs(10)), "gate_h10")
+    sivfIngestCell(dirs(1)) // discarded warm-up
+    val sivf1 = minOf3(sivfIngestCell(dirs(1)), "sivf_h1")
+    val sivf10 = minOf3(sivfIngestCell(dirs(10)), "sivf_h10")
+    semGateCell(dirs(1)) // discarded warm-up
+    val semg1 = minOf3(semGateCell(dirs(1)), "semg_h1")
+    val semg10 = minOf3(semGateCell(dirs(10)), "semg_h10")
     // The measured cost is PLAN CONSTRUCTION — the committed-dir
     // listing + partition discovery — and it has two regimes: below
     // spark.sql.sources.parallelPartitionDiscovery.threshold (32 root
@@ -486,14 +534,28 @@ object ScaleBench {
       new java.io.File(root).listFiles().toSeq
         .filter(f => f.getName.startsWith("run=") || f.getName.startsWith("compacted="))
         .map(f => f.getName -> fileBytes(f)).toMap
-    val compactBatches = 24
-    val compactBatchDf = spark.read.parquet(s"${dirs(1)}/documents.parquet")
-      .where(pmod(col("doc_id"), lit(25L)) === 0L) // ~2k docs/batch, fixed
+    val compactBatches = 32
+    val compactBatchBase = spark.read.parquet(s"${dirs(1)}/documents.parquet")
+      .where(pmod(col("doc_id"), lit(25L)) === 0L) // ~2k docs/batch, fixed size
+    // each batch carries DISTINCT ids and distinct text: a real ingest's
+    // batches are different documents. The first probe version wrote the
+    // SAME frame 24 times, and parquet dictionary encoding collapsed the
+    // repeats inside each consolidated file — a 9-batch run measured
+    // smaller than 2 fresh batches, so the tiered merge threshold
+    // (predecessor ≤ mergeFactor × fold bytes) absorbed the whole
+    // predecessor EVERY round and the two policies measured
+    // byte-identical. Distinct rows make bytes additive, which is the
+    // regime the size-tiered policy is designed for (and the honest
+    // model of a growing corpus).
+    def compactBatchDf(i: Int) = compactBatchBase.select(
+      (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+      concat(col("text"), lit(s" batch$i")).as("text"),
+      col("source"), col("lang"))
     def writeVolume(tiered: Boolean): (Long, Int) = {
       val root = tmpDir(if (tiered) "cwt" else "cwf")
       var written = 0L
       (0 until compactBatches).foreach { i =>
-        compactBatchDf.write.mode("overwrite").parquet(s"$root/batch=$i")
+        compactBatchDf(i).write.mode("overwrite").parquet(s"$root/batch=$i")
         if ((i + 1) % 2 == 0) {
           val before = consolidated(root)
           StreamingDedup.compact(spark, root, tiered = tiered)
@@ -512,6 +574,7 @@ object ScaleBench {
     val streamingJson =
       f""""curation_ingest":{"h1":$gate1%.3f,"h10":$gate10%.3f,"ratio10":${gate10 / gate1}%.2f},""" +
       f""""sivf_ingest":{"h1":$sivf1%.3f,"h10":$sivf10%.3f,"ratio10":${sivf10 / sivf1}%.2f},""" +
+      f""""semgate_ingest":{"h1":$semg1%.3f,"h10":$semg10%.3f,"ratio10":${semg10 / semg1}%.2f},""" +
       f""""sivf_topk":{"b12_serial_listing":$topk12%.3f,"b96":$topk96%.3f,"b384":$topk384%.3f,""" +
       f""""growth_4x_dirs":${topk384 / topk96}%.2f,"b384_compacted":$topk384c%.3f,""" +
       f""""compacted_vs_b96":${topk384c / topk96}%.2f},""" +

@@ -72,7 +72,7 @@ import org.apache.spark.sql.types.StructType
   * batch). Pass `upTo = Some(maxId)` only when the stream is stopped
   * AND its final batch is known committed to the CHECKPOINT.
   */
-private[streaming] object BatchIndex {
+private[graft] object BatchIndex {
 
   val CommitMarker = "_GRAFT_COMMIT"
 

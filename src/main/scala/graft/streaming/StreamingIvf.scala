@@ -57,7 +57,7 @@ object StreamingIvf {
   // `<path>` itself (no marker) — pre-rebuild trees keep working
   // unchanged.
 
-  private def genRoot(spark: SparkSession, path: String): String =
+  private[streaming] def genRoot(spark: SparkSession, path: String): String =
     currentGen(spark, path).fold(path)(g => s"$path/gen=$g")
 
   private def currentGen(spark: SparkSession, path: String): Option[Long] = {
@@ -293,11 +293,7 @@ object StreamingIvf {
       // about to delete and be silently lost. Failing the batch keeps
       // it in the checkpoint; the retry (after the switch) re-lands it
       // in the new generation.
-      val lockPath = new org.apache.hadoop.fs.Path(s"$path/$RebuildMarker")
-      if (lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(lockPath))
-        throw new IllegalStateException(
-          s"StreamingIvf rebuild in progress at $path ($RebuildMarker present) — " +
-            s"batch $batchId refused; it will retry after the generation switch")
+      preFenceCheck(spark, path, batchId)
       // resolved per batch: a [[rebuild]] between runs (stream stopped,
       // checkpoint kept) switches ingest to the new generation too
       val root = genRoot(spark, path)
@@ -313,49 +309,7 @@ object StreamingIvf {
         .join(v, Seq("neighbor_id"))
         .localCheckpoint(true)
       val n = assigned.count()
-      val dir = s"$root/assign/batch=$batchId"
-      if (n > 0) {
-        // PQ-encoded tree ([[staticPq]]): the batch's codes ride the
-        // same rows — computed against this generation's static books,
-        // bit-identical to a one-shot encode (pinned in StreamingSpec)
-        val out =
-          if (hasBooks(spark, root))
-            withCodes(assigned, cents, spark.read.parquet(s"$root/books"))
-          else assigned
-        out.write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
-        // commit marker AFTER the write completes: [[topK]] reads only
-        // marked directories, so a query racing a half-written batch (a
-        // parquet overwrite is not atomic) never sees uncommitted rows.
-        // A retry overwrites the dir and re-creates the marker — the
-        // brief marker-less window only hides the batch, never corrupts.
-        BatchIndex.touchCommit(spark, dir)
-      } else {
-        // a same-id directory can still exist (a dead incarnation whose
-        // batch N was non-empty): an overwrite would have replaced it —
-        // the empty-skip must delete it for the same phantom-row reason
-        val p = new org.apache.hadoop.fs.Path(dir)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(p)) fs.delete(p, true)
-      }
-      // post-commit fence RE-check (closes the check-then-write race of
-      // the pre-check above): a rebuild that acquired the lock after the
-      // pre-check and listed committed state before this batch's marker
-      // landed would fold WITHOUT this batch and delete its generation —
-      // and with the checkpoint commit then succeeding there is no retry:
-      // silent loss. Ordering argument: the rebuild creates its lock
-      // BEFORE any listing, so if its listing missed our marker the lock
-      // necessarily exists here (it clears only at the generation switch,
-      // after the full re-train + rewrite) — throwing keeps the batch in
-      // the checkpoint and the retry lands in the new generation. If the
-      // listing instead ran after our marker, the rebuild folds this
-      // batch and the retry's directory lands below the new bound —
-      // invisible to readers and bit-identical to the folded rows (static
-      // quantizer), swept by the next compaction: a spurious retry, never
-      // a double-count. The generation comparison covers the residual
-      // window of a rebuild fast enough to switch between our marker and
-      // this line.
-      postCommitFenceCheck(spark, path, root, batchId)
-      BatchIndex.purgeBeyond(spark, s"$root/assign", batchId)
+      commitBatch(spark, path, root, cents, assigned, n, batchId)
       compactEvery.filter(_ > 0).foreach { every =>
         // tiered: the in-band policy — bounded write amplification over
         // a long ingest (a full fold here would rewrite the ENTIRE
@@ -366,8 +320,76 @@ object StreamingIvf {
     }
   }
 
+  /** The pre-write half of the [[rebuild]]/ingest mutual exclusion:
+    * refuse the batch while a rebuild owns the tree. Shared by every
+    * gate that writes this index layout ([[run]],
+    * [[StreamingSemDedup.run]]).
+    */
+  private[streaming] def preFenceCheck(
+      spark: SparkSession, path: String, batchId: Long): Unit = {
+    val lockPath = new org.apache.hadoop.fs.Path(s"$path/$RebuildMarker")
+    if (lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(lockPath))
+      throw new IllegalStateException(
+        s"StreamingIvf rebuild in progress at $path ($RebuildMarker present) — " +
+          s"batch $batchId refused; it will retry after the generation switch")
+  }
+
+  /** One micro-batch's index commit — the write contract shared by
+    * [[run]] and [[StreamingSemDedup.run]]: write the assigned rows
+    * (PQ codes attached when the tree is [[staticPq]]-encoded) under
+    * `batch=<id>` centroid-partitioned, marker after the parquet
+    * completes ([[topK]] reads only marked directories, so a query
+    * racing a half-written batch never sees uncommitted rows; a retry
+    * overwrites the dir and re-creates the marker — the brief
+    * marker-less window only hides the batch, never corrupts). An empty
+    * batch deletes a same-id directory instead (a dead incarnation whose
+    * batch N was non-empty would otherwise surface phantom rows).
+    *
+    * Then the post-commit fence RE-check (closes the check-then-write
+    * race of [[preFenceCheck]]): a rebuild that acquired the lock after
+    * the pre-check and listed committed state before this batch's marker
+    * landed would fold WITHOUT this batch and delete its generation —
+    * and with the checkpoint commit then succeeding there is no retry:
+    * silent loss. Ordering argument: the rebuild creates its lock BEFORE
+    * any listing, so if its listing missed our marker the lock
+    * necessarily exists here (it clears only at the generation switch,
+    * after the full re-train + rewrite) — throwing keeps the batch in
+    * the checkpoint and the retry lands in the new generation. If the
+    * listing instead ran after our marker, the rebuild folds this batch
+    * and the retry's directory lands below the new bound — invisible to
+    * readers and bit-identical to the folded rows (static quantizer),
+    * swept by the next compaction: a spurious retry, never a
+    * double-count. The generation comparison covers the residual window
+    * of a rebuild fast enough to switch between our marker and this
+    * line.
+    */
+  private[streaming] def commitBatch(
+      spark: SparkSession,
+      path: String,
+      root: String,
+      cents: DataFrame,
+      assigned: DataFrame,
+      n: Long,
+      batchId: Long): Unit = {
+    val dir = s"$root/assign/batch=$batchId"
+    if (n > 0) {
+      val out =
+        if (hasBooks(spark, root))
+          withCodes(assigned, cents, spark.read.parquet(s"$root/books"))
+        else assigned
+      out.write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
+      BatchIndex.touchCommit(spark, dir)
+    } else {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    postCommitFenceCheck(spark, path, root, batchId)
+    BatchIndex.purgeBeyond(spark, s"$root/assign", batchId)
+  }
+
   /** The post-commit half of the [[rebuild]]/ingest mutual exclusion —
-    * see the call site in [[run]] for the full ordering argument.
+    * see [[commitBatch]] for the full ordering argument.
     * `rootAtWrite` is the generation root the batch just wrote into.
     */
   private[graft] def postCommitFenceCheck(

@@ -1008,6 +1008,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("law: BatchIndex reader-visible rows are invariant under ANY schedule of batch writes and tiered/full compactions") {
+    // the round-11 central feature under randomized schedules: whatever
+    // interleaving of batch commits, tiered folds (any mergeFactor),
+    // full folds, and operator-driven upTo folds runs, a reader at
+    // beforeBatch = nextId must see EXACTLY the union of written
+    // batches — no row lost to a merge, none duplicated by deferred
+    // cleanup (superseded dirs still on disk must stay invisible).
+    import graft.streaming.BatchIndex
+    val schedGen: Gen[List[Int]] = Gen.listOfN(14, Gen.choose(0, 5))
+    samples(schedGen, 6).zipWithIndex.foreach { case (sched, si) =>
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_bi_law_$si").toString
+      var next = 0L
+      val template = Seq.empty[(Long, Long)].toDF("__id", "__payload")
+      sched.foreach { op =>
+        if (op <= 2) { // write a batch (weighted: writes are the common op)
+          Seq((next, next * 7L), (next + 1000L, next)).toDF("__id", "__payload")
+            .coalesce(1).write.mode("overwrite").parquet(s"$root/batch=$next")
+          next += 1
+        } else if (op == 3)
+          BatchIndex.compact(spark, root, tiered = true, mergeFactor = 1 + si % 4)
+        else if (op == 4)
+          BatchIndex.compact(spark, root, tiered = false)
+        else if (next > 0)
+          BatchIndex.compact(spark, root, upTo = Some(next - 1), tiered = si % 2 == 0)
+        val got = BatchIndex.read(spark, root, template, beforeBatch = next)
+          .as[(Long, Long)].collect().toSet
+        val want = (0L until next)
+          .flatMap(i => Seq((i, i * 7L), (i + 1000L, i))).toSet
+        assert(got === want, s"schedule $sched at op $op (next=$next)")
+      }
+    }
+  }
+
   test("law: per-key count-frame join size (q147's est_out_rows) equals the actual join cardinality") {
     val kv: Gen[List[Long]] = Gen.listOf(Gen.choose(0L, 12L))
     samples(Gen.zip(kv, kv), 8).foreach { case (lks, rks) =>

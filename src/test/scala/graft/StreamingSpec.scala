@@ -1752,6 +1752,103 @@ class StreamingSpec extends SparkSpec {
     assert(encStream1 === encBatch1)
   }
 
+  test("StreamingSemDedup: greedy online semantic gate — accepted-first + lowest-id-within-batch; state doubles as a queryable ANN index") {
+    // the embeddings member of the streaming-gate matrix (text:
+    // StreamingDedup/CurationGate, media: StreamingPhashDedup). The
+    // reference fold below replays the documented policy exactly, with
+    // cell assignment and pairwise >=threshold verdicts taken from the
+    // SAME Spark arithmetic (VecExprs cosine) so the pin is about the
+    // PROTOCOL, not float ulps.
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_semgate").toString
+    val path = s"$root/idx"
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val base = e.as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    graft.streaming.StreamingIvf.staticCentroids(e, "vec_id", "v", path, stride = 16, refine = 0)
+    val cents = spark.read.parquet(s"$path/centroids").localCheckpoint(true)
+    val t = 0.999
+    val h1 = base.take(base.length / 2)
+    val h2 = base.drop(base.length / 2)
+    // batch 1: first half + an exact in-batch dup of its first row;
+    // batch 2: second half + a SCALED copy of an accepted batch-1 row
+    // (cosine is scale-invariant -> same cell, dup-of-accepted) + an
+    // exact in-batch dup of a new row; batch 3 (post-compaction): pure
+    // dups of accepted rows from both earlier batches
+    val b1 = h1 ++ Seq((100000L, h1.head._2))
+    val b2 = h2 ++ Seq((200000L, h1(1)._2.map(_ * 2.0)), (200001L, h2.head._2))
+    val b3 = Seq((300000L, h1(2)._2), (300001L, h2(1)._2.map(_ * 0.5)))
+    val batches = Seq(b1, b2, b3)
+
+    // ---- reference fold: assignment + pairwise verdicts from Spark
+    val allDf = batches.flatten.toDF("vec_id", "v").localCheckpoint(true)
+    val cell = operators.Ivf.assign(allDf, "vec_id", "v", cents)
+      .as[(Long, Long)].collect().toMap
+    val withN = allDf.select(col("vec_id"), col("v"),
+      sqrt(graft.functions.VecExprs.dot(col("v"), col("v"))).as("__n"))
+    val over = withN.select(col("vec_id").as("ida"), col("v").as("va"), col("__n").as("na"))
+      .join(withN.select(col("vec_id").as("idb"), col("v").as("vb"), col("__n").as("nb")))
+      .where(col("ida") < col("idb") &&
+        graft.functions.VecExprs.dot(col("va"), col("vb")) / (col("na") * col("nb")) >= t)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    def overT(a: Long, b: Long): Boolean =
+      cell.get(a) == cell.get(b) && cell.contains(a) &&
+        (over((math.min(a, b), math.max(a, b))) || a == b)
+    var accepted = Set.empty[Long]
+    val expected = batches.map { b =>
+      val ids = b.map(_._1)
+      val assignable = ids.filter(cell.contains)
+      val dupAcc = assignable.filter(id => accepted.exists(a => overT(a, id))).toSet
+      val fresh = assignable.filterNot(dupAcc)
+      val inner = fresh.filter(idb => fresh.exists(ida => ida < idb && overT(ida, idb))).toSet
+      accepted ++= fresh.filterNot(inner)
+      ids.filterNot(id => dupAcc(id) || inner(id)).toSet
+    }
+
+    // ---- the streamed gate
+    val input = MemoryStream[(Long, Seq[Double])]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = graft.streaming.StreamingSemDedup.run(
+        input.toDS().toDF("vec_id", "v"), "vec_id", "v", path, threshold = t) {
+      (surv, _) => got += surv.select(col("vec_id")).as[Long].collect().toSet
+    }.option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_semgate_ckpt").toString)
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      // a tiered compact between batches must not change verdicts
+      graft.streaming.StreamingIvf.compact(spark, path, tiered = true)
+      input.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.size === 3)
+    assert(got(0) === expected(0))
+    assert(got(1) === expected(1))
+    assert(got(2) === expected(2))
+    // the planted dups actually exercised every clause
+    assert(!got(0).contains(100000L), "within-batch dup must drop")
+    assert(!got(1).contains(200000L), "scaled dup-of-accepted must drop")
+    assert(!got(1).contains(200001L), "within-batch dup must drop")
+    assert(got(2).isEmpty, "batch 3 is pure dups of accepted state")
+
+    // ---- the state tree IS a queryable StreamingIvf index: topK over
+    // it equals the one-shot pruned query over the accepted vectors
+    val accDf = batches.flatten.filter(r => accepted(r._1)).toDF("vec_id", "v")
+    val accIdx = operators.Ivf.assign(accDf, "vec_id", "v", cents)
+      .join(accDf.select(col("vec_id").as("neighbor_id"), col("v").as("__cv")),
+        Seq("neighbor_id"))
+    val probes = e.where(col("vec_id") < 10)
+    val gotTopk = graft.streaming.StreamingIvf
+      .topK(spark, probes, "vec_id", "v", path, k = 5, nprobe = 4)
+      .select("probe_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val expTopk = operators.Ivf.topKPruned(probes, "vec_id", "v", cents, 5, 4)(accIdx)
+      .select("probe_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(gotTopk === expTopk)
+    assert(gotTopk.nonEmpty)
+  }
+
   test("StreamingPhashDedup: media batches screen against the accepted fingerprint index") {
     implicit val sqlCtx = spark.sqlContext
     val idx = java.nio.file.Files.createTempDirectory("graft_pdedup").toString + "/index"
