@@ -618,6 +618,72 @@ object LlmQueries {
         "assignment (broadcast NLJ + partial max agg — the index shuffle is n id rows), " +
         "nprobe-list candidate fetch + exact re-rank; reads ~nprobe/k of the corpus per probe"),
 
+    // ------------------------------------------------------ filtered ANN
+    Q("q171_ann_filtered",
+      (s, d) => {
+        // production vector search's metadata-predicate shape: nearest 5
+        // with label = 2 (one of 10 labels, ~10% selectivity). The
+        // predicate PRE-filters the candidate fetch inside the probed
+        // lists — post-filtering an unfiltered top-k would return < k
+        // rows whenever the unfiltered winners carry other labels.
+        // refine = 0 (raw stride seeds) so the ENTIRE computation —
+        // quantizer, assignment, probe lists, filtered fetch, exact
+        // re-rank — replays in the oracle SQL, no pinning.
+        val e = T.embeddings(s, d).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"), col("label"))
+        Ivf.topKWhere(e, e.where(col("vec_id") < 10), "vec_id", "v",
+            pred = col("label") === 2, attrs = Seq("label"),
+            k = 5, stride = 16, nprobe = 4, refine = 0)
+          .select(col("probe_id"), col("rank"), col("neighbor_id"), col("cosine"))
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      // full replay, the q84/q165 device: stride seeds with the maxK=64
+      // cap and the zero-norm drop; argmax assignment (ties -> larger
+      // centroid id, the max(struct) rule); per-probe nprobe lists
+      // (ties -> SMALLER centroid id, topKPruned's ascending tiebreak);
+      // label filter on the fetched candidates; exact cosine re-rank
+      // (ties -> smaller neighbor id). Exact double equality across
+      // engines per the q30/q49 in-order-arithmetic precedent.
+      Some("""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        n AS (SELECT vec_id, v, label,
+                     sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
+        c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
+              WHERE vec_id % 16 = 0 AND vec_id < 1024 AND nrm > 0),
+        a AS (SELECT vec_id, cid,
+                list_sum(list_transform(list_zip(v, cv), z -> z[1]*z[2])) / (nrm * cn) AS cc
+              FROM n CROSS JOIN c
+              WHERE nrm > 0
+              QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid DESC) = 1),
+        p AS (SELECT vec_id AS pid, v AS pv, nrm AS pn FROM n
+              WHERE vec_id < 10 AND nrm > 0),
+        pl AS (SELECT pid, cid FROM (
+                SELECT p.pid, c.cid,
+                       list_sum(list_transform(list_zip(p.pv, c.cv), z -> z[1]*z[2]))
+                         / (p.pn * c.cn) AS ccos
+                FROM p CROSS JOIN c
+                QUALIFY row_number() OVER (PARTITION BY p.pid
+                  ORDER BY ccos DESC, c.cid ASC) <= 4)),
+        r AS (SELECT pl.pid, a.vec_id,
+                list_sum(list_transform(list_zip(p.pv, nn.v), z -> z[1]*z[2]))
+                  / (p.pn * nn.nrm) AS cosine
+              FROM pl JOIN a ON a.cid = pl.cid
+              JOIN n nn ON nn.vec_id = a.vec_id
+              JOIN p ON p.pid = pl.pid
+              WHERE a.vec_id <> pl.pid AND nn.label = 2 AND nn.nrm > 0)
+        SELECT pid AS probe_id,
+               CAST(row_number() OVER (PARTITION BY pid
+                 ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank,
+               vec_id AS neighbor_id, cosine
+        FROM r
+        QUALIFY rank <= 5
+        ORDER BY probe_id, rank"""),
+      "FILTERED IVF ANN (Ivf.topKWhere): metadata predicate pre-filters the candidate " +
+        "fetch inside the probed lists (post-filter of an unfiltered top-k is NOT " +
+        "equivalent), index built once on the full corpus with attr columns carried in; " +
+        "on the persisted layout the predicate reaches the parquet scan as a pushed " +
+        "row-group filter UNDER the centroid PartitionFilters prune"),
+
     // ----------------------------------------------------------- LSH ANN
     Q("q33_ann_lsh",
       (s, d) => {

@@ -140,15 +140,20 @@ object Ivf {
       vecCol: String,
       path: String,
       stride: Int = 16,
-      refine: Int = 1): Unit = {
+      refine: Int = 1,
+      attrs: Seq[String] = Nil): Unit = {
     val cents = centroids(corpus, idCol, vecCol, stride, refine)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       cents.write.mode("overwrite").parquet(s"$path/centroids")
       // carry the vector INTO the partitioned index so the query-time
       // re-rank reads only the probed partitions — no join back to the
-      // unpartitioned corpus
-      val v = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      // unpartitioned corpus. `attrs` names additional corpus columns to
+      // carry (filtered-ANN metadata — see [[topKWhere]]): their filters
+      // reach the parquet scan as pushed row-group predicates UNDER the
+      // centroid partition prune.
+      val v = corpus.select(col(idCol).as("neighbor_id") +: col(vecCol).as("__cv") +:
+        attrs.map(col): _*)
       assign(corpus, idCol, vecCol, cents)
         .join(v, Seq("neighbor_id"))
         .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/assign")
@@ -159,7 +164,9 @@ object Ivf {
     * probed list ids are collected to the driver to drive STATIC
     * partition pruning on the assignment scan — bounded by the centroid
     * count (k = n/stride, small by design), never row data. Output
-    * schema matches [[topK]].
+    * schema matches [[topK]]. `pred` (over `attrs` columns the index
+    * was written with) makes it the persisted filtered-ANN query — see
+    * [[topKWhere]] for the semantics and the recall caveat.
     */
   def topKFromIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -168,10 +175,57 @@ object Ivf {
       vecCol: String,
       path: String,
       k: Int,
-      nprobe: Int = 4): DataFrame =
+      nprobe: Int = 4,
+      pred: Option[Column] = None): DataFrame =
     topKPruned(probes, idCol, vecCol,
-      spark.read.parquet(s"$path/centroids"), k, nprobe)(
-      spark.read.parquet(s"$path/assign"))
+      spark.read.parquet(s"$path/centroids"), k, nprobe)({
+      val idx = spark.read.parquet(s"$path/assign")
+      pred.fold(idx)(idx.where)
+    })
+
+  /** FILTERED approximate top-k — production vector search's
+    * metadata-predicate shape ("nearest k WHERE label = …"): `attrs`
+    * names corpus columns carried into the index rows and `pred` (over
+    * those columns) filters the CANDIDATE FETCH — after the nprobe
+    * partition prune, before the exact re-rank — so the result is the
+    * exact top-k of predicate-satisfying vectors within the probed
+    * lists. Centroids and assignment are built on the FULL corpus: the
+    * index is built once, predicates vary per query.
+    *
+    * Semantics note (the standard filtered-ANN distinction): this is
+    * PRE-filtering at the candidate fetch. Post-filtering an unfiltered
+    * top-k is NOT equivalent — it returns < k rows whenever fewer than
+    * k of the unfiltered top-k satisfy the predicate. Recall caveat,
+    * disclosed: a highly selective predicate thins each probed list, so
+    * effective recall at fixed nprobe drops with selectivity — filtered
+    * queries should raise nprobe.
+    *
+    * 100 TB shape: identical to [[topK]] plus one map-side predicate on
+    * the pruned candidate scan; on the persisted layout
+    * ([[writeIndex]] with `attrs` + [[topKFromIndex]] with `pred`) the
+    * predicate reaches the parquet scan as a pushed filter (row-group
+    * stats pruning) UNDER the centroid PartitionFilters prune.
+    */
+  def topKWhere(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      pred: Column,
+      attrs: Seq[String],
+      k: Int,
+      stride: Int = 16,
+      nprobe: Int = 4,
+      refine: Int = 1,
+      maxK: Int = 64): DataFrame = {
+    require(attrs.nonEmpty, "attrs must name the corpus columns pred filters on")
+    val cents = centroids(corpus, idCol, vecCol, stride, refine, maxK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val v = corpus.select(col(idCol).as("neighbor_id") +: col(vecCol).as("__cv") +:
+      attrs.map(col): _*)
+    val index = assign(corpus, idCol, vecCol, cents).join(v, Seq("neighbor_id"))
+    topKPruned(probes, idCol, vecCol, cents, k, nprobe)(index.where(pred))
+  }
 
   /** The shared pruned-fetch query over ANY persisted (centroid_id,
     * neighbor_id, __cv) assignment layout — the one-shot [[writeIndex]]

@@ -388,6 +388,40 @@ class PlanSpec extends SparkSpec {
       s"expected 1 selected partition, got ${parts.partitionCount}")
   }
 
+  test("filtered ANN on the persisted index: label filter PUSHED to the scan UNDER the centroid partition prune") {
+    // the q171 scale claim on the writeIndex layout: topKFromIndex with
+    // pred must (a) keep the centroid In-filter at PartitionFilters
+    // level (the prune that reads ~nprobe/k of the index) and (b) push
+    // the attr predicate into the parquet scan (row-group stats), not
+    // evaluate it post-scan only.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fann").toString
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), col("label"))
+    operators.Ivf.writeIndex(e, "vec_id", "v", dir, stride = 16, refine = 0,
+      attrs = Seq("label"))
+    val df = operators.Ivf.topKFromIndex(spark, e.where(col("vec_id") < 10),
+      "vec_id", "v", dir, k = 5, nprobe = 4, pred = Some(col("label") === 2))
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.output.exists(_.name == "__cv") => f
+    }
+    assert(scans.nonEmpty, df.queryExecution.sparkPlan.toString)
+    val s0 = scans.head
+    assert(s0.partitionFilters.exists(_.toString.contains("centroid_id")),
+      s"centroid prune missing from PartitionFilters: ${s0.partitionFilters}")
+    assert(s0.metadata.get("PushedFilters").exists(_.contains("EqualTo(label,2)")),
+      s"label predicate not pushed: ${s0.metadata.get("PushedFilters")}")
+    // and the result equals the one-shot in-memory operator
+    val got = df.select("probe_id", "rank", "neighbor_id", "cosine").collect().toSet
+    val want = operators.Ivf.topKWhere(e, e.where(col("vec_id") < 10), "vec_id", "v",
+        pred = col("label") === 2, attrs = Seq("label"),
+        k = 5, stride = 16, nprobe = 4, refine = 0)
+      .select("probe_id", "rank", "neighbor_id", "cosine").collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("q154 forward as-of is join-FREE: no Join node anywhere in the optimized plan") {
     // the operator's whole point: tag/union/one-window replaces the
     // range join + per-probe top-1 a naive attribution would plan
@@ -546,7 +580,8 @@ class PlanSpec extends SparkSpec {
       "q165_ivf_balance" -> "centroid codebook scoring (k rows) broadcast (the q42 assignment shape) + 1-row (total, k) stats broadcast (the q126 device)",
       "q166_ivfpq_rerank" -> "exact-L2 recall baseline + centroid codebook scoring broadcast (q164's shapes); the re-rank fetch itself is a broadcast HASH join on neighbor_id",
       "q167_abtt_correction" -> "exact-cosine top-5 audits (raw + corrected space): probes broadcast by design (the q24 shape); the correction itself is map-side",
-      "q168_abtt_pq_recall" -> "exact-L2 recall baselines of both spaces: probes broadcast by design (the q131 shape)")
+      "q168_abtt_pq_recall" -> "exact-L2 recall baselines of both spaces: probes broadcast by design (the q131 shape)",
+      "q171_ann_filtered" -> "centroid codebook scoring (k rows) broadcast (the q42 assignment shape); the filtered candidate fetch itself is a broadcast HASH join on centroid_id")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       val bad = plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct")
