@@ -219,7 +219,11 @@ object StreamingIvf {
           Seq(spark.read.option("basePath", s"$oldRoot/assign")
             .parquet(batchDirs: _*).drop("batch"))
          else Nil)
-      parts.reduce(_ unionByName _).select(col("neighbor_id"), col("__cv"))
+      // keep every stored column except the superseded layout/derived
+      // ones: attrs ([[run]]'s filtered-ANN metadata) must survive the
+      // rebuild; centroid_id is re-assigned under the new quantizer and
+      // __codes (if PQ-encoded) re-encode against the re-trained books
+      parts.reduce(_ unionByName _).drop("centroid_id").drop("__codes")
     }
     // the new generation's bound derives from COMMITTED state only
     // (ADVICE r10): an uncommitted trailing batch dir (stream died
@@ -280,12 +284,22 @@ object StreamingIvf {
     * batch directories. Out-of-band [[compact]] stays available for
     * operator-driven runs.
     */
+  /** `attrs` names additional input columns carried into the index rows
+    * (filtered-ANN metadata — [[topKWhere]]): they ride every batch
+    * directory, survive tiered compaction and generation rebuilds, and
+    * query predicates over them apply to the committed scan under the
+    * centroid prune — the [[graft.operators.Ivf.writeIndex]] `attrs`
+    * contract on the streamed layout. Fixed per tree: changing the attr
+    * set mid-stream would diverge the schemas and fail the committed
+    * view's union loudly.
+    */
   def run(
       vecs: DataFrame,
       idCol: String,
       vecCol: String,
       path: String,
-      compactEvery: Option[Int] = None)(onIndexed: (Long, Long) => Unit): DataStreamWriter[Row] = {
+      compactEvery: Option[Int] = None,
+      attrs: Seq[String] = Nil)(onIndexed: (Long, Long) => Unit): DataStreamWriter[Row] = {
     vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       // the [[rebuild]] fence: refuse to write while a rebuild owns the
@@ -298,7 +312,8 @@ object StreamingIvf {
       // checkpoint kept) switches ingest to the new generation too
       val root = genRoot(spark, path)
       val cents = spark.read.parquet(s"$root/centroids")
-      val v = batch.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      val v = batch.select(col(idCol).as("neighbor_id") +: col(vecCol).as("__cv") +:
+        attrs.map(col): _*)
       // materialize + count BEFORE deciding to write: an EMPTY batch
       // (no input rows, or all rows zero-norm-dropped by the assign)
       // must not commit a data-less partitioned directory — partitionBy
@@ -498,6 +513,27 @@ object StreamingIvf {
     // disclosed here rather than hidden.
     Ivf.topKPruned(probes, idCol, vecCol, cents, k, nprobe)(
       committedIndex(spark, path))
+  }
+
+  /** Filtered ANN over the streamed index — [[graft.operators.Ivf
+    * .topKWhere]]'s semantics on the committed generation tree: `pred`
+    * (over `attrs` columns the tree was ingested with) pre-filters the
+    * candidate fetch after the centroid prune, before the exact
+    * re-rank. Same recall-vs-selectivity caveat as the batch operator.
+    */
+  def topKWhere(
+      spark: SparkSession,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      pred: org.apache.spark.sql.Column,
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val root = genRoot(spark, path)
+    val cents = spark.read.parquet(s"$root/centroids")
+    Ivf.topKPruned(probes, idCol, vecCol, cents, k, nprobe)(
+      committedIndex(spark, path).where(pred))
   }
 
   /** The committed index of the current generation as one frame —

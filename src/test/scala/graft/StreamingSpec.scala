@@ -1849,6 +1849,60 @@ class StreamingSpec extends SparkSpec {
     assert(gotTopk.nonEmpty)
   }
 
+  test("StreamingIvf: attrs ride the streamed index — filtered topKWhere matches the one-shot filtered query across compaction AND a rebuild") {
+    // the q171 filtered-ANN contract on the streamed layout: label
+    // columns ingested via run(attrs) survive batch dirs, tiered runs,
+    // and a generation rebuild (which re-assigns and re-derives
+    // everything EXCEPT the attrs), and the filtered query equals the
+    // one-shot filtered fetch under the same quantizer.
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("graft_sivf_attrs").toString
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label").cast("int").as("label"))
+    graft.streaming.StreamingIvf.staticCentroids(e, "vec_id", "v", path, stride = 16, refine = 0)
+    val input = MemoryStream[(Long, Seq[Double], Int)]
+    val q = graft.streaming.StreamingIvf.run(
+        input.toDS().toDF("vec_id", "v", "label"), "vec_id", "v", path,
+        attrs = Seq("label")) { (_, _) => () }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_sivf_attrs_ckpt").toString)
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    val rows = e.as[(Long, Seq[Double], Int)].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      graft.streaming.StreamingIvf.compact(spark, path, tiered = true)
+    } finally q.stop()
+
+    val probes = e.where(col("vec_id") < 10)
+    def oneShot(cents: org.apache.spark.sql.DataFrame) = {
+      val idx = operators.Ivf.assign(e, "vec_id", "v", cents)
+        .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("__cv"),
+          col("label")), Seq("neighbor_id"))
+      operators.Ivf.topKPruned(probes, "vec_id", "v", cents, 5, 4)(
+          idx.where(col("label") === 2))
+        .select("probe_id", "rank", "neighbor_id", "cosine")
+        .as[(Long, Int, Long, Double)].collect().toSet
+    }
+    def streamed() = graft.streaming.StreamingIvf
+      .topKWhere(spark, probes, "vec_id", "v", path, col("label") === 2, k = 5)
+      .select("probe_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val cents0 = spark.read.parquet(s"$path/centroids").localCheckpoint(true)
+    val got0 = streamed()
+    assert(got0.nonEmpty)
+    assert(got0 === oneShot(cents0))
+
+    // rebuild re-trains the quantizer and re-assigns — attrs must ride
+    assert(graft.streaming.StreamingIvf.rebuild(spark, path, stride = 16, refine = 0) === 1L)
+    val cents1 = spark.read.parquet(s"$path/gen=1/centroids").localCheckpoint(true)
+    val got1 = streamed()
+    assert(got1.nonEmpty)
+    assert(got1 === oneShot(cents1))
+  }
+
   test("StreamingPhashDedup: media batches screen against the accepted fingerprint index") {
     implicit val sqlCtx = spark.sqlContext
     val idx = java.nio.file.Files.createTempDirectory("graft_pdedup").toString + "/index"
