@@ -581,8 +581,15 @@ object StreamingIvf {
     * fetch ([[committedIndex]]). Requires a tree ingested under
     * [[staticPq]]; a code-less tree fails the column resolution loudly.
     */
-  def committedEnc(spark: SparkSession, path: String): DataFrame =
-    committedIndex(spark, path)
-      .select(col("neighbor_id").as("id"), col("centroid_id"),
-        posexplode(col("__codes")).as(Seq("subspace", "code")))
+  def committedEnc(spark: SparkSession, path: String): DataFrame = {
+    // attr columns ([[run]]'s `attrs`) ride along, so FILTERED
+    // compressed search is committedEnc(...).where(pred) fed to
+    // searchRerank: the metadata predicate thins the ADC candidate
+    // stream BEFORE the top-R shortlist (pre-filter semantics, the
+    // q171 contract) and the raw fetch stays ids-only
+    val idx = committedIndex(spark, path).drop("__cv")
+    val keep = idx.columns.filterNot(Set("neighbor_id", "__codes")).toSeq
+    idx.select(col("neighbor_id").as("id") +: keep.map(col) :+
+      posexplode(col("__codes")).as(Seq("subspace", "code")): _*)
+  }
 }

@@ -1861,6 +1861,7 @@ class StreamingSpec extends SparkSpec {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
         col("label").cast("int").as("label"))
     graft.streaming.StreamingIvf.staticCentroids(e, "vec_id", "v", path, stride = 16, refine = 0)
+    graft.streaming.StreamingIvf.staticPq(e, "vec_id", "v", path, m = 8, dims = 64)
     val input = MemoryStream[(Long, Seq[Double], Int)]
     val q = graft.streaming.StreamingIvf.run(
         input.toDS().toDF("vec_id", "v", "label"), "vec_id", "v", path,
@@ -1894,6 +1895,29 @@ class StreamingSpec extends SparkSpec {
     val got0 = streamed()
     assert(got0.nonEmpty)
     assert(got0 === oneShot(cents0))
+
+    // filtered COMPRESSED search off the stored tree: committedEnc keeps
+    // the attrs, so the metadata predicate thins the ADC candidate
+    // stream BEFORE the top-R shortlist; parity vs the batch twin
+    val books = spark.read.parquet(s"$path/books").localCheckpoint(true)
+    def rrFiltered(enc: org.apache.spark.sql.DataFrame)(raw: => org.apache.spark.sql.DataFrame) =
+      operators.Pq.searchRerank(enc.where(col("label") === 2), probes, "vec_id", "v",
+          cents0, books, m = 8, dims = 64, nprobe = 4, r = 20, k = 5)(raw)
+        .as[(Long, Int, Long, Long, Long)].collect().toSet
+    val encBatchF = {
+      val asg = operators.Ivf.assign(e, "vec_id", "v", cents0, id = "rid")
+      val res = operators.Pq.residualFrame(e, "vec_id", "v", asg, cents0, "rid")
+      operators.Pq.encode(res, "rid", "__res", books, 8, 64)
+        .select(col("id"), col("subspace"), col("code"))
+        .join(asg.withColumnRenamed("rid", "id"), Seq("id"))
+        .join(e.select(col("vec_id").as("id"), col("label")), Seq("id"))
+    }
+    val rrB = rrFiltered(encBatchF)(
+      e.select(col("vec_id").as("neighbor_id"), col("v").as("__cv")))
+    val rrS = rrFiltered(graft.streaming.StreamingIvf.committedEnc(spark, path))(
+      graft.streaming.StreamingIvf.committedIndex(spark, path))
+    assert(rrB.nonEmpty)
+    assert(rrS === rrB)
 
     // rebuild re-trains the quantizer and re-assigns — attrs must ride
     assert(graft.streaming.StreamingIvf.rebuild(spark, path, stride = 16, refine = 0) === 1L)
