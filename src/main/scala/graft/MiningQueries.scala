@@ -3677,7 +3677,52 @@ object MiningQueries {
         "broadcast equi-join (corpus never shuffles, never exactly " +
         "scored beyond 50 rows/probe), exact L2 re-ranks to top-5; " +
         "works unchanged over the one-shot index layout and " +
-        "StreamingIvf's generation tree"))
+        "StreamingIvf's generation tree"),
+
+    Q("q172_ann_filtered_rerank",
+      (s, d) => {
+        // q170's compressed re-rank tier composed with q171's metadata
+        // predicate — the full production vector-search shape: filtered
+        // AND compressed. The label filter applies to the ENC frame, so
+        // it thins the ADC candidate stream BEFORE the top-R shortlist
+        // (pre-filter semantics — post-filtering q170's unfiltered
+        // shortlist would starve below k whenever the winners carry
+        // other labels); the corpus is scored only by its codes, the
+        // raw fetch stays ids-only. On the streamed layout the same
+        // query is StreamingIvf.committedEnc(...).where(pred) into
+        // searchRerank (StreamingSpec-pinned against this twin).
+        val e = T.embeddings(s, d).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"), col("label"))
+        val probes = e.where(col("vec_id") < 10)
+        val cents = Ivf.centroids(e, "vec_id", "v", stride = 16)
+          .localCheckpoint(true)
+        val asg = Ivf.assign(e, "vec_id", "v", cents, id = "rid")
+          .localCheckpoint(true)
+        val res = Pq.residualFrame(e, "vec_id", "v", asg, cents, "rid")
+          .localCheckpoint(true)
+        val books = Pq.codebooks(res, "rid", "__res",
+            m = 16, dims = 64, stride = 32, maxCodes = 16)
+          .localCheckpoint(true)
+        val enc = Pq.encode(res, "rid", "__res", books, 16, 64)
+          .select(col("id"), col("subspace"), col("code"))
+          .join(asg.withColumnRenamed("rid", "id"), Seq("id"))
+          .join(e.select(col("vec_id").as("id"), col("label")), Seq("id"))
+        Pq.searchRerank(enc.where(col("label") === 2), probes, "vec_id", "v",
+            cents, books, m = 16, dims = 64, nprobe = 8, r = 20, k = 5)(
+            e.select(col("vec_id").as("neighbor_id"), col("v").as("__cv")))
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      // Deterministic (q170's integer ADC + fixed-point exact tier,
+      // unique tiebreaks — verified bit-identical at local[5] and
+      // local[16]): pinned literal oracle at the gate's sf0.01 corpus
+      // under the PinnedCorpus fingerprint guard.
+      Some(IvfPqFilteredRerankOracleSql),
+      "FILTERED compressed search (q171's predicate x q170's re-rank " +
+        "tier): the metadata filter thins the ADC candidate stream " +
+        "before the top-R shortlist — pre-filter semantics at " +
+        "16-bytes-per-vector scan cost, raw vectors touched only for " +
+        "the <= R shortlisted ids per probe; the streamed twin is " +
+        "committedEnc(...).where(pred) into the same operator"))
 
   /** q141/q142/q144: the ONE distributed corpus-sized stage of the eigen
     * family — GramMatrix's map-side-combined d×d reduction, unpacked to
@@ -4057,6 +4102,66 @@ object MiningQueries {
     * corpus, verified bit-identical at local[5]/local[16]; stale-pin
     * protection: PinnedCorpus guard).
     */
+  private lazy val IvfPqFilteredRerankOracleSql: String =
+    s"""SELECT CAST(c1 AS BIGINT) AS probe_id, CAST(c2 AS INTEGER) AS rank,
+              CAST(c3 AS BIGINT) AS neighbor_id, CAST(c4 AS BIGINT) AS adist_fp,
+              CAST(c5 AS BIGINT) AS d2_fp
+       FROM (VALUES
+         $IvfPqFilteredRerankPinnedRows) t(c1, c2, c3, c4, c5)
+       ORDER BY probe_id, rank"""
+
+  private lazy val IvfPqFilteredRerankPinnedRows: String =
+    """(0,1,320,1493463,1493464),
+         (0,2,36,1061162,1596652),
+         (0,3,99,1450555,1669036),
+         (0,4,48,1736460,1909775),
+         (0,5,426,1544448,2012849),
+         (1,1,467,1486297,1609411),
+         (1,2,222,1393725,1621277),
+         (1,3,31,1503532,1735290),
+         (1,4,414,1531909,1742763),
+         (1,5,16,1764058,1792879),
+         (2,1,320,1562288,1562288),
+         (2,2,202,1423226,1631875),
+         (2,3,351,1332375,1739199),
+         (2,4,389,1429742,1767703),
+         (2,5,276,1460654,1847510),
+         (3,1,218,1661570,1612320),
+         (3,2,406,1152205,1664687),
+         (3,3,320,1840092,1840091),
+         (3,4,316,1203189,1859891),
+         (3,5,484,1510829,1878466),
+         (4,1,496,1230741,1381579),
+         (4,2,482,1312442,1438862),
+         (4,3,419,1505192,1730413),
+         (4,4,359,1830811,1808538),
+         (4,5,183,1284035,1821931),
+         (5,1,152,1512512,1600826),
+         (5,2,122,1651998,1864837),
+         (5,3,351,1498461,1880327),
+         (5,4,234,1531035,1972370),
+         (5,5,99,1509543,2018825),
+         (6,1,271,1335135,1612525),
+         (6,2,351,1305715,1727253),
+         (6,3,0,1823410,1823408),
+         (6,4,496,1595273,2004526),
+         (6,5,76,1547307,2110578),
+         (7,1,0,1483016,1483017),
+         (7,2,36,1010894,1623038),
+         (7,3,60,1491502,1625446),
+         (7,4,467,1484743,1626140),
+         (7,5,466,1434318,1665190),
+         (8,1,222,1283908,1737516),
+         (8,2,406,1164578,1743371),
+         (8,3,224,1757408,1757408),
+         (8,4,69,1674620,1920738),
+         (8,5,414,1617526,1940747),
+         (9,1,325,1642235,1841628),
+         (9,2,183,1437257,1854340),
+         (9,3,234,1455244,1878401),
+         (9,4,496,1741895,1879189),
+         (9,5,286,1755648,1888507)"""
+
   private lazy val IvfPqRerankOpOracleSql: String =
     s"""SELECT CAST(c1 AS BIGINT) AS probe_id, CAST(c2 AS INTEGER) AS rank,
               CAST(c3 AS BIGINT) AS neighbor_id, CAST(c4 AS BIGINT) AS adist_fp,
