@@ -91,6 +91,51 @@ object Ivf {
       corpus.where(pmod(col(idCol), lit(stride)) === 0 &&
         col(idCol) < lit(stride.toLong * maxK)),
       idCol, vecCol, "centroid_id", "__kv", "__kn")
+    lloyd(corpus, idCol, vecCol, seed, refine)
+  }
+
+  /** Hash-seeded coarse centroids for corpora whose ids are NOT a dense
+    * 0-based lattice: a long-running [[graft.streaming.StreamingIvf]]
+    * tree accumulates offset/bimodal id ranges (seeded history at
+    * 0..n, streamed ids at arbitrary offsets), where [[centroids]]'
+    * `id % stride` predicate can find one seed or none. Here a row
+    * seeds the quantizer when pmod(xxhash64(id), every) == 0 —
+    * deterministic, map-side, expected n/every seeds wherever the ids
+    * live — then the seed set is hard-capped at the `maxK` smallest
+    * seed ids (a window over the already-~k-row seed frame, never the
+    * corpus) and refined with the same fixed-point Lloyd fold as
+    * [[centroids]]. Size `every` ≈ n/k for a k-list quantizer.
+    */
+  def centroidsHashed(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      every: Long,
+      refine: Int = 1,
+      maxK: Int = 64): DataFrame = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    require(maxK >= 1, s"maxK must be >= 1, got $maxK")
+    val hashed = withNorm(
+      corpus.where(pmod(xxhash64(col(idCol)), lit(every)) === 0),
+      idCol, vecCol, "centroid_id", "__kv", "__kn")
+    // cap on the TINY filtered frame (~n/every rows): rank by seed id
+    // and keep the maxK smallest — the single-partition window is over
+    // k-scale rows, never corpus data
+    val seed = hashed
+      .withColumn("__r", row_number().over(Window.orderBy(col("centroid_id"))))
+      .where(col("__r") <= maxK).drop("__r")
+      .localCheckpoint(true)
+    require(seed.count() > 0,
+      s"hash seeding at every=$every selected no vectors — corpus too " +
+        s"small for this rate, or every mis-sized (want ~ corpus/k)")
+    lloyd(corpus, idCol, vecCol, seed, refine)
+  }
+
+  /** The shared fixed-point Lloyd refinement fold (see class doc for the
+    * determinism argument) — both seeding strategies plug into it.
+    */
+  private def lloyd(corpus: DataFrame, idCol: String, vecCol: String,
+      seed: DataFrame, refine: Int): DataFrame =
     (0 until refine).foldLeft(seed) { (cents, _) =>
       val asg = assign(corpus, idCol, vecCol, cents, id = "__vid")
       val v = corpus.select(col(idCol).as("__vid"), col(vecCol).as("__v"))
@@ -111,7 +156,6 @@ object Ivf {
           sqrt(graft.functions.VecExprs.dot(col("__kv"), col("__kv"))).as("__kn"))
         .where(col("__kn") > 0)
     }
-  }
 
   /** Inverted-file assignment: (id, centroid_id) — each vector's argmax-
     * cosine centroid, larger centroid_id winning exact ties (total order,
@@ -219,8 +263,13 @@ object Ivf {
       refine: Int = 1,
       maxK: Int = 64): DataFrame = {
     require(attrs.nonEmpty, "attrs must name the corpus columns pred filters on")
+    // localCheckpoint, not persist (ADVICE r11): the k-row centroid
+    // frame is materialized eagerly, lineage cut, and its blocks are
+    // GC-freed when the result plan dies — repeated filtered queries
+    // leak no CacheManager entries. Repeated querying over the same
+    // corpus should still use writeIndex + topKFromIndex(pred).
     val cents = centroids(corpus, idCol, vecCol, stride, refine, maxK)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val v = corpus.select(col(idCol).as("neighbor_id") +: col(vecCol).as("__cv") +:
       attrs.map(col): _*)
     val index = assign(corpus, idCol, vecCol, cents).join(v, Seq("neighbor_id"))

@@ -84,16 +84,103 @@ private[graft] object BatchIndex {
       (lo <= other.lo && other.hi <= hi) && dir != other.dir
   }
 
+  // ----------------------------------------------------- manifest log
+  // `<root>/_MANIFEST` lists the committed child-directory NAMES, so a
+  // reader resolves the committed view with ONE small file read + ONE
+  // listStatus instead of one exists() RPC per child (N+2 → 3 metadata
+  // round-trips; on an object store at 100 TB, per-dir marker checks
+  // are the dominant plan-construction cost of a many-batch tree).
+  //
+  // The manifest is an RPC CACHE, never the source of truth — the
+  // commit marker stays authoritative:
+  //  - a name is only a PREDICATE on dirs the listing actually returned
+  //    (a stale entry for a deleted dir is inert);
+  //  - a listed dir NOT in the manifest falls back to the marker check
+  //    (exists()), so a missing/torn/lost-update manifest degrades to
+  //    the old per-dir cost, never to a wrong answer;
+  //  - writers REMOVE the name before overwriting a dir and re-add it
+  //    after the new marker lands, preserving the retry contract (the
+  //    brief marker-less window during a rewrite hides the batch from
+  //    readers — a manifest entry surviving the overwrite would expose
+  //    half-written files);
+  //  - crash between marker and manifest re-add: the batch is visible
+  //    via the fallback, and the foreachBatch retry (the checkpoint
+  //    never acknowledged) re-lands marker + manifest — convergent.
+  // Concurrent writers (compact beside live ingest) can lose an update
+  // (read-modify-write race): the dropped name costs readers one
+  // fallback exists() per read until the next compaction folds the dir
+  // — disclosed, self-healing, never incorrect.
+  private def manifestFile(indexPath: String) = new Path(s"$indexPath/_MANIFEST")
+
+  /** Committed child names per the manifest (empty when absent/torn —
+    * readers fall back to per-dir marker checks).
+    */
+  def manifestNames(spark: SparkSession, indexPath: String): Set[String] = {
+    val p = manifestFile(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else try {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).toSet
+      finally in.close()
+    } catch { case _: java.io.IOException => Set.empty }
+  }
+
+  private def writeManifest(
+      spark: SparkSession, indexPath: String, names: Set[String]): Unit = {
+    val target = manifestFile(indexPath)
+    val tmp = new Path(s"$indexPath/._MANIFEST.tmp")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try out.write(names.toSeq.sorted.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // delete+rename, not in-place rewrite: the gap where no manifest
+    // exists reads as "empty" (full fallback — correct); a torn
+    // in-place rewrite could drop arbitrary names silently, which is
+    // ALSO correct by the fallback rule but this keeps the common case
+    // all-or-nothing
+    fs.delete(target, false)
+    fs.rename(tmp, target)
+    ()
+  }
+
+  private def lastSeg(dir: String): String =
+    dir.substring(dir.lastIndexOf('/') + 1)
+
+  /** Drop `name` from the manifest — call BEFORE overwriting a committed
+    * directory (see the manifest contract above).
+    */
+  def manifestRemove(spark: SparkSession, indexPath: String, names: Seq[String]): Unit =
+    if (names.nonEmpty) {
+      val cur = manifestNames(spark, indexPath)
+      if (names.exists(cur.contains))
+        writeManifest(spark, indexPath, cur -- names)
+    }
+
   def touchCommit(spark: SparkSession, dir: String): Unit = {
     val p = new Path(s"$dir/$CommitMarker")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.create(p, true).close()
+    // marker first, then the manifest record: a crash between the two
+    // leaves the dir visible via the fallback marker check
+    val parent = dir.substring(0, dir.lastIndexOf('/'))
+    writeManifest(spark, parent, manifestNames(spark, parent) + lastSeg(dir))
   }
 
   def isCommitted(spark: SparkSession, dir: String): Boolean = {
     val p = new Path(s"$dir/$CommitMarker")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
+
+  /** Committed predicate over a LISTED child dir: manifest hit, or the
+    * per-dir marker check as fallback. `man` is one [[manifestNames]]
+    * read shared across the caller's whole dir list — the O(1)-RPC
+    * committed view.
+    */
+  def isCommittedVia(spark: SparkSession, dir: String, man: Set[String]): Boolean =
+    man.contains(lastSeg(dir)) || isCommitted(spark, dir)
 
   private def childNames(spark: SparkSession, indexPath: String): Seq[String] = {
     val p = new Path(indexPath)
@@ -125,8 +212,9 @@ private[graft] object BatchIndex {
     * containment filter).
     */
   def activeRuns(spark: SparkSession, indexPath: String): Seq[Run] = {
+    val man = manifestNames(spark, indexPath)
     val committed = allRuns(spark, indexPath)
-      .filter(r => isCommitted(spark, r.dir))
+      .filter(r => isCommittedVia(spark, r.dir, man))
     committed.filter(r => !committed.exists(_.contains(r))).sortBy(_.hi)
   }
 
@@ -147,10 +235,12 @@ private[graft] object BatchIndex {
   def purgeBeyond(spark: SparkSession, indexPath: String, batchId: Long): Unit = {
     val p = new Path(indexPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    batchDirIds(spark, indexPath).filter(_ > batchId)
-      .foreach(id => fs.delete(new Path(s"$indexPath/batch=$id"), true))
-    allRuns(spark, indexPath).filter(_.hi > batchId)
-      .foreach(r => fs.delete(new Path(r.dir), true))
+    val deadBatches = batchDirIds(spark, indexPath).filter(_ > batchId)
+    deadBatches.foreach(id => fs.delete(new Path(s"$indexPath/batch=$id"), true))
+    val deadRuns = allRuns(spark, indexPath).filter(_.hi > batchId)
+    deadRuns.foreach(r => fs.delete(new Path(r.dir), true))
+    manifestRemove(spark, indexPath,
+      deadBatches.map(id => s"batch=$id") ++ deadRuns.map(r => lastSeg(r.dir)))
   }
 
   /** The accepted-corpus index: every active run plus every batch
@@ -250,7 +340,8 @@ private[graft] object BatchIndex {
     // already superseded (safe to delete — the deferred-cleanup grace
     // has elapsed; anything THIS call supersedes stays until next time)
     val runs0 = allRuns(spark, indexPath)
-    val committedRuns = runs0.filter(r => isCommitted(spark, r.dir))
+    val man0 = manifestNames(spark, indexPath)
+    val committedRuns = runs0.filter(r => isCommittedVia(spark, r.dir, man0))
     val active0 = committedRuns.filter(r => !committedRuns.exists(_.contains(r))).sortBy(_.hi)
     val bound0 = active0.map(_.hi).maxOption
     // stale = superseded before this call started: merged/absorbed
@@ -264,10 +355,13 @@ private[graft] object BatchIndex {
     def cleanupStale(): Unit = {
       staleBatches0.foreach(id => fs.delete(new Path(s"$indexPath/batch=$id"), true))
       staleRuns0.foreach(r => fs.delete(new Path(r.dir), true))
+      manifestRemove(spark, indexPath,
+        staleBatches0.map(id => s"batch=$id") ++ staleRuns0.map(r => lastSeg(r.dir)))
     }
 
     val eligible = batchDirIds(spark, indexPath).sorted
-      .filter(id => !committedOnly || isCommitted(spark, s"$indexPath/batch=$id"))
+      .filter(id => !committedOnly ||
+        isCommittedVia(spark, s"$indexPath/batch=$id", man0))
     // ADVICE r10: the default bound is newest-minus-one ONLY when a
     // newest batch exists — an empty eligible list must not underflow
     // Long.MinValue - 1 to Long.MaxValue
@@ -292,6 +386,11 @@ private[graft] object BatchIndex {
         val bytes = srcDirs.map(d => dataBytes(spark, d)).sum
         val outTasks = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
         val df = parts.reduce(_ unionByName _).coalesce(outTasks)
+        // the manifest entry goes BEFORE the overwrite and back after
+        // the marker (a retry rewriting an existing fold target must be
+        // hidden from manifest readers while its files are half-written
+        // — the same window the marker protocol closes)
+        manifestRemove(spark, indexPath, Seq(lastSeg(outDir)))
         val w = df.write.mode("overwrite")
         (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
           .parquet(outDir)

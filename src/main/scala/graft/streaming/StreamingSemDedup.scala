@@ -65,6 +65,15 @@ object StreamingSemDedup {
     * batch's ACCEPTED original rows (full input schema) plus the
     * batchId. `compactEvery` wires [[StreamingIvf.compact]]'s tiered
     * policy in-band, exactly as [[StreamingIvf.run]] does.
+    * `maintainEvery` wires [[StreamingIvf.maintain]]'s automated
+    * health → rebuild loop in-band (same contract as
+    * [[StreamingIvf.run]]'s) — THE remediation for this gate's
+    * Σ_cell occupancy scoring term: a triggered rebuild re-trains the
+    * quantizer at k ~ √n, so per-cell occupancy (and with it the
+    * batch×accepted candidate volume) returns to ~√n instead of
+    * compounding monotonically over a long ingest. NOTE a rebuild
+    * changes cell boundaries and therefore FUTURE dedup scope — the
+    * same documented semantics as any quantizer re-train on this tree.
     */
   def run(
       vecs: DataFrame,
@@ -72,7 +81,8 @@ object StreamingSemDedup {
       vecCol: String,
       path: String,
       threshold: Double,
-      compactEvery: Option[Int] = None)(
+      compactEvery: Option[Int] = None,
+      maintainEvery: Option[Int] = None)(
       onSurvivors: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
     require(threshold > -1.0 && threshold <= 1.0,
       s"threshold must be a cosine in (-1, 1], got $threshold")
@@ -143,6 +153,9 @@ object StreamingSemDedup {
       compactEvery.filter(_ > 0).foreach { every =>
         if ((batchId + 1) % every == 0)
           StreamingIvf.compact(spark, path, tiered = true)
+      }
+      maintainEvery.filter(_ > 0).foreach { every =>
+        if ((batchId + 1) % every == 0) { StreamingIvf.maintain(spark, path); () }
       }
       val dropIds = dupOfAccepted.unionByName(innerDrop)
         .select(col("neighbor_id").as(idCol))
