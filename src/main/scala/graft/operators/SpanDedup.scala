@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact CROSS-DOCUMENT substring dedup — the span-level counterpart to
+  * the corpus dedup family: [[MinHash]]/[[SimHash]] decide whole-DOC
+  * near-duplication and q108's within-corpus accounting reports
+  * duplicated positions per doc, but none of them answers the standard
+  * LLM-curation question "which PAIRS of documents share an exactly
+  * duplicated span of ≥ L words, and how long is it?" (the removal unit
+  * of Lee et al., "Deduplicating Training Data Makes Language Models
+  * Better", ACL 2022 — their suffix-array pass finds exactly these
+  * cross-document repeated substrings).
+  *
+  * Recipe (bucketed anchor grams — never a suffix array in the driver,
+  * never an all-pairs doc join):
+  *  1. positional word L-grams per doc (one lead window per doc — the
+  *     q108/q97 device; a transform(slice) HOF would re-inline the
+  *     token array per element, O(n²) per doc);
+  *  2. STOP-GRAM cap: a gram whose document frequency exceeds `dfCap`
+  *     is boilerplate (licence headers, templated navigation) and is
+  *     dropped from seeding — this bounds the candidate join at
+  *     Σ_gram df² ≤ dfCap · (total grams), i.e. LINEAR in corpus size
+  *     with a dfCap constant, where unconditional seeding is quadratic
+  *     in each hot gram's df. Spans crossing a dropped gram split into
+  *     two reported spans — deterministic, disclosed semantics (the
+  *     exact analogue of the df-ordered prefix in [[JaccardJoin]]);
+  *  3. equi-join the surviving grams (doc_a < doc_b) → anchor matches
+  *     (doc_a, doc_b, pos_a, pos_b);
+  *  4. DIAGONAL ISLANDS instead of a separate extend-and-verify pass:
+  *     runs of consecutive pos_a at constant offset pos_b − pos_a are
+  *     maximal shared spans, and because consecutive overlapping
+  *     L-grams pin every word in between, the whole span is already
+  *     VERIFIED exact — gaps-and-islands (pos_a − row_number) finds
+  *     all maximal runs in one window pass keyed by (pair, diagonal).
+  *
+  * Output granularity: one row per maximal shared span with its length
+  * (run + L − 1 words) and both start positions ([[spans]]), or the
+  * per-pair report (span count, longest, total duplicated words —
+  * [[pairReport]]).
+  *
+  * 100 TB shape: grams never leave their doc partition until the
+  * anchor join; the join is equi on the gram (AQE splits residual hot
+  * grams under the cap); the islands window is keyed by (doc_a, doc_b,
+  * diag) — match-bounded, never corpus-bounded. Gram STRINGS are joined
+  * here because the DuckDB oracle compares them; at corpus scale the
+  * join key swaps for the 8-byte [[graft.functions.HashExprs]] polyhash
+  * (collisions only add candidate anchors at ~2⁻³⁰, and the island
+  * verification is unchanged).
+  */
+object SpanDedup {
+
+  /** Positional word L-grams: (id, pos, gram), pos 1-based, one row per
+    * window position (docs shorter than `l` words contribute none).
+    */
+  def grams(docs: DataFrame, idCol: String, textCol: String, l: Int): DataFrame = {
+    require(l >= 2, s"span gram width must be >= 2, got $l")
+    val wOrd = Window.partitionBy(col("id")).orderBy(col("pos"))
+    docs
+      .select(col(idCol).as("id"),
+        posexplode(split(lower(col(textCol)), " ")).as(Seq("__p0", "__t")))
+      .select(col("id"), (col("__p0") + 1).as("pos"), col("__t"))
+      .withColumn("__n", max(col("pos")).over(Window.partitionBy(col("id"))))
+      .withColumn("gram", concat_ws(" ", (0 until l).map(i =>
+        if (i == 0) col("__t") else lead(col("__t"), i).over(wOrd)): _*))
+      .where(col("pos") <= col("__n") - (l - 1))
+      .select(col("id"), col("pos"), col("gram"))
+  }
+
+  /** All maximal cross-document shared spans of ≥ `l` exactly-matching
+    * words (subject to the `dfCap` stop-gram rule — see class doc):
+    * (doc_a, doc_b, start_a, start_b, span_words), doc_a < doc_b.
+    */
+  def spans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      l: Int,
+      dfCap: Int = 32): DataFrame = {
+    require(dfCap >= 2, s"dfCap must be >= 2 (a cap below 2 drops every " +
+      s"cross-doc gram), got $dfCap")
+    val g = grams(docs, idCol, textCol, l)
+    val seed = g.join(
+      g.groupBy(col("gram")).agg(countDistinct(col("id")).as("__df"))
+        .where(col("__df") <= dfCap).select(col("gram")),
+      Seq("gram"))
+    val matches = seed.select(col("gram"), col("id").as("doc_a"), col("pos").as("__pa"))
+      .join(seed.select(col("gram"), col("id").as("doc_b"), col("pos").as("__pb")),
+        Seq("gram"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("__pa"), col("__pb"))
+    val wD = Window.partitionBy(col("doc_a"), col("doc_b"), col("__diag"))
+      .orderBy(col("__pa"))
+    matches
+      .withColumn("__diag", col("__pb") - col("__pa"))
+      .withColumn("__grp", col("__pa") - row_number().over(wD))
+      .groupBy(col("doc_a"), col("doc_b"), col("__diag"), col("__grp"))
+      .agg(min(col("__pa")).as("start_a"), min(col("__pb")).as("start_b"),
+        (count(lit(1)) + lit(l - 1)).as("span_words"))
+      .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
+        col("span_words"))
+  }
+
+  /** Per-pair duplicated-span report: (doc_a, doc_b, n_spans,
+    * max_span_words, dup_words) for every doc pair sharing ≥ 1 span —
+    * the dedup-decision table (rank by max_span_words / dup_words to
+    * pick removal candidates).
+    */
+  def pairReport(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      l: Int,
+      dfCap: Int = 32): DataFrame =
+    spans(docs, idCol, textCol, l, dfCap)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_spans"),
+        max(col("span_words")).as("max_span_words"),
+        sum(col("span_words")).as("dup_words"))
+}

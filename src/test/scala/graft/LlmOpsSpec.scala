@@ -1142,4 +1142,58 @@ class LlmOpsSpec extends SparkSpec {
     assert(Multimodal.frameMatchPairs(same, "id", "pl", 4, 2, maxFrameDf = 8, minVotes = 1)
       .count() === 0L)
   }
+
+  test("SpanDedup: planted shared spans found with exact lengths; stop-grams split; islands merge overlapping anchors") {
+    def words(r: Range, p: String = "w") = r.map(i => s"$p$i").mkString(" ")
+    // docA words w1..w30; docB shares exactly w5..w16 (12 words) inside
+    // unrelated context; docC shares w21..w28 (8 words, the minimum);
+    // docD shares nothing long enough (7-word overlap < l=8)
+    val docA = (1L, words(1 to 30))
+    val docB = (2L, words(100 to 109, "b") + " " + words(5 to 16) + " " + words(200 to 205, "b"))
+    val docC = (3L, words(300 to 310, "c") + " " + words(21 to 28))
+    val docD = (4L, words(400 to 420, "d") + " " + words(1 to 7))
+    val docs = Seq(docA, docB, docC, docD).toDF("doc_id", "text")
+    val got = SpanDedup.pairReport(docs, "doc_id", "text", l = 8, dfCap = 32)
+      .select("doc_a", "doc_b", "n_spans", "max_span_words", "dup_words")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // B: one maximal 12-word span (5 overlapping 8-gram anchors merge
+    // into ONE island, not 5 spans); C: one exactly-8-word span; D: none
+    assert(got === Set((1L, 2L, 1L, 12L, 12L), (1L, 3L, 1L, 8L, 8L)))
+
+    // span START positions are exact (1-based word positions)
+    val sp = SpanDedup.spans(docs, "doc_id", "text", l = 8, dfCap = 32)
+      .where(col("doc_b") === 2L)
+      .select("start_a", "start_b", "span_words")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sp === Set((5L, 11L, 12L)))
+
+    // stop-gram split: 40 docs all share one boilerplate 8-gram; a pair
+    // sharing a 24-word span whose MIDDLE crosses that gram reports two
+    // spans instead (the one all-boilerplate window is df>cap and drops,
+    // breaking the island; windows merely OVERLAPPING the boilerplate
+    // are unique to the pair and stay, so each split span still covers
+    // 15 words) — the df-cap is a disclosed semantic, not silent
+    // truncation
+    val boiler = words(900 to 907, "z")
+    val shared = words(1 to 8, "s") + " " + boiler + " " + words(9 to 16, "s")
+    val pairDocs = Seq(
+      (100L, words(500 to 504, "p") + " " + shared),
+      (101L, words(600 to 606, "q") + " " + shared)) ++
+      (0 until 40).map(i => (200L + i, words(700 to 706, s"f$i") + " " + boiler))
+    val split = SpanDedup.pairReport(pairDocs.toDF("doc_id", "text"),
+        "doc_id", "text", l = 8, dfCap = 32)
+      .where(col("doc_a") === 100L && col("doc_b") === 101L)
+      .select("n_spans", "max_span_words", "dup_words")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(split === Set((2L, 15L, 30L)),
+      s"expected the 24-word span to split at the boilerplate gram: $split")
+    // control: with a cap admitting the boilerplate, the full 24-word
+    // span survives as one island
+    val whole = SpanDedup.pairReport(pairDocs.toDF("doc_id", "text"),
+        "doc_id", "text", l = 8, dfCap = 64)
+      .where(col("doc_a") === 100L && col("doc_b") === 101L)
+      .select("n_spans", "max_span_words", "dup_words")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(whole === Set((1L, 24L, 24L)))
+  }
 }
