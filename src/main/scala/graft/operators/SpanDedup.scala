@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -82,10 +82,16 @@ object SpanDedup {
     require(dfCap >= 2, s"dfCap must be >= 2 (a cap below 2 drops every " +
       s"cross-doc gram), got $dfCap")
     val g = grams(docs, idCol, textCol, l)
+    // localCheckpoint, not persist (the q108 lesson one step further):
+    // the capped seed frame is read twice by the pair self-join (and
+    // its lineage holds the gram build + df agg — two corpus passes);
+    // materializing it once cuts both, and the blocks are GC-freed
+    // with the result plan — no CacheManager entry for library callers
     val seed = g.join(
       g.groupBy(col("gram")).agg(countDistinct(col("id")).as("__df"))
         .where(col("__df") <= dfCap).select(col("gram")),
       Seq("gram"))
+      .localCheckpoint(true)
     val matches = seed.select(col("gram"), col("id").as("doc_a"), col("pos").as("__pa"))
       .join(seed.select(col("gram"), col("id").as("doc_b"), col("pos").as("__pb")),
         Seq("gram"))

@@ -2458,6 +2458,80 @@ class StreamingSpec extends SparkSpec {
     assert(oneShot === Set(20L))
   }
 
+  test("StreamingSpanDedup: accepted-first coverage gate + lowest-id-within-batch; short docs pass; seeding and compaction preserve verdicts") {
+    // the span row of the streaming-gate matrix: coverage = distinct
+    // word positions inside >= 8-word spans copied verbatim from
+    // accepted (or lower-id in-batch) docs, over the doc's word count;
+    // >= 50% drops. Fixture arithmetic: B copies 12/20 words from
+    // accepted A (60% -> drop); C copies 8/32 (25% -> keep); E copies
+    // 16/20 from same-batch lower-id D (80% -> drop); a 3-word doc has
+    // no grams and always passes.
+    implicit val sqlCtx = spark.sqlContext
+    def words(r: Range, p: String) = r.map(i => s"$p$i").mkString(" ")
+    val docA = (1L, words(1 to 20, "w"))
+    val docS = (2L, "s1 s2 s3")
+    val docB = (10L, words(1 to 8, "u") + " " + words(5 to 16, "w"))
+    val docC = (11L, words(1 to 8, "w") + " " + words(1 to 24, "c"))
+    val docD = (12L, words(1 to 20, "d"))
+    val docE = (13L, words(3 to 18, "d") + " " + words(1 to 4, "e"))
+    val path = java.nio.file.Files.createTempDirectory("graft_spangate").toString
+    val input = MemoryStream[(Long, String)]
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = graft.streaming.StreamingSpanDedup.run(
+        input.toDS().toDF("doc_id", "text"), "doc_id", "text", path,
+        l = 8, dfCap = 32, maxCoveragePpm = 500000L) { (surv, _) =>
+        accepted.synchronized {
+          accepted ++= surv.select("doc_id").as[Long].collect(); ()
+        }
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_spangate_ck").toString)
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    try {
+      input.addData(docA, docS); q.processAllAvailable()
+      assert(accepted.synchronized(accepted.toSet) === Set(1L, 2L))
+      input.addData(docB, docC, docD, docE); q.processAllAvailable()
+      assert(accepted.synchronized(accepted.toSet) === Set(1L, 2L, 11L, 12L))
+    } finally q.stop()
+    // state holds ONLY survivors' grams (dropped B/E never indexed;
+    // short S has none) — the online contract
+    val stored = spark.read.option("basePath", path)
+      .parquet(s"$path/batch=0", s"$path/batch=1")
+      .select("__id").distinct().as[Long].collect().toSet
+    assert(stored === Set(1L, 11L, 12L))
+
+    // seeding: a tree seeded from accepted corpus {A} gates batch 0 —
+    // B drops immediately, C passes (the StreamingDedup.seedIndex shape)
+    val path2 = java.nio.file.Files.createTempDirectory("graft_spangate2").toString
+    graft.streaming.StreamingSpanDedup.seedIndex(
+      Seq(docA).toDF("doc_id", "text"), "doc_id", "text", path2, l = 8)
+    val input2 = MemoryStream[(Long, String)]
+    val accepted2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q2 = graft.streaming.StreamingSpanDedup.run(
+        input2.toDS().toDF("doc_id", "text"), "doc_id", "text", path2,
+        l = 8, dfCap = 32, maxCoveragePpm = 500000L) { (surv, _) =>
+        accepted2.synchronized {
+          accepted2 ++= surv.select("doc_id").as[Long].collect(); ()
+        }
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_spangate2_ck").toString)
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    try {
+      input2.addData(docB, docC); q2.processAllAvailable()
+      assert(accepted2.synchronized(accepted2.toSet) === Set(11L))
+      // compaction folds seed + batch 0 into one generation (upTo=0:
+      // the stream is idle and batch 0 is checkpoint-committed); a
+      // later exact copy of C still drops — verdicts preserved across
+      // the layout change
+      assert(graft.streaming.StreamingSpanDedup.compact(spark, path2,
+        upTo = Some(0L)) === Some(0L))
+      input2.addData((20L, docC._2)); q2.processAllAvailable()
+      assert(accepted2.synchronized(accepted2.toSet) === Set(11L),
+        "an exact copy of accepted C must drop after compaction")
+    } finally q2.stop()
+  }
+
   test("BatchIndex _MANIFEST: manifest view == listing view; every crash window degrades to the marker fallback, never to a wrong answer") {
     // round-11 judge item 7: the manifest is an RPC cache for the
     // per-dir commit checks (N+2 -> 3 metadata round-trips on an object
