@@ -529,6 +529,44 @@ object ScaleBench {
       }
     }
     val semg10m = minOf3(semGateMaintainedCell(dirs(10)), "semg_h10_maintained")
+    // the DETERMINISTIC form of the same cell: the scoring join's
+    // candidate volume Σ_cell |batch_cell|·|accepted_cell| — the exact
+    // quantity the k ~ sqrt(n) rebuild shrinks — counted on the seeded
+    // tree before and after maintain(). At this toy scale the
+    // wall-clock cells above are dominated by fixed per-batch/per-dir
+    // overheads (a finer quantizer means MORE partition dirs to list,
+    // so h10_maintained can read slower than h10 locally — disclosed,
+    // not hidden); the candidate count is the term that compounds at
+    // corpus scale, and it is noise-free.
+    def semCandPairs(path: String): Long = {
+      val root = StreamingIvf.genRoot(spark, path)
+      val cents = spark.read.parquet(s"$root/centroids")
+      val batch = e1.withColumn("vec_id", col("vec_id") + lit(5000000000L))
+      val bCell = operators.Ivf.assign(batch, "vec_id", "v", cents)
+        .groupBy(col("centroid_id")).agg(count(lit(1)).as("nb"))
+      val aCell = StreamingIvf.committedIndex(spark, path)
+        .groupBy(col("centroid_id")).agg(count(lit(1)).as("na"))
+      bCell.join(aCell, Seq("centroid_id"))
+        .agg(coalesce(sum(col("nb") * col("na")), lit(0L)).as("s"))
+        .head.getLong(0)
+    }
+    def seededTree(histDir: String, maintained: Boolean): String = {
+      val path = tmpDir(if (maintained) "semcm" else "semc")
+      StreamingIvf.staticCentroids(e1, "vec_id", "v", path, stride = 16, refine = 1)
+      val cents = spark.read.parquet(s"$path/centroids")
+      val hist = spark.read.parquet(s"$histDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      StreamingIvf.seedIndex(
+        operators.Ivf.assign(hist, "vec_id", "v", cents)
+          .join(hist.select(col("vec_id").as("neighbor_id"), col("v").as("__cv")),
+            Seq("neighbor_id")), path)
+      if (maintained) require(StreamingIvf.maintain(spark, path).nonEmpty,
+        "maintain() did not trigger on the 10x-history tree")
+      path
+    }
+    val cand10 = semCandPairs(seededTree(dirs(10), maintained = false))
+    val cand10m = semCandPairs(seededTree(dirs(10), maintained = true))
+    System.err.println(s"[scalebench] semgate cand pairs h10=$cand10 maintained=$cand10m")
     // The measured cost is PLAN CONSTRUCTION — the committed-dir
     // listing + partition discovery — and it has two regimes: below
     // spark.sql.sources.parallelPartitionDiscovery.threshold (32 root
@@ -616,7 +654,9 @@ object ScaleBench {
       f""""curation_ingest":{"h1":$gate1%.3f,"h10":$gate10%.3f,"ratio10":${gate10 / gate1}%.2f},""" +
       f""""sivf_ingest":{"h1":$sivf1%.3f,"h10":$sivf10%.3f,"ratio10":${sivf10 / sivf1}%.2f},""" +
       f""""semgate_ingest":{"h1":$semg1%.3f,"h10":$semg10%.3f,"ratio10":${semg10 / semg1}%.2f,""" +
-      f""""h10_maintained":$semg10m%.3f,"ratio10_maintained":${semg10m / semg1}%.2f},""" +
+      f""""h10_maintained":$semg10m%.3f,"ratio10_maintained":${semg10m / semg1}%.2f,""" +
+      f""""cand_pairs_h10":$cand10,"cand_pairs_h10_maintained":$cand10m,""" +
+      f""""cand_drop":${cand10.toDouble / math.max(1L, cand10m)}%.2f},""" +
       f""""sivf_topk":{"b12_serial_listing":$topk12%.3f,"b96":$topk96%.3f,"b384":$topk384%.3f,""" +
       f""""growth_4x_dirs":${topk384 / topk96}%.2f,"b384_compacted":$topk384c%.3f,""" +
       f""""compacted_vs_b96":${topk384c / topk96}%.2f},""" +
