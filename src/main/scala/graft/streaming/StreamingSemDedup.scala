@@ -9,10 +9,12 @@ import graft.operators.Ivf
 
 /** Incremental SEMANTIC dedup of an EMBEDDING stream — SemDeDup's
   * cluster-then-compare recipe ([[graft.operators.SemDedup]], Abbas et
-  * al. 2023, arXiv:2303.09540) as an ingest gate. This completes the
-  * streaming-gate matrix: text has [[StreamingDedup]]/[[CurationGate]]
-  * (MinHash banding), media has [[StreamingPhashDedup]] (pHash banding),
-  * and embeddings now have this (coarse-cell cosine).
+  * al. 2023, arXiv:2303.09540) as an ingest gate — the embeddings row
+  * of the streaming-gate matrix: text has
+  * [[StreamingDedup]]/[[CurationGate]] (MinHash banding), media has
+  * [[StreamingPhashDedup]] (pHash banding), exact substring spans have
+  * [[StreamingSpanDedup]] (anchor-gram coverage), and embeddings have
+  * this (coarse-cell cosine).
   *
   * Policy — greedy ONLINE semantic dedup, mirroring [[StreamingDedup]]
   * clause for clause:
