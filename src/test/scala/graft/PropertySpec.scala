@@ -1056,4 +1056,59 @@ class PropertySpec extends SparkSpec {
       assert(est === actual, s"est $est != actual $actual")
     }
   }
+
+  test("law: SpanDedup.pairReport == brute-force diagonal scan on random low-vocabulary corpora") {
+    // the anchor-join + gaps-and-islands machinery vs a direct O(n²)
+    // reference: for every doc pair and alignment offset, walk token
+    // positions and take maximal runs where the l-grams match — the
+    // operator must reproduce every maximal span exactly (count,
+    // longest, total). Low vocabulary forces real shared spans; dfCap
+    // is disabled here (its split semantics have their own fixture
+    // pin) and separately pinned as a monotone law below.
+    val l = 3
+    val docsGen: Gen[List[(Long, String)]] =
+      Gen.listOfN(8, Gen.choose(3, 28).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("x0", "x1", "x2", "x3")).map(_.mkString(" "))))
+        .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    def brute(docs: Seq[(Long, Seq[String])]): Set[(Long, Long, Long, Long, Long)] = {
+      val spans = for {
+        (ia, wa) <- docs; (ib, wb) <- docs if ia < ib
+        ga = wa.indices.dropRight(l - 1).map(i => wa.slice(i, i + l))
+        gb = wb.indices.dropRight(l - 1).map(i => wb.slice(i, i + l))
+        d <- (-(ga.size - 1) to (gb.size - 1))
+        // maximal runs of matching grams along this diagonal
+        hits = (0 until ga.size).filter(i =>
+          i + d >= 0 && i + d < gb.size && ga(i) == gb(i + d))
+        run <- hits.foldLeft(List.empty[List[Int]]) {
+          case (h :: t, i) if h.head == i - 1 => (i :: h) :: t
+          case (acc, i) => List(i) :: acc
+        }
+      } yield (ia, ib, run.size.toLong + (l - 1))
+      spans.groupBy(s => (s._1, s._2)).map { case ((a, b), ss) =>
+        (a, b, ss.size.toLong, ss.map(_._3).max, ss.map(_._3).sum)
+      }.toSet
+    }
+    samples(docsGen, 6).foreach { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val got = SpanDedup.pairReport(df, "doc_id", "text", l, dfCap = 100000)
+        .select("doc_a", "doc_b", "n_spans", "max_span_words", "dup_words")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val want = brute(docs.map { case (i, t) => (i, t.split(" ").toSeq) })
+      assert(got === want, s"docs: $docs")
+      // df-cap monotone laws: a cap never CREATES pairs (anchors are
+      // only ever removed) and never grows a pair's LONGEST span (a
+      // capped maximal run is a sub-run of some uncapped run). NOTE
+      // dup_words is deliberately NOT monotone: split spans OVERLAP
+      // around the dropped gram, and dup_words sums span lengths —
+      // the LlmOpsSpec fixture pins exactly that (2×15 > 1×24).
+      val capped = SpanDedup.pairReport(df, "doc_id", "text", l, dfCap = 3)
+        .select("doc_a", "doc_b", "max_span_words")
+        .as[(Long, Long, Long)].collect()
+      val byPair = got.map(r => (r._1, r._2) -> r._4).toMap
+      capped.foreach { case (a, b, mx) =>
+        assert(byPair.contains((a, b)), s"cap created pair ($a,$b)")
+        assert(mx <= byPair((a, b)), s"cap grew max span on ($a,$b)")
+      }
+    }
+  }
 }
