@@ -57,7 +57,7 @@ object StreamingIvf {
   // `<path>` itself (no marker) — pre-rebuild trees keep working
   // unchanged.
 
-  private[streaming] def genRoot(spark: SparkSession, path: String): String =
+  private[graft] def genRoot(spark: SparkSession, path: String): String =
     currentGen(spark, path).fold(path)(g => s"$path/gen=$g")
 
   private def currentGen(spark: SparkSession, path: String): Option[Long] = {
