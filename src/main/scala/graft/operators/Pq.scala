@@ -67,6 +67,33 @@ object Pq {
         VecExprs.dot(col("__cv"), col("__cv")).as("__cc"))
   }
 
+  /** Hash-seeded per-subspace codebooks for corpora whose ids are NOT a
+    * dense 0-based lattice — the [[Ivf.centroidsHashed]] device one
+    * level down: a vector seeds codes when pmod(xxhash64(id), every)
+    * == 0 (deterministic, map-side, expected n/every seeds wherever the
+    * ids live), the seed set is capped at the `maxCodes` smallest seed
+    * ids (a window over the already-tiny seed frame) and code ids are
+    * their id-order ranks. Same output shape as [[codebooks]]; size
+    * `every` ≈ n/maxCodes. [[graft.streaming.StreamingIvf.rebuild]]
+    * uses it for PQ re-training when the accumulated tree's ids no
+    * longer cover any `id % stride` lattice.
+    */
+  def codebooksHashed(vecs: DataFrame, idCol: String, vecCol: String,
+      m: Int, dims: Int, every: Long, maxCodes: Int = 16): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"m must divide dims: $dims % $m != 0")
+    require(every >= 1, s"every must be >= 1, got $every")
+    require(maxCodes >= 1, s"maxCodes must be >= 1, got $maxCodes")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
+    vecs
+      .where(pmod(xxhash64(col(idCol)), lit(every)) === 0)
+      .withColumn("code", (row_number().over(w) - 1))
+      .where(col("code") < maxCodes)
+      .select(col("code"),
+        posexplode(subvectors(col(vecCol), m, dims)).as(Seq("subspace", "__cv")))
+      .select(col("subspace"), col("code"), col("__cv"),
+        VecExprs.dot(col("__cv"), col("__cv")).as("__cc"))
+  }
+
   /** Lloyd refinement of per-subspace codebooks (k-means on each
     * subspace, [[Ivf.centroids]]'s fixed-point device one level down):
     * each round re-encodes the training vectors and re-centers every
@@ -321,16 +348,20 @@ object Pq {
       .localCheckpoint(true)
     // ids-only fetch: below the guard the shortlist broadcasts and the
     // corpus-scale raw index streams map-side without shuffling; above
-    // it (probes at mining scale) the hints drop — see the scaladoc
-    val smallProbeSide = shortlist.count() <= maxBroadcastRows
-    def probeSized(df: DataFrame): DataFrame =
-      if (smallProbeSide) broadcast(df) else df
+    // it (probes at mining scale) the hints drop — see the scaladoc.
+    // Each probe-keyed frame gates on ITS OWN size: the probe-vector
+    // re-attach is ~shortlistRows/r rows, so a shortlist just past the
+    // guard must not demote a still-small probe broadcast (review r12)
+    val shortlistRows = shortlist.count()
+    def gated(df: DataFrame, rows: Long): DataFrame =
+      if (rows <= maxBroadcastRows) broadcast(df) else df
     val fetched = rawIndex.select(col("neighbor_id"), col("__cv"))
-      .join(probeSized(shortlist), Seq("neighbor_id"))
+      .join(gated(shortlist, shortlistRows), Seq("neighbor_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("__d2").asc, col("neighbor_id").asc)
     fetched
-      .join(probeSized(p.select(col("probe_id"), col("__pv"))), Seq("probe_id"))
+      .join(gated(p.select(col("probe_id"), col("__pv")),
+        shortlistRows / math.max(1, r)), Seq("probe_id"))
       .select(col("probe_id"), col("neighbor_id"), col("adist_fp"),
         (VecExprs.dot(col("__cv"), col("__cv"))
           - lit(2.0) * VecExprs.dot(col("__cv"), col("__pv"))

@@ -62,10 +62,15 @@ object SpanDedup {
       .select(col(idCol).as("id"),
         posexplode(split(lower(col(textCol)), " ")).as(Seq("__p0", "__t")))
       .select(col("id"), (col("__p0") + 1).as("pos"), col("__t"))
-      .withColumn("__n", max(col("pos")).over(Window.partitionBy(col("id"))))
+      // window validity via the LAST lead being in-partition (null only
+      // past the doc end — a legitimate "" token is not null), so the
+      // one ordered window evaluates all l-1 leads AND the filter;
+      // deriving doc length via a second max(pos) window doubled the
+      // window passes over the corpus's token rows (review r12)
+      .withColumn("__last", lead(col("__t"), l - 1).over(wOrd))
       .withColumn("gram", concat_ws(" ", (0 until l).map(i =>
         if (i == 0) col("__t") else lead(col("__t"), i).over(wOrd)): _*))
-      .where(col("pos") <= col("__n") - (l - 1))
+      .where(col("__last").isNotNull)
       .select(col("id"), col("pos"), col("gram"))
   }
 

@@ -85,19 +85,20 @@ private[graft] object BatchIndex {
   }
 
   // ----------------------------------------------------- manifest log
-  // `<root>/_MANIFEST` lists the committed child-directory NAMES, so a
-  // reader resolves the committed view with ONE small file read + ONE
-  // listStatus instead of one exists() RPC per child (N+2 → 3 metadata
-  // round-trips; on an object store at 100 TB, per-dir marker checks
-  // are the dominant plan-construction cost of a many-batch tree).
+  // `<root>/_MANIFEST.v<N>` (highest N wins) lists the committed
+  // child-directory NAMES, so a reader resolves the committed view with
+  // ONE small file read + ONE listStatus instead of one exists() RPC
+  // per child (N+2 → 3 metadata round-trips; on an object store at
+  // 100 TB, per-dir marker checks are the dominant plan-construction
+  // cost of a many-batch tree).
   //
   // The manifest is an RPC CACHE, never the source of truth — the
   // commit marker stays authoritative:
   //  - a name is only a PREDICATE on dirs the listing actually returned
   //    (a stale entry for a deleted dir is inert);
   //  - a listed dir NOT in the manifest falls back to the marker check
-  //    (exists()), so a missing/torn/lost-update manifest degrades to
-  //    the old per-dir cost, never to a wrong answer;
+  //    (exists()), so a missing/torn/lost manifest degrades to the old
+  //    per-dir cost, never to a wrong answer;
   //  - writers REMOVE the name before overwriting a dir and re-add it
   //    after the new marker lands, preserving the retry contract (the
   //    brief marker-less window during a rewrite hides the batch from
@@ -106,58 +107,89 @@ private[graft] object BatchIndex {
   //  - crash between marker and manifest re-add: the batch is visible
   //    via the fallback, and the foreachBatch retry (the checkpoint
   //    never acknowledged) re-lands marker + manifest — convergent.
-  // Concurrent writers (compact beside live ingest) can lose an update
-  // (read-modify-write race): the dropped name costs readers one
-  // fallback exists() per read until the next compaction folds the dir
-  // — disclosed, self-healing, never incorrect.
-  private def manifestFile(indexPath: String) = new Path(s"$indexPath/_MANIFEST")
+  //
+  // MUTATIONS ARE A VERSIONED CAS, not read-modify-write: each update
+  // re-reads the current version and CREATE-EXCLUSIVEs `v(N+1)`; losing
+  // the race re-reads and retries. This closes the resurrection race a
+  // plain rewrite has (review r12): a concurrent compact that read the
+  // manifest BEFORE a retry's remove-and-overwrite began could write
+  // the removed name back while the dir held half-written files — with
+  // CAS its create fails, it re-reads the remove, and the name stays
+  // out. Create-exclusive is atomic on HDFS/object stores (local FS has
+  // a microscopic TOCTOU window whose worst case is one lost update —
+  // see below). A crash mid-create leaves a TORN current version:
+  // readers parse what is there and fall back per-dir for the rest;
+  // names it dropped re-add at that dir's next touchCommit (compaction
+  // at the latest) — bounded extra exists() calls, never incorrectness.
+  // Versions ≤ current−1 are deleted on successful CAS (the −1 grace
+  // keeps an in-flight reader's opened version alive; one deleted
+  // under a slower reader reads as absent → full fallback).
+  private val ManifestPrefix = "_MANIFEST.v"
+
+  private def manifestVersions(
+      fs: org.apache.hadoop.fs.FileSystem, indexPath: String): Seq[Long] = {
+    val root = new Path(indexPath)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(ManifestPrefix))
+      .flatMap(n => scala.util.Try(n.stripPrefix(ManifestPrefix).toLong).toOption)
+  }
+
+  private def readVersion(
+      fs: org.apache.hadoop.fs.FileSystem, indexPath: String,
+      v: Long): Set[String] =
+    try {
+      val in = fs.open(new Path(s"$indexPath/$ManifestPrefix$v"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).toSet
+      finally in.close()
+    } catch { case _: java.io.IOException => Set.empty }
 
   /** Committed child names per the manifest (empty when absent/torn —
     * readers fall back to per-dir marker checks).
     */
   def manifestNames(spark: SparkSession, indexPath: String): Set[String] = {
-    val p = manifestFile(indexPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Set.empty
-    else try {
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .map(_.trim).filter(_.nonEmpty).toSet
-      finally in.close()
-    } catch { case _: java.io.IOException => Set.empty }
+    val fs = new Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    manifestVersions(fs, indexPath).maxOption
+      .map(v => readVersion(fs, indexPath, v)).getOrElse(Set.empty)
   }
 
-  private def writeManifest(
-      spark: SparkSession, indexPath: String, names: Set[String]): Unit = {
-    val target = manifestFile(indexPath)
-    val tmp = new Path(s"$indexPath/._MANIFEST.tmp")
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(tmp, true)
-    try out.write(names.toSeq.sorted.mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    // delete+rename, not in-place rewrite: the gap where no manifest
-    // exists reads as "empty" (full fallback — correct); a torn
-    // in-place rewrite could drop arbitrary names silently, which is
-    // ALSO correct by the fallback rule but this keeps the common case
-    // all-or-nothing
-    fs.delete(target, false)
-    fs.rename(tmp, target)
-    ()
+  /** CAS mutation: re-read + apply `f` + create-exclusive the next
+    * version; retry on a lost race. Gives up after a few attempts — a
+    * missed update only costs readers fallback exists() calls.
+    */
+  private def mutateManifest(
+      spark: SparkSession, indexPath: String, f: Set[String] => Set[String]): Unit = {
+    val fs = new Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempts = 0
+    while (attempts < 8) {
+      attempts += 1
+      val ver = manifestVersions(fs, indexPath).maxOption.getOrElse(0L)
+      val cur = if (ver == 0L) Set.empty[String] else readVersion(fs, indexPath, ver)
+      val next = f(cur)
+      if (next == cur) return
+      try {
+        val out = fs.create(new Path(s"$indexPath/$ManifestPrefix${ver + 1}"), false)
+        try out.write(next.toSeq.sorted.mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        manifestVersions(fs, indexPath).filter(_ < ver)
+          .foreach(v => fs.delete(new Path(s"$indexPath/$ManifestPrefix$v"), false))
+        return
+      } catch { case _: java.io.IOException => () } // lost the CAS — retry
+    }
   }
 
   private def lastSeg(dir: String): String =
     dir.substring(dir.lastIndexOf('/') + 1)
 
-  /** Drop `name` from the manifest — call BEFORE overwriting a committed
-    * directory (see the manifest contract above).
+  /** Drop `names` from the manifest — call BEFORE overwriting a
+    * committed directory (see the manifest contract above).
     */
   def manifestRemove(spark: SparkSession, indexPath: String, names: Seq[String]): Unit =
-    if (names.nonEmpty) {
-      val cur = manifestNames(spark, indexPath)
-      if (names.exists(cur.contains))
-        writeManifest(spark, indexPath, cur -- names)
-    }
+    if (names.nonEmpty) mutateManifest(spark, indexPath, _ -- names)
 
   def touchCommit(spark: SparkSession, dir: String): Unit = {
     val p = new Path(s"$dir/$CommitMarker")
@@ -166,7 +198,7 @@ private[graft] object BatchIndex {
     // marker first, then the manifest record: a crash between the two
     // leaves the dir visible via the fallback marker check
     val parent = dir.substring(0, dir.lastIndexOf('/'))
-    writeManifest(spark, parent, manifestNames(spark, parent) + lastSeg(dir))
+    mutateManifest(spark, parent, _ + lastSeg(dir))
   }
 
   def isCommitted(spark: SparkSession, dir: String): Boolean = {
@@ -211,8 +243,14 @@ private[graft] object BatchIndex {
     * Sorted oldest-first (by hi — ranges are disjoint after the
     * containment filter).
     */
-  def activeRuns(spark: SparkSession, indexPath: String): Seq[Run] = {
-    val man = manifestNames(spark, indexPath)
+  def activeRuns(spark: SparkSession, indexPath: String): Seq[Run] =
+    activeRuns(spark, indexPath, manifestNames(spark, indexPath))
+
+  /** [[activeRuns]] against an already-read manifest snapshot — callers
+    * holding one ([[graft.streaming.StreamingIvf]]'s committedView)
+    * share it instead of paying a second manifest read per call.
+    */
+  def activeRuns(spark: SparkSession, indexPath: String, man: Set[String]): Seq[Run] = {
     val committed = allRuns(spark, indexPath)
       .filter(r => isCommittedVia(spark, r.dir, man))
     committed.filter(r => !committed.exists(_.contains(r))).sortBy(_.hi)

@@ -120,12 +120,18 @@ object StreamingDedup {
     */
   def seedIndex(index: DataFrame, indexPath: String, b: Int = 32, r: Int = 4): Unit = {
     val spark = index.sparkSession
+    // manifest entries out before each overwrite, back via touchCommit
+    // (the BatchIndex manifest contract — a re-seed of a previously
+    // seeded tree must hide the half-written generation from manifest
+    // readers exactly as the marker protocol hides it)
+    BatchIndex.manifestRemove(spark, indexPath, Seq("compacted=-1"))
     index.write.mode("overwrite").parquet(s"$indexPath/compacted=-1")
     BatchIndex.touchCommit(spark, s"$indexPath/compacted=-1")
     // the seed's band rows, bucket-partitioned like every batch's —
     // b and r MUST match the gate the tree feeds ([[run]]'s / a
     // [[CurationGate.Config]]'s values), or banding verdicts diverge
     val bdir = s"${DedupStage.bandsPath(indexPath)}/compacted=-1"
+    BatchIndex.manifestRemove(spark, DedupStage.bandsPath(indexPath), Seq("compacted=-1"))
     DedupStage.bandRows(spark.read.parquet(s"$indexPath/compacted=-1"), b, r)
       .write.mode("overwrite").partitionBy("__bp").parquet(bdir)
     BatchIndex.touchCommit(spark, bdir)

@@ -306,15 +306,30 @@ object StreamingIvf {
             Seq("centroid_id"))
           .select(col("neighbor_id").as("rid"), col("centroid_id"),
             zip_with(col("__cv"), col("__kv"), (a, b) => a - b).as("__res"))
-        val books0 = Pq.codebooks(resF, "rid", "__res", params.m, params.dims,
-          params.stride, params.maxCodes)
+        // seeding strategy follows the centroid one: a hash-seeded
+        // rebuild (seedEvery — [[maintain]]'s path) also hash-seeds the
+        // codebook training (expected ~maxCodes seeds wherever the ids
+        // live), because the accumulated ids generally no longer cover
+        // any id%stride lattice — the default lattice path would find
+        // zero seeds and crash the automated loop (review r12)
+        val books0 = seedEvery match {
+          case Some(e) =>
+            Pq.codebooksHashed(resF, "rid", "__res", params.m, params.dims,
+              every = math.max(1L, e * maxK / math.max(1, params.maxCodes)),
+              maxCodes = params.maxCodes)
+          case None =>
+            Pq.codebooks(resF, "rid", "__res", params.m, params.dims,
+              params.stride, params.maxCodes)
+        }
         if (books0.isEmpty)
           throw new IllegalStateException(
-            s"PQ codebook re-training at $path found NO seed vectors " +
-              s"(id % ${params.stride} == 0, id < ${params.stride.toLong * params.maxCodes}) " +
-              s"in the accumulated corpus — the id range no longer covers the " +
-              s"persisted seeding lattice; re-bootstrap with staticPq at a " +
-              s"budget matching the corpus ids")
+            s"PQ codebook re-training at $path found NO seed vectors (" +
+              (if (seedEvery.isDefined)
+                s"hash-seeded at every=${seedEvery.get}"
+               else
+                s"id % ${params.stride} == 0, id < ${params.stride.toLong * params.maxCodes}") +
+              s") in the accumulated corpus — re-bootstrap with staticPq " +
+              s"at a budget matching the corpus ids")
         val books1 =
           if (params.refineRounds > 0)
             Pq.refineCodebooks(resF, "rid", "__res", books0,
@@ -399,15 +414,21 @@ object StreamingIvf {
     * ≥ `occupancyFactor` relative to k = √n sizing (k < √n/2 at the
     * default 4.0 — the [[StreamingSemDedup]] ingest-cost trigger).
     */
+  /** The shared trigger predicate — [[needsRebuild]] (the public
+    * signal) and [[maintain]] (the automated action) MUST agree, so
+    * the threshold logic lives once.
+    */
+  private def rebuildTrigger(
+      h: IndexHealth, shareThreshold: Double, occupancyFactor: Double): Boolean =
+    h.n > 0 &&
+      (h.maxListShare >= shareThreshold || h.occupancyFactor >= occupancyFactor)
+
   def needsRebuild(
       spark: SparkSession,
       path: String,
       shareThreshold: Double = 0.25,
-      occupancyFactor: Double = 4.0): Boolean = {
-    val h = health(spark, path)
-    h.n > 0 &&
-      (h.maxListShare >= shareThreshold || h.occupancyFactor >= occupancyFactor)
-  }
+      occupancyFactor: Double = 4.0): Boolean =
+    rebuildTrigger(health(spark, path), shareThreshold, occupancyFactor)
 
   /** The automated index-health → rebuild loop (round-11 judge item 1):
     * when [[needsRebuild]]'s signal fires, re-train the quantizer at
@@ -434,9 +455,7 @@ object StreamingIvf {
       refine: Int = 1,
       kTarget: Option[Int] = None): Option[Long] = {
     val h = health(spark, path)
-    val trigger = h.n > 0 &&
-      (h.maxListShare >= shareThreshold || h.occupancyFactor >= occupancyFactor)
-    if (!trigger) None
+    if (!rebuildTrigger(h, shareThreshold, occupancyFactor)) None
     else {
       val k = kTarget.getOrElse(
         math.max(4, math.ceil(math.sqrt(h.n.toDouble)).toInt))
@@ -667,7 +686,7 @@ object StreamingIvf {
     // [[BatchIndex]] manifest contract: a listed dir missing from the
     // manifest falls back to its marker)
     val man = BatchIndex.manifestNames(spark, assignPath)
-    val runs = BatchIndex.activeRuns(spark, assignPath)
+    val runs = BatchIndex.activeRuns(spark, assignPath, man)
     val bound = runs.map(_.hi).maxOption
     val dirs = BatchIndex.batchDirIds(spark, assignPath)
       .filter(id => bound.forall(id > _))

@@ -197,6 +197,10 @@ object StreamingSpanDedup {
       indexPath: String, l: Int = 8): Unit = {
     val spark = docs.sparkSession
     val dir = s"$indexPath/compacted=-1"
+    // manifest entry out before the overwrite, back via touchCommit —
+    // a re-seed must hide the half-written generation (the BatchIndex
+    // manifest contract)
+    BatchIndex.manifestRemove(spark, indexPath, Seq("compacted=-1"))
     gramRows(docs, idCol, textCol, l)
       .write.mode("overwrite").partitionBy("__gp").parquet(dir)
     BatchIndex.touchCommit(spark, dir)

@@ -2458,6 +2458,64 @@ class StreamingSpec extends SparkSpec {
     assert(oneShot === Set(20L))
   }
 
+  test("StreamingIvf.maintain on a PQ tree whose ids left the stride lattice: the rebuild hash-seeds the BOOKS too — no crash, one-shot twin parity") {
+    // review r12: maintain made CENTROID seeding hash-based but PQ book
+    // re-training still seeded via id % stride — on a tree whose
+    // accumulated ids are all offset (exactly the non-lattice scenario
+    // the hash seeding exists for) the lattice slice is empty and the
+    // automated loop crashed the stream with the fence left up. Now a
+    // seedEvery rebuild hash-seeds the codebooks at the persisted
+    // budget; pinned against the one-shot hash-seeded twin.
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("graft_sivf_offl").toString
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // models bootstrap on dense ids; the INGESTED corpus is all offset
+    graft.streaming.StreamingIvf.staticCentroids(e, "vec_id", "v", path,
+      stride = 16, refine = 0)
+    graft.streaming.StreamingIvf.staticPq(e, "vec_id", "v", path, m = 8, dims = 64)
+    val off = e.select((col("vec_id") + 5000000000L).as("vec_id"), col("v"))
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamingIvf.run(
+        input.toDS().toDF("vec_id", "v"), "vec_id", "v", path) { (_, _) => () }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_sivf_offl_ck").toString)
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    try {
+      input.addData(off.as[(Long, Seq[Double])].collect().toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // force the trigger (the fixture is balanced; the loop's crash was
+    // the bug under test, not the thresholds)
+    val gen = graft.streaming.StreamingIvf.maintain(spark, path,
+      occupancyFactor = 0.1, refine = 1)
+    assert(gen === Some(1L))
+    // no fence left behind; signal evaluation still works
+    assert(!new java.io.File(s"$path/_REBUILD").exists())
+
+    // one-shot hash-seeded twin at the SAME derived budgets
+    val n = off.count()
+    val kT = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val every = math.max(1L, n / kT)
+    val centsT = operators.Ivf.centroidsHashed(off, "vec_id", "v",
+      every, refine = 1, maxK = kT).localCheckpoint(true)
+    val asgT = operators.Ivf.assign(off, "vec_id", "v", centsT, id = "rid")
+    val resT = operators.Pq.residualFrame(off, "vec_id", "v", asgT, centsT, "rid")
+    val booksT = operators.Pq.codebooksHashed(resT, "rid", "__res", 8, 64,
+      every = math.max(1L, every * kT / 16), maxCodes = 16)
+    val encT = operators.Pq.encode(resT, "rid", "__res", booksT, 8, 64)
+      .select(col("id"), col("subspace"), col("code"))
+      .join(asgT.withColumnRenamed("rid", "id"), Seq("id"))
+      .select(col("id"), col("centroid_id"), col("subspace"), col("code"))
+      .as[(Long, Long, Int, Int)].collect().toSet
+    val encGot = graft.streaming.StreamingIvf.committedEnc(spark, path)
+      .select(col("id"), col("centroid_id"), col("subspace"), col("code"))
+      .as[(Long, Long, Int, Int)].collect().toSet
+    assert(encGot.nonEmpty)
+    assert(encGot === encT)
+  }
+
   test("StreamingSpanDedup: accepted-first coverage gate + lowest-id-within-batch; short docs pass; seeding and compaction preserve verdicts") {
     // the span row of the streaming-gate matrix: coverage = distinct
     // word positions inside >= 8-word spans copied verbatim from
@@ -2578,27 +2636,38 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Int, Long, Double)].collect().toSet
     val expect = topkSet()
     assert(expect.nonEmpty)
-    val manifestFile = java.nio.file.Paths.get(s"$assign/_MANIFEST")
+    def versionFiles = new java.io.File(assign).listFiles().map(_.getName)
+      .filter(_.startsWith("_MANIFEST.v")).toSeq
+    // plant a synthetic CURRENT version (a fresh high version number,
+    // written raw so no checksum sidecar exists to mismatch)
+    def plant(content: Set[String]): Unit = {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$assign/_MANIFEST.v999"),
+        content.toSeq.sorted.mkString("\n").getBytes("UTF-8")); ()
+    }
 
-    // (b) manifest gone (crash between delete and rename) -> fallback
-    val saved = java.nio.file.Files.readAllBytes(manifestFile)
-    java.nio.file.Files.delete(manifestFile)
+    // (b) manifest gone entirely (every version lost) -> full per-dir
+    // marker fallback. The CAS keeps a grace version N-1 on disk for
+    // in-flight readers, so ALL versions must go to simulate this.
+    versionFiles.foreach { n =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(s"$assign/$n"))
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$assign/.$n.crc"))
+    }
     assert(graft.streaming.BatchIndex.manifestNames(spark, assign) === Set.empty)
     assert(topkSet() === expect)
-    java.nio.file.Files.write(manifestFile, saved)
 
-    // (c) lost update: one committed name missing -> its marker covers it
+    // (c) torn/partial current version: one committed name missing ->
+    // its marker covers it
     val dropped = man0.toSeq.sorted.last
-    java.nio.file.Files.write(manifestFile,
-      (man0 - dropped).toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    plant(man0 - dropped)
+    assert(graft.streaming.BatchIndex.manifestNames(spark, assign) === man0 - dropped)
     assert(topkSet() === expect)
 
     // (d) stale extra entry for a dir that does not exist -> inert
     // (names are only predicates on LISTED dirs)
-    java.nio.file.Files.write(manifestFile,
-      (man0 + "batch=9999").toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    plant(man0 + "batch=9999")
     assert(topkSet() === expect)
-    java.nio.file.Files.write(manifestFile, saved)
+    plant(man0)
 
     // (e) mid-overwrite window: a retrying batch first leaves the
     // manifest (manifestRemove) and drops its marker with the overwrite
