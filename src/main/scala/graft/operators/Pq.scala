@@ -349,10 +349,17 @@ object Pq {
     // ids-only fetch: below the guard the shortlist broadcasts and the
     // corpus-scale raw index streams map-side without shuffling; above
     // it (probes at mining scale) the hints drop — see the scaladoc.
-    // Each probe-keyed frame gates on ITS OWN size: the probe-vector
-    // re-attach is ~shortlistRows/r rows, so a shortlist just past the
-    // guard must not demote a still-small probe broadcast (review r12)
+    // Each probe-keyed frame gates on ITS OWN size. The probe-vector
+    // re-attach gates on the ACTUAL probe count (distinct probe_id over
+    // the already-materialized probe-lists frame — one |p|·nprobe-row
+    // pass, never the corpus), not the shortlistRows/r estimate: when
+    // probed lists yield fewer than r candidates per probe (fine
+    // quantizer, sparse lists) that estimate undercounts by up to r×,
+    // and a corpus-scale probe frame with full vectors could slip under
+    // the guard and broadcast — the OOM the guard exists to prevent
+    // (ADVICE r12).
     val shortlistRows = shortlist.count()
+    val probeRows = probeLists.select(col("probe_id")).distinct().count()
     def gated(df: DataFrame, rows: Long): DataFrame =
       if (rows <= maxBroadcastRows) broadcast(df) else df
     val fetched = rawIndex.select(col("neighbor_id"), col("__cv"))
@@ -360,8 +367,7 @@ object Pq {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("__d2").asc, col("neighbor_id").asc)
     fetched
-      .join(gated(p.select(col("probe_id"), col("__pv")),
-        shortlistRows / math.max(1, r)), Seq("probe_id"))
+      .join(gated(p.select(col("probe_id"), col("__pv")), probeRows), Seq("probe_id"))
       .select(col("probe_id"), col("neighbor_id"), col("adist_fp"),
         (VecExprs.dot(col("__cv"), col("__cv"))
           - lit(2.0) * VecExprs.dot(col("__cv"), col("__pv"))

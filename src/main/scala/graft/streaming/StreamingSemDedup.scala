@@ -108,10 +108,22 @@ object StreamingSemDedup {
         .collect().map(_.getLong(0)).toSeq
       // accepted rows in touched cells as of this batch (beforeBatch
       // excludes a retry's own half-written directory; the read is
-      // column-pruned to ids + vectors — stored PQ codes stay unread)
-      val accepted = BatchIndex.read(spark, s"$root/assign",
-          assigned.select(col("neighbor_id"), col("centroid_id"), col("__cv")),
-          beforeBatch = batchId)
+      // column-pruned to ids + vectors — stored PQ codes stay unread).
+      // On a BUCKETED generation (a maintained tree — the __cp layout)
+      // the partition prune is the touched cells' __cp buckets and the
+      // centroid In-filter drops to row-group stats under it.
+      val buckets = StreamingIvf.cpBucketsOf(spark, root)
+      val template = buckets.fold(
+          assigned.select(col("neighbor_id"), col("centroid_id"), col("__cv")))(p =>
+          assigned.select(col("neighbor_id"), col("centroid_id"), col("__cv"))
+            .withColumn("__cp", pmod(col("centroid_id"), lit(p.toLong))))
+      val scan = BatchIndex.read(spark, s"$root/assign", template,
+        beforeBatch = batchId)
+      val pruned = buckets.fold(scan) { p =>
+        val cps = touched.map(StreamingIvf.bucketOf(_, p).toLong).distinct
+        scan.where(col("__cp").isin(cps: _*))
+      }
+      val accepted = pruned
         .where(col("centroid_id").isin(touched: _*))
         .select(col("neighbor_id").as("__idb"), col("centroid_id"),
           col("__cv").as("__vb"))
@@ -157,7 +169,8 @@ object StreamingSemDedup {
           StreamingIvf.compact(spark, path, tiered = true)
       }
       maintainEvery.filter(_ > 0).foreach { every =>
-        if ((batchId + 1) % every == 0) { StreamingIvf.maintain(spark, path); () }
+        if ((batchId + 1) % every == 0)
+          StreamingIvf.inBandMaintain(spark, path, batchId)
       }
       val dropIds = dupOfAccepted.unionByName(innerDrop)
         .select(col("neighbor_id").as(idCol))

@@ -132,8 +132,19 @@ object StreamingSpanDedup {
       // the stored gram scan at PartitionFilters level
       val touched = bg.select(col("__gp")).distinct()
         .collect().map(_.getLong(0)).toSeq
+      // the stored scan is pruned TWICE before materialization: the
+      // touched-bucket PartitionFilters prune, then a semi-join on the
+      // batch's own gram set (ADVICE r12 — without it the checkpoint
+      // copied every touched bucket's FULL history each batch, O(history)
+      // write amplification; a typical batch touches all 64 buckets).
+      // Dropping history grams absent from the batch changes nothing
+      // downstream: the anchor join (covAcc) needs both sides to share a
+      // __gh, and the stop-df of a gram is only ever consulted for grams
+      // the batch carries — for those the df over (batch ∪ semi-joined
+      // accepted) equals the df over (batch ∪ touched buckets) exactly.
       val accepted = BatchIndex.read(spark, indexPath, bg, beforeBatch = batchId)
         .where(col("__gp").isin(touched: _*))
+        .join(bg.select(col("__gh")).distinct(), Seq("__gh"), "left_semi")
         .localCheckpoint(true)
       // online stop grams: df over the visible universe (batch ∪
       // touched accepted buckets) above the cap seeds no anchors
