@@ -3942,12 +3942,19 @@ object MiningQueries {
         // × nprobe) cell but nothing consumed the table — this closes
         // the loop the way maintain() closed q165's: feed the SAME grid
         // to Ivf.recommendNprobe, which emits per selectivity bucket
-        // the smallest nprobe meeting a 95% recall target (grid max +
+        // the smallest nprobe meeting the recall target (grid max +
         // target_met=false when the swept range can't reach it — the
         // widen-the-sweep signal). A deployment reads this table
         // instead of folklore-tuning nprobe per filter predicate.
+        // Target sizing at gate scale: the sf0.01 corpus trains a
+        // ~31-list quantizer whose recall CEILING over this grid is
+        // ~58% at nprobe = 8, so a production-style 95% target is
+        // all-fallback (that branch is law-pinned in LlmOpsSpec); 40%
+        // sits inside the reachable band and exercises the
+        // bucket-DEPENDENT smallest-qualifying selection end to end
+        // (buckets 2/5 meet it at nprobe 4, buckets 1/10 need 8).
         Ivf.recommendNprobe(filteredRecallGrid(s, d), "label_lt",
-            targetRecallPpm = 950000L)
+            targetRecallPpm = 400000L)
           .orderBy(col("label_lt"))
       },
       // the q174 grid replay shared VERBATIM (FilteredRecallGridSql) +
@@ -3956,9 +3963,9 @@ object MiningQueries {
       Some(s"""
         WITH g AS ($FilteredRecallGridSql),
         r AS (SELECT label_lt,
-                COALESCE(min(CASE WHEN recall_ppm >= 950000 THEN nprobe END),
+                COALESCE(min(CASE WHEN recall_ppm >= 400000 THEN nprobe END),
                          max(nprobe)) AS recommended_nprobe,
-                (max(CASE WHEN recall_ppm >= 950000 THEN 1 ELSE 0 END) = 1)
+                (max(CASE WHEN recall_ppm >= 400000 THEN 1 ELSE 0 END) = 1)
                   AS target_met
               FROM g GROUP BY label_lt)
         SELECT r.label_lt, r.recommended_nprobe,
@@ -3968,7 +3975,7 @@ object MiningQueries {
         ORDER BY r.label_lt"""),
       "nprobe ADVISOR over the q174 recall grid (Ivf.recommendNprobe): " +
         "per selectivity bucket the smallest nprobe whose measured " +
-        "recall@5 meets the 95% target, best-effort grid max flagged " +
+        "recall@5 meets the target, best-effort grid max flagged " +
         "when none does — the operator that makes the filtered-recall " +
         "audit actionable"))
 
