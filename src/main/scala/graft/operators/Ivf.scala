@@ -357,6 +357,13 @@ object Ivf {
     * recommended_nprobe, achieved_recall_ppm, target_met), one row per
     * bucket.
     *
+    * Input contract: one measured recall per (bucket, nprobe) cell —
+    * the q174 shape. Exact duplicate rows are tolerated (deduped
+    * below); a PER-PROBE frame (several different recalls for one
+    * cell) must be aggregated by the caller first — "any nprobe row
+    * qualifies" over conflicting rows is not a recommendation this
+    * operator will silently invent (review r13).
+    *
     * Cost shape: the grid is |buckets|·|nprobes| rows (q174's is 16) —
     * a k-bounded agg plus one self-join to re-attach the recommended
     * cell's achieved recall. Model-sized end to end; the expensive part
@@ -368,15 +375,17 @@ object Ivf {
       targetRecallPpm: Long): DataFrame = {
     require(targetRecallPpm >= 0 && targetRecallPpm <= 1000000L,
       s"targetRecallPpm must be a ppm in [0, 1000000], got $targetRecallPpm")
-    val rec = grid.groupBy(col(bucketCol))
+    val cells = grid.select(col(bucketCol), col("nprobe"), col("recall_ppm"))
+      .distinct()
+    val rec = cells.groupBy(col(bucketCol))
       .agg(
         min(when(col("recall_ppm") >= targetRecallPpm, col("nprobe"))).as("__ok"),
         max(col("nprobe")).as("__maxNp"))
       .select(col(bucketCol),
         coalesce(col("__ok"), col("__maxNp")).as("recommended_nprobe"),
         col("__ok").isNotNull.as("target_met"))
-    rec.join(grid.select(col(bucketCol), col("nprobe"), col("recall_ppm")),
-        rec(bucketCol) === grid(bucketCol) &&
+    rec.join(cells,
+        rec(bucketCol) === cells(bucketCol) &&
           col("recommended_nprobe") === col("nprobe"))
       .select(rec(bucketCol), col("recommended_nprobe"),
         col("recall_ppm").as("achieved_recall_ppm"), col("target_met"))

@@ -156,8 +156,12 @@ private[graft] object BatchIndex {
     conf.get("graft.manifest", "auto") match {
       case "on" => true
       case "off" => false
-      case _ => fs.getScheme match {
-        case "s3" | "s3a" | "s3n" => false // HEAD-then-PUT, not atomic
+      // scheme via fs.getUri (never throws) — FileSystem.getScheme's
+      // BASE implementation throws UnsupportedOperationException, so a
+      // wrapper FS that doesn't override it would turn every
+      // committed-view resolution into a crash (review r13)
+      case _ => Option(fs.getUri.getScheme).map(_.toLowerCase) match {
+        case Some("s3") | Some("s3a") | Some("s3n") => false // HEAD-then-PUT, not atomic
         case _ => true
       }
     }
@@ -398,6 +402,16 @@ private[graft] object BatchIndex {
     * Returns the fold bound after the call (max batch id covered by
     * consolidated state; unchanged if there was nothing to fold).
     */
+  /** `sortCols`: secondary sort applied INSIDE each consolidated write
+    * task, under the partition columns — layouts whose fine-grained
+    * prune lives in parquet row-group min/max stats (the bucketed
+    * [[StreamingIvf]] assign tree sorts `centroid_id` under `__cp`)
+    * must re-assert it here, or the first fold interleaves the
+    * constituents' ranges and silently destroys the stats prune for
+    * the bulk of the data (review r13). The partition-cols prefix keeps
+    * FileFormatWriter's required ordering satisfied, so no second sort
+    * is inserted and the secondary order survives into the files.
+    */
   def compact(
       spark: SparkSession,
       indexPath: String,
@@ -407,7 +421,8 @@ private[graft] object BatchIndex {
       upTo: Option[Long] = None,
       targetBytes: Long = 128L << 20,
       tiered: Boolean = false,
-      mergeFactor: Int = 4): Option[Long] = {
+      mergeFactor: Int = 4,
+      sortCols: Seq[String] = Nil): Option[Long] = {
     require(mergeFactor >= 1, s"mergeFactor must be >= 1, got $mergeFactor")
     val root = new Path(indexPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -461,7 +476,11 @@ private[graft] object BatchIndex {
       else {
         val bytes = srcDirs.map(d => dataBytes(spark, d)).sum
         val outTasks = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-        val df = parts.reduce(_ unionByName _).coalesce(outTasks)
+        val df0 = parts.reduce(_ unionByName _).coalesce(outTasks)
+        val df =
+          if (sortCols.isEmpty) df0
+          else df0.sortWithinPartitions(
+            (partitionCols ++ sortCols).map(org.apache.spark.sql.functions.col): _*)
         // the manifest entry goes BEFORE the overwrite and back after
         // the marker (a retry rewriting an existing fold target must be
         // hidden from manifest readers while its files are half-written

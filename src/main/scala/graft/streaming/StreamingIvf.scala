@@ -308,6 +308,20 @@ object StreamingIvf {
     * directories. Default (None) INHERITS the old generation's layout,
     * so an explicit rebuild never silently re-shapes a tree.
     */
+  /** `selfHealOnFailure = true` (the [[maintain]] path): a rebuild that
+    * throws BEFORE the `_GEN` switch has published nothing, so this
+    * call lifts the fence it created and deletes the unpublished
+    * generation husk before rethrowing — otherwise one transient
+    * failure leaves the fence up and every checkpoint retry of the
+    * automated loop stalls at [[preFenceCheck]] (ADVICE r12). The heal
+    * is OWNERSHIP-SCOPED: the fence file carries this call's token, and
+    * cleanup runs only while the token is still ours — a concurrent
+    * rebuild that overwrote the fence (already outside the documented
+    * single-rebuild contract, but defense matters here) keeps its fence
+    * and its husk (review r13). Default false: an operator-driven
+    * rebuild keeps the fail-loud contract (stale fence = operator
+    * investigates).
+    */
   def rebuild(
       spark: SparkSession,
       path: String,
@@ -315,7 +329,8 @@ object StreamingIvf {
       refine: Int = 1,
       maxK: Int = 64,
       seedEvery: Option[Long] = None,
-      cpBuckets: Option[Int] = None): Long = {
+      cpBuckets: Option[Int] = None,
+      selfHealOnFailure: Boolean = false): Long = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // ingest fence: [[run]]'s foreachBatch refuses to commit while this
@@ -323,9 +338,44 @@ object StreamingIvf {
     // checkpoint retries into the new generation after the switch)
     // instead of silently writing into a generation this rebuild is
     // about to delete. A rebuild retry tolerates a stale marker (its
-    // own crash left it); the marker clears on the generation switch.
+    // own crash left it — the create below overwrites it with this
+    // call's token); the marker clears on the generation switch.
     val lock = new org.apache.hadoop.fs.Path(s"$path/$RebuildMarker")
-    fs.create(lock, true).close()
+    val token = java.util.UUID.randomUUID().toString
+    val out0 = fs.create(lock, true)
+    try out0.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out0.close()
+    def fenceStillOurs(): Boolean =
+      try {
+        val in = fs.open(lock)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString == token
+        finally in.close()
+      } catch { case _: java.io.IOException => false }
+    val g0 = currentGen(spark, path)
+    try rebuildBody(spark, path, fs, stride, refine, maxK, seedEvery, cpBuckets, lock)
+    catch {
+      case e: Throwable =>
+        // pre-switch failure only (the generation is unchanged) and only
+        // while the fence is still the one THIS call wrote
+        if (selfHealOnFailure && currentGen(spark, path) == g0 && fenceStillOurs()) {
+          fs.delete(lock, false)
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$path/gen=${g0.getOrElse(0L) + 1}"), true)
+        }
+        throw e
+    }
+  }
+
+  private def rebuildBody(
+      spark: SparkSession,
+      path: String,
+      fs: org.apache.hadoop.fs.FileSystem,
+      stride: Int,
+      refine: Int,
+      maxK: Int,
+      seedEvery: Option[Long],
+      cpBuckets: Option[Int],
+      lock: org.apache.hadoop.fs.Path): Long = {
     val oldRoot = genRoot(spark, path)
     val (runDirs, batchDirs) = committedView(spark, s"$oldRoot/assign")
     require(runDirs.nonEmpty || batchDirs.nonEmpty,
@@ -532,19 +582,14 @@ object StreamingIvf {
     * maintenance cron, or whenever the q165 registry audit flags the
     * tree. Returns the new generation id when a rebuild ran.
     */
-  /** Failure self-heal (ADVICE r12): a [[rebuild]] that throws BEFORE
-    * the `_GEN` switch has published nothing — no reader or ingest can
-    * see the half-built generation — but it leaves the `_REBUILD` fence
-    * up, and in the automated [[run]]/`maintainEvery` path that fence
-    * converts one transient failure into a permanently stalled stream
-    * (every checkpoint retry fails at [[preFenceCheck]]). So when the
-    * generation demonstrably did NOT switch, [[maintain]] lifts the
-    * fence its own rebuild created and deletes the unpublished husk,
-    * then rethrows — the in-band caller logs and retries maintenance on
-    * a later batch; ingest proceeds unfenced either way. A rebuild that
-    * fails AFTER the switch (cleanup of the superseded generation) has
-    * already published a complete new generation; the fence is gone by
-    * then (`rebuild` clears it at the switch).
+  /** Failure behavior (ADVICE r12): the rebuild runs with
+    * `selfHealOnFailure = true` — a pre-switch failure lifts the fence
+    * this call's rebuild wrote (ownership-token-scoped — see
+    * [[rebuild]]) and deletes the unpublished generation husk, then the
+    * exception propagates: the in-band caller ([[inBandMaintain]]) logs
+    * and retries maintenance on a later batch; ingest proceeds unfenced
+    * either way. A rebuild that fails AFTER the switch has already
+    * published a complete generation and cleared the fence.
     */
   def maintain(
       spark: SparkSession,
@@ -559,25 +604,13 @@ object StreamingIvf {
     else {
       val k = kTarget.getOrElse(
         math.max(4, math.ceil(math.sqrt(h.n.toDouble)).toInt))
-      val g0 = currentGen(spark, path)
-      try
-        // bucketed layout by default (round-12 judge item 1): the whole
-        // point of the automated loop is k ~ √n, and at that sizing a
-        // dir-per-list generation multiplies every subsequent batch
-        // commit's directory count — the measured toy-scale inversion
-        Some(rebuild(spark, path, refine = refine, maxK = k,
-          seedEvery = Some(math.max(1L, h.n / k)), cpBuckets = cpBuckets))
-      catch {
-        case e: Throwable =>
-          if (currentGen(spark, path) == g0) {
-            val fs = new org.apache.hadoop.fs.Path(path)
-              .getFileSystem(spark.sparkContext.hadoopConfiguration)
-            fs.delete(new org.apache.hadoop.fs.Path(s"$path/$RebuildMarker"), false)
-            fs.delete(new org.apache.hadoop.fs.Path(
-              s"$path/gen=${g0.getOrElse(0L) + 1}"), true)
-          }
-          throw e
-      }
+      // bucketed layout by default (round-12 judge item 1): the whole
+      // point of the automated loop is k ~ √n, and at that sizing a
+      // dir-per-list generation multiplies every subsequent batch
+      // commit's directory count — the measured toy-scale inversion
+      Some(rebuild(spark, path, refine = refine, maxK = k,
+        seedEvery = Some(math.max(1L, h.n / k)), cpBuckets = cpBuckets,
+        selfHealOnFailure = true))
     }
   }
 
@@ -674,7 +707,11 @@ object StreamingIvf {
       spark: SparkSession, path: String, batchId: Long): Unit =
     try { maintain(spark, path); () }
     catch {
-      case e: Throwable =>
+      // NonFatal only (review r13): an OOM/fatal JVM error or the
+      // interrupt a query.stop() delivers mid-maintenance must
+      // propagate — swallowing those would keep a corrupted stream
+      // "running" or absorb a stop-initiated cancellation
+      case scala.util.control.NonFatal(e) =>
         System.err.println(s"[graft] in-band maintain at $path failed after " +
           s"batch $batchId (will retry on a later interval): ${e.getMessage}")
     }
@@ -812,12 +849,14 @@ object StreamingIvf {
     val root = genRoot(spark, path)
     // consolidated state keeps the generation's own layout (folding a
     // bucketed generation back to dir-per-list would undo the rebuild's
-    // directory-count fix at the first compaction)
-    val partCols =
-      if (cpBucketsOf(spark, root).isDefined) Seq("__cp") else Seq("centroid_id")
+    // directory-count fix at the first compaction), INCLUDING the
+    // within-bucket centroid_id sort that carries the fine-grained
+    // row-group-stats prune (review r13)
+    val bucketed = cpBucketsOf(spark, root).isDefined
     BatchIndex.compact(spark, s"$root/assign",
-      partitionCols = partCols, committedOnly = true, upTo = upTo,
-      tiered = tiered)
+      partitionCols = if (bucketed) Seq("__cp") else Seq("centroid_id"),
+      committedOnly = true, upTo = upTo, tiered = tiered,
+      sortCols = if (bucketed) Seq("centroid_id") else Nil)
   }
 
   /** Committed view of the assign tree: every active consolidated run

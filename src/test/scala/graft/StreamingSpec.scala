@@ -3149,6 +3149,19 @@ class StreamingSpec extends SparkSpec {
     assert(foldDirs.nonEmpty && foldDirs.forall(_.startsWith("__cp=")),
       foldDirs.mkString(","))
     assert(topkSet() === twin(union))
+    // ...including the within-bucket centroid_id sort that carries the
+    // row-group-stats fine prune (review r13: the fold used to coalesce
+    // without re-sorting, interleaving constituents' ranges): every
+    // consolidated parquet file must be centroid_id-monotone
+    foldDirs.foreach { cp =>
+      new java.io.File(s"$path/gen=1/assign/compacted=2/$cp").listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).foreach { f =>
+          val ids = spark.read.parquet(f.getAbsolutePath)
+            .select("centroid_id").as[Long].collect().toSeq
+          assert(ids === ids.sorted,
+            s"compacted file ${f.getName} in $cp lost the centroid_id sort")
+        }
+    }
 
     // an EXPLICIT rebuild (no cpBuckets arg) INHERITS the bucketed
     // layout — a tree never silently re-shapes
