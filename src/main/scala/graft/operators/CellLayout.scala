@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The BUCKETED cell layout shared by every persisted IVF assign tree —
+  * one-shot ([[Ivf.writeIndex]]) and streamed
+  * ([[graft.streaming.StreamingIvf]]) alike.
+  *
+  * Two physical layouts exist, one fixed per tree/generation root:
+  *
+  *  - LEGACY (default): `centroid_id=<c>` partition directories — exact
+  *    PartitionFilters prune at list granularity, but the directory
+  *    count grows WITH k. At the k ~ √n production sizing (k = 10⁶
+  *    lists over a 10¹²-vector corpus) a dir-per-list tree is unusable:
+  *    every write fans out to k directories and every plan pays a
+  *    k-entry listing.
+  *  - BUCKETED: `__cp = pmod(centroid_id, P)` partition directories with
+  *    P FIXED (64 — the `DedupStage.BucketPartitions` convention), the
+  *    real centroid id carried as a DATA column with rows SORTED by it
+  *    within each write task, so parquet row-group min/max stats serve
+  *    the fine-grained prune UNDER the `__cp` PartitionFilters prune.
+  *    Directory count stays O(P) however large k grows. A probe of
+  *    nprobe lists reads ≤ min(nprobe, P) bucket partitions and
+  *    row-group-skips inside them.
+  *
+  * The layout is recorded by a `_CP=<P>` marker file in the tree root,
+  * written together with the data (and, for streamed generations,
+  * before the `_GEN` switch publishes them), and resolved per root by
+  * every writer and every pruning reader — a root never mixes layouts.
+  */
+private[graft] object CellLayout {
+
+  /** Fixed bucket count of the bucketed layout. */
+  val DefaultBuckets = 64
+
+  /** The root's bucket count, None on a legacy dir-per-list root —
+    * resolved from the `_CP=<P>` marker.
+    */
+  def bucketsOf(spark: SparkSession, root: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collectFirst { case n if n.startsWith("_CP=") => n.stripPrefix("_CP=").toInt }
+  }
+
+  /** Create the `_CP=<P>` marker under `root`. */
+  def writeMarker(spark: SparkSession, root: String, p: Int): Unit = {
+    val m = new org.apache.hadoop.fs.Path(s"$root/_CP=$p")
+    m.getFileSystem(spark.sparkContext.hadoopConfiguration).create(m, true).close()
+  }
+
+  /** (frame ready to write, partition columns) under the layout:
+    * bucketed roots get the derived `__cp` column and partition by it
+    * (rows sorted by centroid_id within each write task so row-group
+    * stats carry the fine-grained prune); legacy roots partition by
+    * `centroid_id` directly.
+    */
+  def forWrite(df: DataFrame, buckets: Option[Int]): (DataFrame, Seq[String]) =
+    buckets match {
+      case Some(p) =>
+        (df.withColumn("__cp", pmod(col("centroid_id"), lit(p.toLong)))
+          .sortWithinPartitions(col("__cp"), col("centroid_id")), Seq("__cp"))
+      case None => (df, Seq("centroid_id"))
+    }
+
+  /** The nonnegative bucket of a centroid id under a P-bucket layout —
+    * matches Spark's `pmod` on the write side for any sign.
+    */
+  def bucketOf(centroidId: Long, p: Int): Int =
+    java.lang.Math.floorMod(centroidId, p.toLong).toInt
+
+  /** The probed-cells → partition-predicate hook for
+    * [[Ivf.topKPruned]]: a bucketed root prunes on the `__cp` dirs the
+    * probed lists map to (centroid_id remains a row-group-stats data
+    * filter below it); a legacy root needs nothing extra — centroid_id
+    * IS its partition column. `__cp` dir values are type-INFERRED as
+    * int on read, so the In-literals are Ints.
+    */
+  def prune(buckets: Option[Int]): Seq[Long] => Option[Column] =
+    buckets match {
+      case Some(p) => ids =>
+        Some(col("__cp").isin(ids.map(bucketOf(_, p)).distinct.map(Int.box): _*))
+      case None => _ => None
+    }
+}

@@ -177,6 +177,16 @@ object Ivf {
     * ~nprobe/k of the corpus, not a join over all of it) plus the small
     * centroid table. This is the 100 TB shape the class doc promises:
     * build once, query many, never re-scan the corpus per query.
+    *
+    * `cpBuckets = Some(P)` writes the BUCKETED [[CellLayout]] instead —
+    * `__cp = pmod(centroid_id, P)` partition dirs, centroid_id a
+    * row-group-sorted data column, `_CP` marker at the root. At the
+    * k ~ √n production sizing a dir-per-list one-shot index has exactly
+    * the directory-count problem the streamed tree's maintained
+    * generations had (round-13): k = 10⁶ lists is 10⁶ directories.
+    * [[topKFromIndex]] resolves the marker and prunes accordingly;
+    * query results are bit-identical across layouts (pinned in
+    * LlmOpsSpec).
     */
   def writeIndex(
       corpus: DataFrame,
@@ -185,7 +195,8 @@ object Ivf {
       path: String,
       stride: Int = 16,
       refine: Int = 1,
-      attrs: Seq[String] = Nil): Unit = {
+      attrs: Seq[String] = Nil,
+      cpBuckets: Option[Int] = None): Unit = {
     val cents = centroids(corpus, idCol, vecCol, stride, refine)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
@@ -198,9 +209,10 @@ object Ivf {
       // centroid partition prune.
       val v = corpus.select(col(idCol).as("neighbor_id") +: col(vecCol).as("__cv") +:
         attrs.map(col): _*)
-      assign(corpus, idCol, vecCol, cents)
-        .join(v, Seq("neighbor_id"))
-        .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/assign")
+      cpBuckets.foreach(p => CellLayout.writeMarker(corpus.sparkSession, path, p))
+      val (out, partCols) = CellLayout.forWrite(
+        assign(corpus, idCol, vecCol, cents).join(v, Seq("neighbor_id")), cpBuckets)
+      out.write.mode("overwrite").partitionBy(partCols: _*).parquet(s"$path/assign")
     } finally { cents.unpersist(); () }
   }
 
@@ -222,7 +234,11 @@ object Ivf {
       nprobe: Int = 4,
       pred: Option[Column] = None): DataFrame =
     topKPruned(probes, idCol, vecCol,
-      spark.read.parquet(s"$path/centroids"), k, nprobe)({
+      spark.read.parquet(s"$path/centroids"), k, nprobe,
+      // a bucketed index (writeIndex with cpBuckets — the _CP marker)
+      // prunes on the __cp dirs its probed lists map to; legacy indexes
+      // prune on centroid_id directly (it IS the partition column)
+      cellPrune = CellLayout.prune(CellLayout.bucketsOf(spark, path)))({
       val idx = spark.read.parquet(s"$path/assign")
       pred.fold(idx)(idx.where)
     })

@@ -48,73 +48,41 @@ object StreamingIvf {
   val RebuildMarker = "_REBUILD"
 
   // ------------------------------------------------------ assign layout
-  // Two physical layouts for the assign tree, one fixed per GENERATION:
+  // Two physical layouts for the assign tree, one fixed per GENERATION
+  // — the shared [[graft.operators.CellLayout]] contract (also the
+  // one-shot [[Ivf.writeIndex]] layout since round 13; full rationale
+  // on that object):
   //
-  //  - LEGACY (bootstrap default): `.../batch=<id>/centroid_id=<c>/...` —
-  //    one partition directory per list. Exact PartitionFilters prune at
-  //    list granularity, but directory count grows WITH k: at the
-  //    k ~ √n production sizing a rebuild multiplies every batch dir's
-  //    subdirectory count, and per-dir listing/commit overhead — not the
-  //    data — became the measured ingest cost (BENCH_scale r12's
-  //    semgate inversion: the k=141 maintained tree ingested SLOWER than
-  //    the k=64 tree it replaced despite 2.15× fewer candidate pairs).
-  //
+  //  - LEGACY (bootstrap default): `.../batch=<id>/centroid_id=<c>/...`;
   //  - BUCKETED (what [[maintain]]'s automated rebuild writes):
-  //    `.../batch=<id>/__cp=<b>/...` with __cp = pmod(centroid_id, P),
-  //    P = [[LayoutBuckets]] FIXED — the [[DedupStage]] `__gp` device.
-  //    Directory count stays O(P) however large k grows (at k = 10⁶
-  //    lists a dir-per-list is unusable anyway); `centroid_id` rides as
-  //    a DATA column, rows sorted by it within each bucket write so
-  //    parquet row-group stats prune the fine level under the __cp
-  //    PartitionFilters prune. A query probing nprobe lists reads
-  //    ≤ min(nprobe, P) bucket partitions and row-group-skips within
-  //    them — coarser than dir-per-list at small k, strictly better
-  //    than 2·√n directories per batch at production k.
+  //    `.../batch=<id>/__cp=<b>/...`, dir count O(64) however large the
+  //    k ~ √n re-train grows — r12's semgate inversion (the k=141
+  //    maintained tree ingesting SLOWER than the k=64 tree it replaced
+  //    despite 2.15× fewer candidate pairs) was exactly the multiplied
+  //    per-dir listing/commit overhead this removes.
   //
-  // The layout is recorded by a `_CP=<P>` marker in the generation root
-  // (created with the generation, before its `_GEN` switch publishes
-  // it); every writer ([[commitBatch]], [[seedIndex]], [[compact]],
-  // [[rebuild]]) and every pruning reader resolves it per root, and a
-  // rebuild inherits the old generation's layout unless told otherwise —
-  // so one generation never mixes layouts and existing legacy trees are
-  // untouched.
+  // The `_CP=<P>` marker is created with the generation, BEFORE its
+  // `_GEN` switch publishes it; every writer ([[commitBatch]],
+  // [[seedIndex]], [[compact]], [[rebuild]]) and every pruning reader
+  // resolves it per root, and a rebuild inherits the old generation's
+  // layout unless told otherwise — one generation never mixes layouts
+  // and existing legacy trees are untouched.
 
-  /** Fixed bucket count of the bucketed assign layout (`__cp =
-    * pmod(centroid_id, LayoutBuckets)`) — the prune granularity, chosen
-    * to match [[graft.operators.DedupStage.BucketPartitions]].
-    */
-  val LayoutBuckets = 64
+  /** Fixed bucket count of the bucketed assign layout. */
+  val LayoutBuckets: Int = graft.operators.CellLayout.DefaultBuckets
 
   /** The generation's bucketed-layout bucket count, None on a legacy
     * dir-per-list generation — resolved from the `_CP=<P>` root marker.
     */
-  private[graft] def cpBucketsOf(spark: SparkSession, root: String): Option[Int] = {
-    val p = new org.apache.hadoop.fs.Path(root)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .collectFirst { case n if n.startsWith("_CP=") => n.stripPrefix("_CP=").toInt }
-  }
+  private[graft] def cpBucketsOf(spark: SparkSession, root: String): Option[Int] =
+    graft.operators.CellLayout.bucketsOf(spark, root)
 
-  /** (frame ready to write, partition columns) under the root's layout:
-    * bucketed generations get the derived `__cp` column and partition by
-    * it (rows sorted by centroid_id within each write task so row-group
-    * stats carry the fine-grained prune); legacy generations partition
-    * by `centroid_id` directly.
-    */
   private def layoutFor(df: DataFrame, buckets: Option[Int]): (DataFrame, Seq[String]) =
-    buckets match {
-      case Some(p) =>
-        (df.withColumn("__cp", pmod(col("centroid_id"), lit(p.toLong)))
-          .sortWithinPartitions(col("__cp"), col("centroid_id")), Seq("__cp"))
-      case None => (df, Seq("centroid_id"))
-    }
+    graft.operators.CellLayout.forWrite(df, buckets)
 
-  /** The nonnegative bucket of a centroid id under a P-bucket layout —
-    * matches Spark's `pmod` on the write side for any sign.
-    */
+  /** The nonnegative bucket of a centroid id under a P-bucket layout. */
   private[graft] def bucketOf(centroidId: Long, p: Int): Int =
-    java.lang.Math.floorMod(centroidId, p.toLong).toInt
+    graft.operators.CellLayout.bucketOf(centroidId, p)
 
   // ------------------------------------------------------- generations
   // The quantizer is static per GENERATION: [[rebuild]] re-trains it on
@@ -470,9 +438,8 @@ object StreamingIvf {
       // the layout marker goes in BEFORE any assign write (and before
       // the _GEN switch publishes the generation), so no reader or
       // ingest can ever resolve the generation without it
-      buckets.foreach { p =>
-        fs.create(new org.apache.hadoop.fs.Path(s"$newRoot/_CP=$p"), true).close()
-      }
+      buckets.foreach(p =>
+        graft.operators.CellLayout.writeMarker(spark, newRoot, p))
       val (outL, partCols) = layoutFor(out, buckets)
       outL.write.mode("overwrite").partitionBy(partCols: _*)
         .parquet(s"$newRoot/assign/compacted=$maxBatch")
@@ -896,19 +863,12 @@ object StreamingIvf {
     * [[BatchIndex]] consumer has.
     */
   /** The probed-cells → partition-predicate hook for [[Ivf.topKPruned]]
-    * under this root's layout: a bucketed generation prunes on the
-    * `__cp` partition dirs the probed lists map to (centroid_id remains
-    * a row-group-stats data filter below it); a legacy generation needs
-    * nothing extra — centroid_id IS its partition column.
+    * under this root's layout ([[graft.operators.CellLayout.prune]]).
     */
   private def bucketPrune(
       spark: SparkSession,
       root: String): Seq[Long] => Option[org.apache.spark.sql.Column] =
-    cpBucketsOf(spark, root) match {
-      case Some(p) => ids =>
-        Some(col("__cp").isin(ids.map(bucketOf(_, p)).distinct.map(Int.box): _*))
-      case None => _ => None
-    }
+    graft.operators.CellLayout.prune(cpBucketsOf(spark, root))
 
   def topK(
       spark: SparkSession,

@@ -356,6 +356,42 @@ class LlmOpsSpec extends SparkSpec {
     assert(!plan.contains("documents.parquet"), "index query re-read the corpus")
   }
 
+  test("Ivf.writeIndex bucketed layout (cpBuckets): __cp dirs bounded, results bit-identical to the legacy layout, filtered path intact") {
+    // round-13: the one-shot index gets the same CellLayout option as
+    // the streamed tree's maintained generations — at k ~ sqrt(n)
+    // production sizing a dir-per-list one-shot index is 10^6
+    // directories. Layout must be physical only: queries bit-identical.
+    val dirL = java.nio.file.Files.createTempDirectory("graft_ivf_leg").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_ivf_cp").toString
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+    val probes = e.where(col("vec_id") < 10)
+    Ivf.writeIndex(e, "vec_id", "v", dirL, stride = 16, refine = 0,
+      attrs = Seq("label"))
+    // 8 buckets over the ~31-list quantizer: genuinely k > P, several
+    // lists share a bucket — the regime the layout exists for
+    Ivf.writeIndex(e, "vec_id", "v", dirB, stride = 16, refine = 0,
+      attrs = Seq("label"), cpBuckets = Some(8))
+    assert(new java.io.File(s"$dirB/_CP=8").exists())
+    val dirs = new java.io.File(s"$dirB/assign").listFiles().map(_.getName)
+      .filter(n => !n.startsWith(".") && (!n.startsWith("_") || n.contains("=")))
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("__cp=")) && dirs.length <= 8,
+      dirs.mkString(","))
+    assert(spark.read.parquet(s"$dirB/centroids").count() > 8)
+    def res(dir: String, pred: Option[org.apache.spark.sql.Column]) =
+      Ivf.topKFromIndex(spark, probes, "vec_id", "v", dir, k = 5, nprobe = 4,
+          pred = pred)
+        .select("probe_id", "rank", "neighbor_id", "cosine")
+        .as[(Long, Int, Long, Double)].collect().toSet
+    val unfiltered = res(dirL, None)
+    assert(unfiltered.nonEmpty)
+    assert(res(dirB, None) === unfiltered)
+    val filtered = res(dirL, Some(col("label") === 2))
+    assert(filtered.nonEmpty)
+    assert(res(dirB, Some(col("label") === 2)) === filtered)
+  }
+
   test("Ivf persisted index: partition-pruned fetch, results == in-memory topK") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
     val e = Tables.embeddings(spark, "/root/testdata/sf0.01")

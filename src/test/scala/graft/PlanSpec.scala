@@ -388,6 +388,37 @@ class PlanSpec extends SparkSpec {
       s"expected 1 selected partition, got ${parts.partitionCount}")
   }
 
+  test("bucketed persisted index: __cp prune at PartitionFilters, centroid In + attr predicate at row-group stats") {
+    // the round-13 CellLayout on the ONE-SHOT index: with cpBuckets the
+    // partition column is __cp, so the plan must show (a) the __cp
+    // In-filter at PartitionFilters level (the dir prune), and (b) the
+    // centroid_id In-filter AND the attr predicate as PUSHED data
+    // filters (row-group stats serve the fine prune — writeIndex sorts
+    // centroid_id inside each bucket for exactly this).
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fann_cp").toString
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), col("label"))
+    operators.Ivf.writeIndex(e, "vec_id", "v", dir, stride = 16, refine = 0,
+      attrs = Seq("label"), cpBuckets = Some(8))
+    val df = operators.Ivf.topKFromIndex(spark, e.where(col("vec_id") < 10),
+      "vec_id", "v", dir, k = 5, nprobe = 4, pred = Some(col("label") === 2))
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.output.exists(_.name == "__cv") => f
+    }
+    assert(scans.nonEmpty, df.queryExecution.sparkPlan.toString)
+    val s0 = scans.head
+    assert(s0.partitionFilters.exists(_.toString.contains("__cp")),
+      s"__cp prune missing from PartitionFilters: ${s0.partitionFilters}")
+    assert(s0.metadata.get("PushedFilters").exists(f =>
+        f.contains("centroid_id") && f.contains("EqualTo(label,2)")),
+      s"centroid/label filters not pushed to the scan: ${s0.metadata.get("PushedFilters")}")
+    // pruned: at nprobe=4 over 8 buckets, at most 4 partitions selected
+    assert(s0.selectedPartitions.partitionCount <= 4,
+      s"expected <= 4 selected __cp partitions, got ${s0.selectedPartitions.partitionCount}")
+  }
+
   test("filtered ANN on the persisted index: label filter PUSHED to the scan UNDER the centroid partition prune") {
     // the q171 scale claim on the writeIndex layout: topKFromIndex with
     // pred must (a) keep the centroid In-filter at PartitionFilters
