@@ -51,6 +51,22 @@ private[graft] object CellLayout {
     m.getFileSystem(spark.sparkContext.hadoopConfiguration).create(m, true).close()
   }
 
+  /** Align `root`'s marker with the layout about to be written: create
+    * it for a bucketed write, REMOVE any stale one for a legacy write —
+    * an overwrite-in-place that switches layouts must not leave the old
+    * marker pointing readers at a partition column the new data lacks.
+    */
+  def resetMarker(spark: SparkSession, root: String, buckets: Option[Int]): Unit = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(rootPath))
+      fs.listStatus(rootPath).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith("_CP=") && !buckets.contains(
+          n.stripPrefix("_CP=").toInt))
+        .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(s"$root/$n"), false))
+    buckets.foreach(writeMarker(spark, root, _))
+  }
+
   /** (frame ready to write, partition columns) under the layout:
     * bucketed roots get the derived `__cp` column and partition by it
     * (rows sorted by centroid_id within each write task so row-group

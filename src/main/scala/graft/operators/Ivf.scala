@@ -209,7 +209,9 @@ object Ivf {
       // centroid partition prune.
       val v = corpus.select(col(idCol).as("neighbor_id") +: col(vecCol).as("__cv") +:
         attrs.map(col): _*)
-      cpBuckets.foreach(p => CellLayout.writeMarker(corpus.sparkSession, path, p))
+      // marker aligned with THIS write (a re-build switching layouts in
+      // place must not leave a stale marker misdirecting readers)
+      CellLayout.resetMarker(corpus.sparkSession, path, cpBuckets)
       val (out, partCols) = CellLayout.forWrite(
         assign(corpus, idCol, vecCol, cents).join(v, Seq("neighbor_id")), cpBuckets)
       out.write.mode("overwrite").partitionBy(partCols: _*).parquet(s"$path/assign")
