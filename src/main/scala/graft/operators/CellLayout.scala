@@ -47,6 +47,7 @@ private[graft] object CellLayout {
 
   /** Create the `_CP=<P>` marker under `root`. */
   def writeMarker(spark: SparkSession, root: String, p: Int): Unit = {
+    require(p >= 1, s"cell-layout bucket count must be >= 1, got $p")
     val m = new org.apache.hadoop.fs.Path(s"$root/_CP=$p")
     m.getFileSystem(spark.sparkContext.hadoopConfiguration).create(m, true).close()
   }
@@ -76,6 +77,11 @@ private[graft] object CellLayout {
   def forWrite(df: DataFrame, buckets: Option[Int]): (DataFrame, Seq[String]) =
     buckets match {
       case Some(p) =>
+        // p = 0 would write every row under pmod-null
+        // (__cp=__HIVE_DEFAULT_PARTITION__) and succeed SILENTLY, then
+        // crash every query's bucketOf with a division by zero — fail
+        // the build loudly instead (review r13)
+        require(p >= 1, s"cell-layout bucket count must be >= 1, got $p")
         (df.withColumn("__cp", pmod(col("centroid_id"), lit(p.toLong)))
           .sortWithinPartitions(col("__cp"), col("centroid_id")), Seq("__cp"))
       case None => (df, Seq("centroid_id"))

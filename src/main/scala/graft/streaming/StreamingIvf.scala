@@ -310,16 +310,46 @@ object StreamingIvf {
     // call's token); the marker clears on the generation switch.
     val lock = new org.apache.hadoop.fs.Path(s"$path/$RebuildMarker")
     val token = java.util.UUID.randomUUID().toString
-    val out0 = fs.create(lock, true)
-    try out0.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out0.close()
-    def fenceStillOurs(): Boolean =
-      try {
-        val in = fs.open(lock)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString == token
-        finally in.close()
-      } catch { case _: java.io.IOException => false }
     val g0 = currentGen(spark, path)
+    // fence creation sits INSIDE the healed region (review r13): a
+    // failure between create and token write would otherwise leave a
+    // fence no later code heals — the permanent stall again
+    try {
+      val out0 = fs.create(lock, true)
+      try out0.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out0.close()
+    } catch {
+      case e: Throwable =>
+        // nothing beyond the (possibly token-less) fence exists yet; in
+        // the automated path remove it so the stream is not stalled
+        if (selfHealOnFailure) fs.delete(lock, false)
+        throw e
+    }
+    // is the fence still the one THIS call wrote? FileNotFound = no;
+    // an ambiguous transient read failure (retried) defaults to YES in
+    // the automated path — the ownership check defends an
+    // out-of-contract concurrent rebuild, and forfeiting the heal on a
+    // read flake reinstates the permanent stall the heal exists to
+    // prevent (review r13)
+    def fenceStillOurs(): Boolean = {
+      var attempts = 0
+      while (attempts < 3) {
+        attempts += 1
+        try {
+          val in = fs.open(lock)
+          try return scala.io.Source.fromInputStream(in, "UTF-8").mkString == token
+          finally in.close()
+        } catch {
+          case _: java.io.FileNotFoundException => return false
+          case _: java.io.IOException if attempts < 3 => ()
+          case e: java.io.IOException =>
+            System.err.println(s"[graft] could not re-read $lock to verify " +
+              s"fence ownership (${e.getMessage}) — assuming ours and healing")
+            return true
+        }
+      }
+      true
+    }
     try rebuildBody(spark, path, fs, stride, refine, maxK, seedEvery, cpBuckets, lock)
     catch {
       case e: Throwable =>
