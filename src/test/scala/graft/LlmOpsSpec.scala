@@ -390,6 +390,20 @@ class LlmOpsSpec extends SparkSpec {
     val filtered = res(dirL, Some(col("label") === 2))
     assert(filtered.nonEmpty)
     assert(res(dirB, Some(col("label") === 2)) === filtered)
+
+    // layout SWITCH in place (review r13): rebuilding the bucketed dir
+    // as legacy must clear the stale _CP marker, or readers would prune
+    // on a partition column the new data lacks; and back again
+    Ivf.writeIndex(e, "vec_id", "v", dirB, stride = 16, refine = 0,
+      attrs = Seq("label"))
+    assert(!new java.io.File(s"$dirB/_CP=8").exists(),
+      "stale _CP marker survived a legacy rewrite")
+    assert(res(dirB, None) === unfiltered)
+    Ivf.writeIndex(e, "vec_id", "v", dirB, stride = 16, refine = 0,
+      attrs = Seq("label"), cpBuckets = Some(4))
+    assert(new java.io.File(s"$dirB/_CP=4").exists())
+    assert(!new java.io.File(s"$dirB/_CP=8").exists())
+    assert(res(dirB, None) === unfiltered)
   }
 
   test("Ivf persisted index: partition-pruned fetch, results == in-memory topK") {
