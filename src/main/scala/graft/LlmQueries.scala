@@ -643,41 +643,10 @@ object LlmQueries {
       // (ties -> SMALLER centroid id, topKPruned's ascending tiebreak);
       // label filter on the fetched candidates; exact cosine re-rank
       // (ties -> smaller neighbor id). Exact double equality across
-      // engines per the q30/q49 in-order-arithmetic precedent.
-      Some("""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
-        n AS (SELECT vec_id, v, label,
-                     sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
-        c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
-              WHERE vec_id % 16 = 0 AND vec_id < 1024 AND nrm > 0),
-        a AS (SELECT vec_id, cid,
-                list_sum(list_transform(list_zip(v, cv), z -> z[1]*z[2])) / (nrm * cn) AS cc
-              FROM n CROSS JOIN c
-              WHERE nrm > 0
-              QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid DESC) = 1),
-        p AS (SELECT vec_id AS pid, v AS pv, nrm AS pn FROM n
-              WHERE vec_id < 10 AND nrm > 0),
-        pl AS (SELECT pid, cid FROM (
-                SELECT p.pid, c.cid,
-                       list_sum(list_transform(list_zip(p.pv, c.cv), z -> z[1]*z[2]))
-                         / (p.pn * c.cn) AS ccos
-                FROM p CROSS JOIN c
-                QUALIFY row_number() OVER (PARTITION BY p.pid
-                  ORDER BY ccos DESC, c.cid ASC) <= 4)),
-        r AS (SELECT pl.pid, a.vec_id,
-                list_sum(list_transform(list_zip(p.pv, nn.v), z -> z[1]*z[2]))
-                  / (p.pn * nn.nrm) AS cosine
-              FROM pl JOIN a ON a.cid = pl.cid
-              JOIN n nn ON nn.vec_id = a.vec_id
-              JOIN p ON p.pid = pl.pid
-              WHERE a.vec_id <> pl.pid AND nn.label = 2 AND nn.nrm > 0)
-        SELECT pid AS probe_id,
-               CAST(row_number() OVER (PARTITION BY pid
-                 ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank,
-               vec_id AS neighbor_id, cosine
-        FROM r
-        QUALIFY rank <= 5
-        ORDER BY probe_id, rank"""),
+      // engines per the q30/q49 in-order-arithmetic precedent. Shared
+      // VERBATIM with q178 (the same query through the PERSISTED
+      // bucketed index) so the two oracles can never drift.
+      Some(FilteredAnnTopkSql),
       "FILTERED IVF ANN (Ivf.topKWhere): metadata predicate pre-filters the candidate " +
         "fetch inside the probed lists (post-filter of an unfiltered top-k is NOT " +
         "equivalent), index built once on the full corpus with attr columns carried in; " +
@@ -1092,6 +1061,49 @@ object LlmQueries {
         "nondeterministic; integer sums are not), mean recovered in the final " +
         "projection. The class-drift/cluster-purity monitoring stage")
   )
+
+  /** q171's full filtered-ANN DuckDB replay — stride-16 seeds, argmax
+    * assignment, nprobe-4 probe lists, label = 2 pre-filtered fetch,
+    * exact cosine top-5. Shared verbatim by q171 (the in-memory
+    * [[graft.operators.Ivf.topKWhere]]) and q178 (the identical query
+    * through a PERSISTED `_CP`-bucketed [[graft.operators.Ivf.writeIndex]]
+    * tree): one oracle, two engine paths — the layout-invariance law at
+    * the driver's hash-match gate.
+    */
+  private[graft] def FilteredAnnTopkSql: String = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        n AS (SELECT vec_id, v, label,
+                     sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
+        c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
+              WHERE vec_id % 16 = 0 AND vec_id < 1024 AND nrm > 0),
+        a AS (SELECT vec_id, cid,
+                list_sum(list_transform(list_zip(v, cv), z -> z[1]*z[2])) / (nrm * cn) AS cc
+              FROM n CROSS JOIN c
+              WHERE nrm > 0
+              QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid DESC) = 1),
+        p AS (SELECT vec_id AS pid, v AS pv, nrm AS pn FROM n
+              WHERE vec_id < 10 AND nrm > 0),
+        pl AS (SELECT pid, cid FROM (
+                SELECT p.pid, c.cid,
+                       list_sum(list_transform(list_zip(p.pv, c.cv), z -> z[1]*z[2]))
+                         / (p.pn * c.cn) AS ccos
+                FROM p CROSS JOIN c
+                QUALIFY row_number() OVER (PARTITION BY p.pid
+                  ORDER BY ccos DESC, c.cid ASC) <= 4)),
+        r AS (SELECT pl.pid, a.vec_id,
+                list_sum(list_transform(list_zip(p.pv, nn.v), z -> z[1]*z[2]))
+                  / (p.pn * nn.nrm) AS cosine
+              FROM pl JOIN a ON a.cid = pl.cid
+              JOIN n nn ON nn.vec_id = a.vec_id
+              JOIN p ON p.pid = pl.pid
+              WHERE a.vec_id <> pl.pid AND nn.label = 2 AND nn.nrm > 0)
+        SELECT pid AS probe_id,
+               CAST(row_number() OVER (PARTITION BY pid
+                 ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank,
+               vec_id AS neighbor_id, cosine
+        FROM r
+        QUALIFY rank <= 5
+        ORDER BY probe_id, rank"""
 }
 
 /** Guard for the literal pinned oracles (q31 simhash, q33 LSH ANN,

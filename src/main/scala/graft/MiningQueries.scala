@@ -3744,26 +3744,10 @@ object MiningQueries {
       },
       // full SQL replay (no pinning): identical tokenization
       // (string_split on ' ', lowercased — the q108 parity), identical
-      // df-cap, identical islands arithmetic
-      Some("""
-        WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
-        g AS (SELECT doc_id, i AS pos,
-                w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
-                w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] AS gram
-              FROM t, unnest(range(1, len(w) - 6)) AS u(i)),
-        f AS (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram),
-        s AS (SELECT g.doc_id, g.pos, g.gram FROM g JOIN f USING (gram) WHERE df <= 32),
-        m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
-              FROM s a JOIN s b USING (gram) WHERE a.doc_id < b.doc_id),
-        i AS (SELECT doc_a, doc_b, pb - pa AS diag, pa,
-                pa - row_number() OVER (PARTITION BY doc_a, doc_b, pb - pa ORDER BY pa) AS grp
-              FROM m),
-        sp AS (SELECT doc_a, doc_b, diag, grp, count(*) + 7 AS span_words
-               FROM i GROUP BY doc_a, doc_b, diag, grp)
-        SELECT doc_a, doc_b, count(*)::BIGINT AS n_spans,
-               max(span_words)::BIGINT AS max_span_words,
-               sum(span_words)::BIGINT AS dup_words
-        FROM sp GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b"""),
+      // df-cap, identical islands arithmetic. Shared VERBATIM with q179
+      // (the same report on 8-byte hashed anchor keys) so the oracle
+      // doubles as the hashed == string equality law at gate scale.
+      Some(SpanPairReportSql),
       "exact cross-document substring dedup: doc pairs sharing a " +
         "duplicated span of >= 8 words with span count/longest/total — " +
         "anchor-gram equi-join under a df-capped stop-gram rule " +
@@ -3977,13 +3961,90 @@ object MiningQueries {
         "per selectivity bucket the smallest nprobe whose measured " +
         "recall@5 meets the target, best-effort grid max flagged " +
         "when none does — the operator that makes the filtered-recall " +
-        "audit actionable"))
+        "audit actionable"),
+
+    // ------------------------------ persisted bucketed index, end-to-end
+    Q("q178_bucketed_index_ann",
+      (s, d) => {
+        // q171's filtered ANN query run through the PERSISTED index in
+        // the round-13 `_CP`-BUCKETED CellLayout (the k ~ √n layout
+        // whose directory count stays O(64) however large the quantizer
+        // grows): writeIndex(cpBuckets = 8) → `_CP=8` marker → the
+        // topKFromIndex probe prunes ≤ min(nprobe, 8) `__cp=` dirs at
+        // PartitionFilters and pushes centroid_id + label to row-group
+        // stats UNDER them (PlanSpec-pinned). The oracle is q171's
+        // replay SHARED VERBATIM: layout and persistence must be
+        // physically invisible — one SQL, two engine paths, hash-match
+        // required at the driver gate every round.
+        val e = T.embeddings(s, d).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"), col("label"))
+        val dir = "target/q178_index"
+        Ivf.writeIndex(e, "vec_id", "v", dir, stride = 16, refine = 0,
+          attrs = Seq("label"), cpBuckets = Some(8))
+        Ivf.topKFromIndex(s, e.where(col("vec_id") < 10), "vec_id", "v",
+            dir, k = 5, nprobe = 4, pred = Some(col("label") === 2))
+          .select(col("probe_id"), col("rank"), col("neighbor_id"), col("cosine"))
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      Some(LlmQueries.FilteredAnnTopkSql),
+      "q171's filtered ANN through a PERSISTED _CP-bucketed index " +
+        "(writeIndex cpBuckets=8 -> topKFromIndex): __cp PartitionFilters " +
+        "prune + centroid/label row-group predicates below it; oracle " +
+        "shared verbatim with q171 — the layout-invariance law at the " +
+        "driver's hash-match gate"),
+
+    Q("q179_span_dedup_hashed",
+      (s, d) => {
+        // q173 on the HASHED anchor-key path (round-13 ask 3): df agg
+        // and anchor join keyed on xxhash64(gram) — 8 bytes against the
+        // ~60-byte gram string, an order of magnitude off the
+        // operator's dominant shuffle volume (measured 1.62× faster at
+        // the r10 scale cell, gap widening with scale). The oracle is
+        // q173's STRING replay shared verbatim: a 64-bit anchor
+        // collision would surface here as a hash mismatch, so the gate
+        // re-proves hashed == string on the real corpus every round
+        // (beyond LlmOpsSpec's planted-fixture + randomized law).
+        SpanDedup.pairReport(T.documents(s, d), "doc_id", "text",
+            l = 8, dfCap = 32, hashedAnchors = true)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(SpanPairReportSql),
+      "q173's span pair report on 8-byte hashed anchor keys " +
+        "(hashedAnchors=true): same verdicts, ~10x less anchor-join " +
+        "shuffle volume; oracle shared verbatim with q173 — the " +
+        "hashed == string law at gate scale"))
 
   /** q141/q142/q144: the ONE distributed corpus-sized stage of the eigen
     * family — GramMatrix's map-side-combined d×d reduction, unpacked to
     * upper-triangle (i, j, gram_fp) rows.
     */
 
+
+  /** q173's DuckDB span pair-report replay — shared verbatim by q173
+    * (string anchor keys, the SQL's own join key) and q179 (xxhash64
+    * anchor keys): the hashed path must produce IDENTICAL verdicts, so
+    * one SQL serves both and the gate re-proves the equality law on the
+    * real corpus every round.
+    */
+  private def SpanPairReportSql: String = """
+        WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        g AS (SELECT doc_id, i AS pos,
+                w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+                w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] AS gram
+              FROM t, unnest(range(1, len(w) - 6)) AS u(i)),
+        f AS (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram),
+        s AS (SELECT g.doc_id, g.pos, g.gram FROM g JOIN f USING (gram) WHERE df <= 32),
+        m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+              FROM s a JOIN s b USING (gram) WHERE a.doc_id < b.doc_id),
+        i AS (SELECT doc_a, doc_b, pb - pa AS diag, pa,
+                pa - row_number() OVER (PARTITION BY doc_a, doc_b, pb - pa ORDER BY pa) AS grp
+              FROM m),
+        sp AS (SELECT doc_a, doc_b, diag, grp, count(*) + 7 AS span_words
+               FROM i GROUP BY doc_a, doc_b, diag, grp)
+        SELECT doc_a, doc_b, count(*)::BIGINT AS n_spans,
+               max(span_words)::BIGINT AS max_span_words,
+               sum(span_words)::BIGINT AS dup_words
+        FROM sp GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b"""
 
   /** q174's DuckDB grid replay WITHOUT the final ordering — shared
     * verbatim by q174 (+ ORDER BY) and q177 (as the advisor's CTE), so

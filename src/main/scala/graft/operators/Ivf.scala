@@ -210,11 +210,17 @@ object Ivf {
       val v = corpus.select(col(idCol).as("neighbor_id") +: col(vecCol).as("__cv") +:
         attrs.map(col): _*)
       // marker aligned with THIS write (a re-build switching layouts in
-      // place must not leave a stale marker misdirecting readers)
-      CellLayout.resetMarker(corpus.sparkSession, path, cpBuckets)
+      // place must not leave a stale marker misdirecting readers), in
+      // crash-safe order: clear any stale marker BEFORE the overwrite,
+      // publish the new layout's marker only AFTER the data lands. A
+      // crash in the window leaves data without a marker — read
+      // legacy-style, correct but unpruned — never a marker pruning on
+      // a partition column the data underneath doesn't have.
+      CellLayout.resetMarker(corpus.sparkSession, path, None)
       val (out, partCols) = CellLayout.forWrite(
         assign(corpus, idCol, vecCol, cents).join(v, Seq("neighbor_id")), cpBuckets)
       out.write.mode("overwrite").partitionBy(partCols: _*).parquet(s"$path/assign")
+      cpBuckets.foreach(CellLayout.writeMarker(corpus.sparkSession, path, _))
     } finally { cents.unpersist(); () }
   }
 

@@ -313,10 +313,17 @@ object StreamingIvf {
     val g0 = currentGen(spark, path)
     // fence creation sits INSIDE the healed region (review r13): a
     // failure between create and token write would otherwise leave a
-    // fence no later code heals — the permanent stall again
+    // fence no later code heals — the permanent stall again.
+    // Line 2 records the generation this rebuild WILL publish: a crash
+    // (or delete IOException) in the window between the _GEN switch and
+    // the fence removal would otherwise leave a completed rebuild's
+    // fence stalling every subsequent batch — [[preFenceCheck]] reads
+    // the publish-gen and heals the fence once that generation is
+    // current (the switch IS the completion proof; review r13 pass 2).
     try {
       val out0 = fs.create(lock, true)
-      try out0.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try out0.write(s"$token\npublishes=${g0.getOrElse(0L) + 1}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out0.close()
     } catch {
       case e: Throwable =>
@@ -337,7 +344,9 @@ object StreamingIvf {
         attempts += 1
         try {
           val in = fs.open(lock)
-          try return scala.io.Source.fromInputStream(in, "UTF-8").mkString == token
+          // first line only: line 2 is the publishes-gen record
+          try return scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString.linesIterator.toSeq.headOption.contains(token)
           finally in.close()
         } catch {
           case _: java.io.FileNotFoundException => return false
@@ -718,13 +727,44 @@ object StreamingIvf {
     * gate that writes this index layout ([[run]],
     * [[StreamingSemDedup.run]]).
     */
-  private[streaming] def preFenceCheck(
+  private[graft] def preFenceCheck(
       spark: SparkSession, path: String, batchId: Long): Unit = {
     val lockPath = new org.apache.hadoop.fs.Path(s"$path/$RebuildMarker")
-    if (lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(lockPath))
-      throw new IllegalStateException(
-        s"StreamingIvf rebuild in progress at $path ($RebuildMarker present) — " +
-          s"batch $batchId refused; it will retry after the generation switch")
+    val fs = lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(lockPath)) {
+      // stale-fence heal (review r13 pass 2): the fence's line 2 records
+      // the generation its rebuild publishes; if that generation (or a
+      // later one) is ALREADY current, the rebuild completed its switch
+      // and only the fence removal was lost (crash / delete IOException
+      // in the two-step window) — nothing is in progress, so heal and
+      // ingest into the published generation. A fence without the
+      // record, or one whose publish-gen is still ahead, keeps the
+      // fail-loud contract (rebuild genuinely in progress, or its
+      // pre-switch crash under selfHealOnFailure = false — the
+      // documented operator-intervention path).
+      val publishedStale =
+        try {
+          val in = fs.open(lockPath)
+          val content =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          content.linesIterator.toSeq
+            .collectFirst { case l if l.startsWith("publishes=") =>
+              l.stripPrefix("publishes=").toLong }
+            .exists(g => currentGen(spark, path).exists(_ >= g))
+        } catch {
+          case _: java.io.FileNotFoundException => return // fence gone: no rebuild
+          case scala.util.control.NonFatal(_) => false // unreadable: fail loud below
+        }
+      if (publishedStale) {
+        System.err.println(s"[graft] healing stale $RebuildMarker at $path — " +
+          s"its rebuild already published its generation; batch $batchId proceeds")
+        fs.delete(lockPath, false)
+      } else
+        throw new IllegalStateException(
+          s"StreamingIvf rebuild in progress at $path ($RebuildMarker present) — " +
+            s"batch $batchId refused; it will retry after the generation switch")
+    }
   }
 
   /** One micro-batch's index commit — the write contract shared by

@@ -404,6 +404,14 @@ class LlmOpsSpec extends SparkSpec {
     assert(new java.io.File(s"$dirB/_CP=4").exists())
     assert(!new java.io.File(s"$dirB/_CP=8").exists())
     assert(res(dirB, None) === unfiltered)
+
+    // crash-window pin (review r13): writeIndex publishes the marker
+    // only AFTER the data lands, so the worst crash leaves bucketed
+    // data with NO marker — which must read legacy-style (centroid_id
+    // is a data filter there): correct results, just no dir prune.
+    assert(new java.io.File(s"$dirB/_CP=4").delete())
+    assert(res(dirB, None) === unfiltered)
+    assert(res(dirB, Some(col("label") === 2)) === filtered)
   }
 
   test("Ivf persisted index: partition-pruned fetch, results == in-memory topK") {

@@ -1205,6 +1205,45 @@ class StreamingSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("StreamingIvf: preFenceCheck heals a completed rebuild's leftover fence, fails loudly otherwise") {
+    // review r13 pass 2: rebuild publishes _GEN=g then deletes the
+    // fence — a crash (or delete IOException) between the two leaves a
+    // COMPLETED rebuild's fence stalling every batch. The fence records
+    // the generation it publishes; once that generation is current the
+    // fence is definitionally stale and the pre-check heals it.
+    val path = java.nio.file.Files.createTempDirectory("graft_sivf_heal").toString
+    def writeFence(content: String): Unit = {
+      val w = new java.io.PrintWriter(
+        s"$path/${graft.streaming.StreamingIvf.RebuildMarker}", "UTF-8")
+      try w.print(content) finally w.close()
+    }
+    val fence = new java.io.File(s"$path/${graft.streaming.StreamingIvf.RebuildMarker}")
+
+    // publish-gen recorded AND that generation current -> heal + proceed
+    new java.io.File(s"$path/_GEN=1").createNewFile()
+    writeFence("sometoken\npublishes=1")
+    graft.streaming.StreamingIvf.preFenceCheck(spark, path, 3L)
+    assert(!fence.exists(), "stale fence (publishes=1, _GEN=1 current) not healed")
+
+    // publish-gen AHEAD of the current generation -> rebuild in
+    // progress, fail loudly and keep the fence
+    writeFence("sometoken\npublishes=2")
+    val e1 = intercept[IllegalStateException] {
+      graft.streaming.StreamingIvf.preFenceCheck(spark, path, 3L)
+    }
+    assert(e1.getMessage.contains("rebuild in progress") && fence.exists())
+
+    // bare fence (no publishes record — crash before the token write,
+    // or a pre-r13 fence): the documented fail-loud contract holds
+    writeFence("")
+    val e2 = intercept[IllegalStateException] {
+      graft.streaming.StreamingIvf.preFenceCheck(spark, path, 3L)
+    }
+    assert(e2.getMessage.contains("rebuild in progress") && fence.exists())
+    assert(fence.delete())
+    graft.streaming.StreamingIvf.preFenceCheck(spark, path, 3L) // clean: no throw
+  }
+
   test("StreamingIvf: post-commit fence recheck refuses a batch whose marker raced a rebuild's listing") {
     // The pre-write fence has a check-then-write window: a rebuild that
     // takes the lock AFTER the check and lists committed dirs BEFORE the
