@@ -175,15 +175,21 @@ private[graft] object BatchIndex {
       .flatMap(n => scala.util.Try(n.stripPrefix(ManifestPrefix).toLong).toOption)
   }
 
+  /** None = the version file exists but could not be read (torn or
+    * transient IO) — callers must NOT treat that as an empty set: a
+    * mutation computed from a phantom-empty read would silently skip a
+    * removal, and the stale name surviving in the live version reopens
+    * the resurrection race `manifestRemove` exists to close.
+    */
   private def readVersion(
       fs: org.apache.hadoop.fs.FileSystem, indexPath: String,
-      v: Long): Set[String] =
+      v: Long): Option[Set[String]] =
     try {
       val in = fs.open(new Path(s"$indexPath/$ManifestPrefix$v"))
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .map(_.trim).filter(_.nonEmpty).toSet
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).toSet)
       finally in.close()
-    } catch { case _: java.io.IOException => Set.empty }
+    } catch { case _: java.io.IOException => None }
 
   /** Committed child names per the manifest (empty when absent/torn —
     * readers fall back to per-dir marker checks).
@@ -193,7 +199,8 @@ private[graft] object BatchIndex {
     val fs = new Path(indexPath).getFileSystem(conf)
     if (!manifestCapable(fs, conf)) Set.empty // marker-only resolution
     else manifestVersions(fs, indexPath).maxOption
-      .map(v => readVersion(fs, indexPath, v)).getOrElse(Set.empty)
+      // a torn READ degrades safely to the per-dir marker fallback
+      .flatMap(v => readVersion(fs, indexPath, v)).getOrElse(Set.empty)
   }
 
   /** CAS mutation: re-read + apply `f` + create-exclusive the next
@@ -209,18 +216,35 @@ private[graft] object BatchIndex {
     while (attempts < 8) {
       attempts += 1
       val ver = manifestVersions(fs, indexPath).maxOption.getOrElse(0L)
-      val cur = if (ver == 0L) Set.empty[String] else readVersion(fs, indexPath, ver)
-      val next = f(cur)
-      if (next == cur) return
-      try {
-        val out = fs.create(new Path(s"$indexPath/$ManifestPrefix${ver + 1}"), false)
-        try out.write(next.toSeq.sorted.mkString("\n")
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        manifestVersions(fs, indexPath).filter(_ < ver)
-          .foreach(v => fs.delete(new Path(s"$indexPath/$ManifestPrefix$v"), false))
-        return
-      } catch { case _: java.io.IOException => () } // lost the CAS — retry
+      // a TORN read of the current version must not masquerade as an
+      // empty set: f(∅) for a removal is ∅ == ∅ and the mutation would
+      // silently no-op, leaving the stale name live in the unread
+      // version — the resurrection race again. Retry; if the version
+      // stays unreadable, BLANK the manifest (empty next version):
+      // every reader then falls back to the authoritative per-dir
+      // markers, which is always correct, merely slower.
+      val cur = if (ver == 0L) Some(Set.empty[String]) else readVersion(fs, indexPath, ver)
+      val nextOpt: Option[Set[String]] = cur match {
+        case Some(c) if f(c) == c => return // already applied — nothing to write
+        case Some(c) => Some(f(c))
+        // torn read: retry; on the LAST attempt blank the manifest —
+        // writers can't trust it and readers already marker-fallback on
+        // their own torn reads, so an empty next version is the safe
+        // convergence point for both sides
+        case None if attempts < 8 => Thread.sleep(10L); None
+        case None => Some(Set.empty[String])
+      }
+      nextOpt.foreach { next =>
+        try {
+          val out = fs.create(new Path(s"$indexPath/$ManifestPrefix${ver + 1}"), false)
+          try out.write(next.toSeq.sorted.mkString("\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          manifestVersions(fs, indexPath).filter(_ < ver)
+            .foreach(v => fs.delete(new Path(s"$indexPath/$ManifestPrefix$v"), false))
+          return
+        } catch { case _: java.io.IOException => () } // lost the CAS — retry
+      }
     }
   }
 

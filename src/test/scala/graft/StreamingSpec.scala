@@ -2725,6 +2725,26 @@ class StreamingSpec extends SparkSpec {
     graft.streaming.BatchIndex.touchCommit(spark, s"$assign/$victim")
     assert(topkSet() === expect)
     assert(hidden !== expect, "hiding a committed batch must change the result set")
+
+    // (f) UNREADABLE current version (review r13: a directory squatting
+    // in the newest version slot makes every open throw): readers
+    // marker-fallback, and a MUTATION must not act on the phantom-empty
+    // read (a remove computed from it would silently no-op and leave
+    // the stale name live — the resurrection race) — it retries, then
+    // BLANKS the manifest so both sides converge on the markers.
+    assert(new java.io.File(s"$assign/_MANIFEST.v2000").mkdir())
+    assert(graft.streaming.BatchIndex.manifestNames(spark, assign) === Set.empty,
+      "unreadable current version must marker-fallback, not phantom-read")
+    assert(topkSet() === expect)
+    graft.streaming.BatchIndex.touchCommit(spark, s"$assign/$victim")
+    assert(versionFiles.exists(_ == "_MANIFEST.v2001"),
+      s"mutation under an unreadable version must blank-write the next version: $versionFiles")
+    assert(graft.streaming.BatchIndex.manifestNames(spark, assign) === Set.empty)
+    assert(topkSet() === expect)
+    // the next mutation proceeds normally from the blanked version
+    graft.streaming.BatchIndex.touchCommit(spark, s"$assign/$victim")
+    assert(graft.streaming.BatchIndex.manifestNames(spark, assign) === Set(victim))
+    assert(topkSet() === expect)
   }
 
   test("StreamingIvf.maintain: the health -> rebuild loop — drift trips needsRebuild, maintain rebuilds hash-seeded, the signal clears") {
