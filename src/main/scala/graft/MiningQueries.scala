@@ -4012,7 +4012,80 @@ object MiningQueries {
       "q173's span pair report on 8-byte hashed anchor keys " +
         "(hashedAnchors=true): same verdicts, ~10x less anchor-join " +
         "shuffle volume; oracle shared verbatim with q173 — the " +
-        "hashed == string law at gate scale"))
+        "hashed == string law at gate scale"),
+
+    // ---------------------- DSIR importance-weighted data selection
+    Q("q180_dsir_selection",
+      (s, d) => {
+        // DSIR (Xie et al. 2023, "Data Selection for Language Models
+        // via Importance Resampling"): rank every raw document by the
+        // log-likelihood RATIO of a target-domain LM to a raw-corpus
+        // LM and keep the top slice — the published recipe for
+        // steering a web-scale crawl toward a trusted domain without
+        // training a classifier. Feature model = the q163 production
+        // shape instantiated TWICE over ONE shared per-doc distinct-
+        // bigram frame (map-side native GramRunCounts, derived once,
+        // not persisted — the q163 recompute-over-cache trade): the
+        // TARGET LM trained on the en slice (q163's trusted-slice
+        // convention), the RAW LM on the whole corpus, both pruned
+        // (minPair=2, minCtx=2) and BROADCAST, so each scoring pass is
+        // two map-side hash joins and the corpus never shuffles for
+        // scoring; both models stay count-threshold-capped at any
+        // corpus size. Importance weight per doc, exact Q16 fixed
+        // point: w_fp = xent_raw_fp - xent_target_fp (positive = the
+        // doc is better explained by the target LM than by the raw
+        // mixture — more target-like than the corpus average).
+        // Selection = global top-100 by (w_fp DESC, doc_id ASC) via
+        // orderBy+limit, which Spark plans as TakeOrderedAndProject:
+        // per-partition partial top-k then a k-row driver merge, never
+        // a single-partition global sort — the deterministic stand-in
+        // for the paper's Gumbel resampling (floats and RNG would
+        // break the exact-replay discipline; top-k IS the zero-
+        // temperature limit). The per-doc weight frame feeds two
+        // consumers (selection + per-lang coverage) -> localCheckpoint
+        // (doc-count-sized, one row per scoreable doc). Report: per-
+        // lang selection card — langs with zero selected docs drop out
+        // (disclosed); docs with <2 tokens have no bigrams, are
+        // unscoreable under both models and excluded from n_scored and
+        // selection alike (the q159/q163 xd coverage).
+        val pc = T.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(TextOps.gramCounts(split(lower(col("text")), " "), 2)).as("e"))
+          .select(col("doc_id"), col("lang"), split(col("e.g"), " ").as("__sp"),
+            col("e.c").as("c"))
+          .select(col("doc_id"), col("lang"),
+            element_at(col("__sp"), 1).as("w1"),
+            element_at(col("__sp"), 2).as("w2"), col("c"))
+        val tgt = BigramLm.train(pc.where(col("lang") === "en"), Some("c"),
+          minPair = 2L, minCtx = 2L)
+        val raw = BigramLm.train(pc, Some("c"), minPair = 2L, minCtx = 2L)
+        val tx = BigramLm.score(pc, Seq("doc_id", "lang"), tgt, Some("c"),
+          broadcastLm = true).withColumnRenamed("xent_fp", "t_fp")
+        val rx = BigramLm.score(pc, Seq("doc_id", "lang"), raw, Some("c"),
+          broadcastLm = true).withColumnRenamed("xent_fp", "r_fp")
+        val w = tx.join(rx, Seq("doc_id", "lang"))
+          .select(col("doc_id"), col("lang"),
+            (col("r_fp") - col("t_fp")).as("w_fp"))
+          .localCheckpoint(true)
+        val sel = w.orderBy(col("w_fp").desc, col("doc_id").asc).limit(100)
+        val base = w.groupBy(col("lang")).agg(count(lit(1)).as("n_scored"))
+        sel.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_sel"),
+            sum(col("w_fp")).as("sum_sel_w_fp"),
+            min(col("w_fp")).as("min_sel_w_fp"))
+          .join(base, Seq("lang"))
+          .select(col("lang"), col("n_scored"), col("n_sel"),
+            expr("(n_sel * 1000000) div n_scored").as("sel_ppm"),
+            col("sum_sel_w_fp"), col("min_sel_w_fp"))
+          .orderBy(col("lang"))
+      },
+      Some(DsirSelectionOracleSql),
+      "DSIR data selection (Xie et al. 2023): importance weight = " +
+        "xent under the raw-corpus LM minus xent under the en-slice " +
+        "target LM (exact Q16 bits, two pruned broadcast q163-shape " +
+        "models over one shared gram frame), global top-100 docs via " +
+        "distributed TakeOrderedAndProject, per-lang selection card; " +
+        "oracle replays both LM programs over one shared log2 frame"))
 
   /** q141/q142/q144: the ONE distributed corpus-sized stage of the eigen
     * family — GramMatrix's map-side-combined d×d reduction, unpacked to
@@ -4436,6 +4509,70 @@ object MiningQueries {
              CAST(sum(CASE WHEN xent > 322000 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
              CAST((sum(CASE WHEN xent > 322000 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS flag_ppm
       FROM xd GROUP BY lang ORDER BY lang"""
+
+  /** DuckDB replay of q180: the q163 LM program instantiated TWICE —
+    * target model (t-prefixed CTEs, trained on the en slice) and raw
+    * model (r-prefixed, trained on everything), both with the (2, 2)
+    * pruning — over ONE shared positional-pair frame and ONE shared
+    * 16-round log2 program (`vals` is the union of both models'
+    * distinct smoothed counts, so each l2fp value is computed once).
+    * Per-doc weight = raw xent − target xent; selection = top-100 by
+    * (w_fp DESC, doc_id ASC); the report aggregates the selected rows
+    * per lang. All emitted aggregates are division-free except the
+    * count-ratio ppm (non-negative in both engines), so truncating-vs-
+    * flooring `div` semantics can never diverge on a negative sum.
+    */
+  private lazy val DsirSelectionOracleSql: String = {
+    def lm(px: String, filter: String): String =
+      s"""${px}c2 AS MATERIALIZED (SELECT w1, w2, count(*) AS c2 FROM p $filter GROUP BY 1, 2),
+      ${px}c1 AS MATERIALIZED (SELECT w1, sum(c2) AS c1 FROM ${px}c2 GROUP BY 1),
+      ${px}vf AS MATERIALIZED (SELECT count(*) AS V FROM (SELECT w1 AS w FROM ${px}c2 UNION SELECT w2 FROM ${px}c2)),
+      ${px}c2p AS MATERIALIZED (SELECT * FROM ${px}c2 WHERE c2 >= 2),
+      ${px}c1p AS MATERIALIZED (SELECT * FROM ${px}c1 WHERE c1 >= 2)"""
+    def bits(px: String): String =
+      s"""${px}den AS MATERIALIZED (SELECT ${px}c1p.w1, lg.l2fp AS den_fp FROM ${px}c1p JOIN lg ON ${px}c1p.c1 + (SELECT V FROM ${px}vf) = lg.val),
+      ${px}num AS (SELECT w1, w2, l2fp AS num_fp FROM ${px}c2p JOIN lg ON ${px}c2p.c2 + 1 = lg.val),
+      ${px}pb AS MATERIALIZED (SELECT ${px}num.w1, ${px}num.w2, den_fp - num_fp AS pb FROM ${px}num JOIN ${px}den USING (w1)),
+      ${px}unk AS (SELECT l2fp AS unk_fp FROM lg WHERE val = (SELECT V FROM ${px}vf)),
+      ${px}sc AS (SELECT p.doc_id, p.lang,
+               coalesce(${px}pb.pb, ${px}den.den_fp, (SELECT unk_fp FROM ${px}unk)) AS bits
+             FROM p LEFT JOIN ${px}pb ON ${px}pb.w1 = p.w1 AND ${px}pb.w2 = p.w2
+                    LEFT JOIN ${px}den ON ${px}den.w1 = p.w1),
+      ${px}xd AS (SELECT doc_id, lang, sum(bits) // count(*) AS xent FROM ${px}sc GROUP BY 1, 2)"""
+    s"""WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
+      p AS MATERIALIZED (SELECT doc_id, lang, w[i] AS w1, w[i+1] AS w2
+           FROM t, unnest(range(1, len(w))) AS u(i)),
+      ${lm("t", "WHERE lang = 'en'")},
+      ${lm("r", "")},
+      vals AS MATERIALIZED (SELECT DISTINCT val FROM (
+          SELECT c2 + 1 AS val FROM tc2p
+          UNION ALL SELECT c1 + (SELECT V FROM tvf) AS val FROM tc1p
+          UNION ALL SELECT V AS val FROM tvf
+          UNION ALL SELECT c2 + 1 AS val FROM rc2p
+          UNION ALL SELECT c1 + (SELECT V FROM rvf) AS val FROM rc1p
+          UNION ALL SELECT V AS val FROM rvf)),
+      s0 AS MATERIALIZED (SELECT val, length(bin(val)) - 1 AS msb,
+             CASE WHEN length(bin(val)) - 1 >= 32
+                  THEN CAST(val AS HUGEINT) // (CAST(1 AS HUGEINT) << (length(bin(val)) - 1 - 32))
+                  ELSE CAST(val AS HUGEINT) * (CAST(1 AS HUGEINT) << (32 - (length(bin(val)) - 1))) END AS y,
+             CAST(0 AS HUGEINT) AS frac FROM vals),
+      ${log2RoundsSql(16)},
+      lg AS MATERIALIZED (SELECT val, CAST(msb AS BIGINT) * 65536 + CAST(frac AS BIGINT) AS l2fp FROM s16),
+      ${bits("t")},
+      ${bits("r")},
+      wt AS (SELECT txd.doc_id, txd.lang, rxd.xent - txd.xent AS w_fp
+             FROM txd JOIN rxd ON txd.doc_id = rxd.doc_id AND txd.lang = rxd.lang),
+      sel AS (SELECT * FROM wt ORDER BY w_fp DESC, doc_id ASC LIMIT 100),
+      base AS (SELECT lang, count(*) AS n_scored FROM wt GROUP BY lang)
+      SELECT s.lang, CAST(base.n_scored AS BIGINT) AS n_scored,
+             count(*)::BIGINT AS n_sel,
+             CAST((count(*) * 1000000) // base.n_scored AS BIGINT) AS sel_ppm,
+             CAST(sum(w_fp) AS BIGINT) AS sum_sel_w_fp,
+             CAST(min(w_fp) AS BIGINT) AS min_sel_w_fp
+      FROM sel s JOIN base ON s.lang = base.lang
+      GROUP BY s.lang, base.n_scored
+      ORDER BY s.lang"""
+  }
 
   /** DuckDB replay of q163: the shared prelude with the (2, 2) model
     * pruning + q159's per-lang report.

@@ -50,7 +50,8 @@ object ScaleBench {
     "q159_perplexity_filter",  // LM train chain + two corpus scoring joins
     "q162_curation_waterfall", // composed repetition -> perplexity -> dedup
     "q163_perplexity_pruned",  // broadcast pruned-LM map-side scoring
-    "q173_span_dedup")         // anchor-gram pair join + diagonal islands (df-capped)
+    "q173_span_dedup",         // anchor-gram pair join + diagonal islands (df-capped)
+    "q180_dsir_selection")     // two broadcast LMs + distributed top-k selection
 
   /** r30 extension (round-8 judge ask #7): the two families whose r10
     * ratios sat closest to the alarm line get ONE more decade-ish point

@@ -1332,4 +1332,49 @@ class LlmOpsSpec extends SparkSpec {
     assert(got === expect)
     assert(got.map(_._1) === Set(1, 2, 5, 10))
   }
+
+  test("DSIR selection (q180): distributed top-k report == sequential law over independently-derived weights") {
+    // derive the per-doc importance weights through the BigramLm API
+    // (two pruned broadcast models over one gram frame — the operator
+    // surface), then apply the SELECTION + REPORT semantics in plain
+    // sequential Scala: sort by (w DESC, doc_id ASC), take 100, group
+    // by lang. q180's distributed TakeOrderedAndProject + agg plan
+    // must reproduce it exactly — the parallelism-independence law for
+    // the top-k path, and the report can never drift from the weights.
+    val d = "/root/testdata/sf0.001"
+    val pc = Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"),
+        explode(TextOps.gramCounts(split(lower(col("text")), " "), 2)).as("e"))
+      .select(col("doc_id"), col("lang"), split(col("e.g"), " ").as("__sp"),
+        col("e.c").as("c"))
+      .select(col("doc_id"), col("lang"),
+        element_at(col("__sp"), 1).as("w1"),
+        element_at(col("__sp"), 2).as("w2"), col("c"))
+    val tgt = BigramLm.train(pc.where(col("lang") === "en"), Some("c"),
+      minPair = 2L, minCtx = 2L)
+    val raw = BigramLm.train(pc, Some("c"), minPair = 2L, minCtx = 2L)
+    val w = BigramLm.score(pc, Seq("doc_id", "lang"), tgt, Some("c"), broadcastLm = true)
+      .withColumnRenamed("xent_fp", "t_fp")
+      .join(BigramLm.score(pc, Seq("doc_id", "lang"), raw, Some("c"), broadcastLm = true)
+        .withColumnRenamed("xent_fp", "r_fp"), Seq("doc_id", "lang"))
+      .select(col("doc_id"), col("lang"), (col("r_fp") - col("t_fp")).as("w_fp"))
+      .as[(Long, String, Long)].collect()
+    assert(w.length === 500) // every doc has >= 2 tokens at this corpus
+    val sel = w.sortBy(r => (-r._3, r._1)).take(100)
+    val expect = sel.groupBy(_._2).map { case (lang, rows) =>
+      val scored = w.count(_._2 == lang).toLong
+      (lang, scored, rows.length.toLong,
+        rows.length.toLong * 1000000L / scored,
+        rows.map(_._3).sum, rows.map(_._3).min)
+    }.toSet
+    val got = SparkEntry.queries("q180_dsir_selection")(spark, d)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSeq === got.map(_._1).toSeq.sorted) // ordered by lang
+    assert(got.toSet === expect)
+    // and the DSIR intent, pinned as documented behavior: the target
+    // slice (en) is over-represented in the selection vs its corpus share
+    val en = got.find(_._1 == "en").get
+    assert(en._4 > 1000000L * 100 / 500,
+      s"en sel_ppm ${en._4} not above the uniform-selection rate")
+  }
 }

@@ -630,6 +630,17 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q180 DSIR: selection is TakeOrderedAndProject (partial per-partition top-k), never a global sort") {
+    // the top-100 must plan as TakeOrderedAndProject — per-partition
+    // partial top-k merged k-rows-at-the-driver; a Sort + single-
+    // partition Exchange under a Limit would move the whole per-doc
+    // weight frame through one task at corpus scale
+    val plan = SparkEntry.queries("q180_dsir_selection")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in the selection path:\n$plan")
+  }
+
   test("GLOBAL GUARD: no nested-loop or cartesian join in ANY registry query plan") {
     // every registry plan must be cluster-safe; the only tolerated
     // nested loops are the documented k-vs-n broadcast scorings where
@@ -660,7 +671,8 @@ class PlanSpec extends SparkSpec {
       "q167_abtt_correction" -> "exact-cosine top-5 audits (raw + corrected space): probes broadcast by design (the q24 shape); the correction itself is map-side",
       "q168_abtt_pq_recall" -> "exact-L2 recall baselines of both spaces: probes broadcast by design (the q131 shape)",
       "q171_ann_filtered" -> "centroid codebook scoring (k rows) broadcast (the q42 assignment shape); the filtered candidate fetch itself is a broadcast HASH join on centroid_id",
-      "q174_filtered_recall" -> "exact filtered-truth baseline: probes broadcast by design (the q24 shape) + centroid codebook scoring (k rows) broadcast (the q42 assignment shape)")
+      "q174_filtered_recall" -> "exact filtered-truth baseline: probes broadcast by design (the q24 shape) + centroid codebook scoring (k rows) broadcast (the q42 assignment shape)",
+      "q180_dsir_selection" -> "1-row trained-LM scalars broadcast twice (the q163 device, once per model — target and raw)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       val bad = plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct")
