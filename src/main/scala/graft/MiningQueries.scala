@@ -2967,24 +2967,16 @@ object MiningQueries {
         // (doc, bigram) once instead of every position. q159 remains
         // the exact-complete audit; this is the shape that scores
         // 100 TB — LM rows capped by the count threshold, no shuffle.
-        // per-doc bigram counts MAP-SIDE (native GramRunCounts inside
-        // each row, then explode) — the former explode → 4-key groupBy
-        // shuffled every bigram occurrence and was over half this
-        // query's cost; the gram string splits back to (w1, w2) exactly
-        // (space-joined space-free tokens round-trip, the q162 device).
-        // Deliberately NOT persisted: the frame is corpus-sized but its
-        // re-derivation is one streaming scan pass — materializing it
-        // into the block manager cost more than BOTH consumers' (train's
-        // en-slice count, score's map-side joins) recomputation, and at
-        // 100 TB recompute-over-cache is the same trade
-        val pc = T.documents(s, d)
-          .select(col("doc_id"), col("lang"),
-            explode(TextOps.gramCounts(split(lower(col("text")), " "), 2)).as("e"))
-          .select(col("doc_id"), col("lang"), split(col("e.g"), " ").as("__sp"),
-            col("e.c").as("c"))
-          .select(col("doc_id"), col("lang"),
-            element_at(col("__sp"), 1).as("w1"),
-            element_at(col("__sp"), 2).as("w2"), col("c"))
+        // per-doc bigram counts MAP-SIDE via [[docBigramCounts]] (native
+        // GramRunCounts inside each row, then explode) — the former
+        // explode → 4-key groupBy shuffled every bigram occurrence and
+        // was over half this query's cost. Deliberately NOT persisted:
+        // the frame is corpus-sized but its re-derivation is one
+        // streaming scan pass — materializing it into the block manager
+        // cost more than BOTH consumers' (train's en-slice count,
+        // score's map-side joins) recomputation, and at 100 TB
+        // recompute-over-cache is the same trade
+        val pc = docBigramCounts(s, d)
         val lm = BigramLm.train(pc.where(col("lang") === "en"), Some("c"),
           minPair = 2L, minCtx = 2L)
         BigramLm.score(pc, Seq("doc_id", "lang"), lm, Some("c"), broadcastLm = true)
@@ -4048,14 +4040,7 @@ object MiningQueries {
         // (disclosed); docs with <2 tokens have no bigrams, are
         // unscoreable under both models and excluded from n_scored and
         // selection alike (the q159/q163 xd coverage).
-        val pc = T.documents(s, d)
-          .select(col("doc_id"), col("lang"),
-            explode(TextOps.gramCounts(split(lower(col("text")), " "), 2)).as("e"))
-          .select(col("doc_id"), col("lang"), split(col("e.g"), " ").as("__sp"),
-            col("e.c").as("c"))
-          .select(col("doc_id"), col("lang"),
-            element_at(col("__sp"), 1).as("w1"),
-            element_at(col("__sp"), 2).as("w2"), col("c"))
+        val pc = docBigramCounts(s, d)
         val tgt = BigramLm.train(pc.where(col("lang") === "en"), Some("c"),
           minPair = 2L, minCtx = 2L)
         val raw = BigramLm.train(pc, Some("c"), minPair = 2L, minCtx = 2L)
@@ -4086,6 +4071,26 @@ object MiningQueries {
         "models over one shared gram frame), global top-100 docs via " +
         "distributed TakeOrderedAndProject, per-lang selection card; " +
         "oracle replays both LM programs over one shared log2 frame"))
+
+  /** q163/q180's shared feature frame: per-doc DISTINCT bigram counts
+    * (doc_id, lang, w1, w2, c), derived MAP-SIDE by the native
+    * GramRunCounts kernel inside each row, then exploded — never a
+    * positional groupBy shuffle. The 2-gram string splits back to
+    * (w1, w2) exactly because space-joined space-free tokens round-trip
+    * (the q162 device) — this helper is the ONLY encoding of that
+    * contract on the query side. Deliberately NOT persisted: the frame
+    * is corpus-sized but its re-derivation is one streaming scan pass
+    * (see q163's recompute-over-cache note).
+    */
+  private[graft] def docBigramCounts(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(TextOps.gramCounts(split(lower(col("text")), " "), 2)).as("e"))
+      .select(col("doc_id"), col("lang"), split(col("e.g"), " ").as("__sp"),
+        col("e.c").as("c"))
+      .select(col("doc_id"), col("lang"),
+        element_at(col("__sp"), 1).as("w1"),
+        element_at(col("__sp"), 2).as("w2"), col("c"))
 
   /** q141/q142/q144: the ONE distributed corpus-sized stage of the eigen
     * family — GramMatrix's map-side-combined d×d reduction, unpacked to
@@ -4453,48 +4458,81 @@ object MiningQueries {
          |FROM $prev)""".stripMargin
     }.mkString(",\n")
 
-  /** q159/q162/q163 shared DuckDB prelude: train counts, the unrolled
-    * log2fp program over the distinct smoothed counts, per-bigram bits
-    * with the three-level fallback, per-doc truncating-div cross-entropy
-    * (`xd`). No WITH keyword — q159 prepends `WITH`, q162
-    * `WITH RECURSIVE` (its dedup stage needs a recursive CTE in the same
-    * list).
-    *
-    * `minPair`/`minCtx` mirror [[graft.operators.BigramLm.train]]'s
-    * model pruning: c1/V always come from the FULL counts (retained bits
-    * never move), pruning only drops rows from num/den — a pruned pair
-    * falls to its context default, a pruned context to the
-    * unseen-context cost. (1, 1) is the full exact model.
+  /** ONE bigram-LM program as DuckDB CTEs, PREFIX-parameterized so a
+    * multi-model oracle (q180's two LMs) instantiates it per model over
+    * one shared positional-pair frame `p` and one shared log2 frame
+    * `lg`, while the empty prefix reproduces the historical q159/q162/
+    * q163 CTE names byte-for-byte. Three pieces, because the log2
+    * program must sit BETWEEN counting and bits (its `vals` input is
+    * the union of every instantiated model's distinct smoothed counts):
+    * [[lmCountCtes]] = train counts + pruning row-drops; [[lmValsTerms]]
+    * = the model's contribution to the shared `vals`; [[lmBitsCtes]] =
+    * den/num/pb/unk bits + the per-doc truncating-div cross-entropy
+    * (`<px>xd`). `minPair`/`minCtx` mirror
+    * [[graft.operators.BigramLm.train]]'s model pruning: c1/V always
+    * come from the FULL counts (retained bits never move), pruning only
+    * drops rows from num/den — a pruned pair falls to its context
+    * default, a pruned context to the unseen-context cost. (1, 1) is
+    * the full exact model. This is the ONLY copy of the delicate
+    * fixed-point SQL — a smoothing or log2 change lands in every LM
+    * oracle or none.
+    */
+  private def lmCountCtes(px: String, trainWhere: String,
+      minPair: Long, minCtx: Long): String =
+    s"""${px}c2 AS MATERIALIZED (SELECT w1, w2, count(*) AS c2 FROM p $trainWhere GROUP BY 1, 2),
+      ${px}c1 AS MATERIALIZED (SELECT w1, sum(c2) AS c1 FROM ${px}c2 GROUP BY 1),
+      ${px}vf AS MATERIALIZED (SELECT count(*) AS V FROM (SELECT w1 AS w FROM ${px}c2 UNION SELECT w2 FROM ${px}c2)),
+      ${px}c2p AS MATERIALIZED (SELECT * FROM ${px}c2 WHERE c2 >= $minPair),
+      ${px}c1p AS MATERIALIZED (SELECT * FROM ${px}c1 WHERE c1 >= $minCtx)"""
+
+  private def lmValsTerms(px: String): String =
+    s"""SELECT c2 + 1 AS val FROM ${px}c2p
+          UNION ALL SELECT c1 + (SELECT V FROM ${px}vf) AS val FROM ${px}c1p
+          UNION ALL SELECT V AS val FROM ${px}vf"""
+
+  private def lmBitsCtes(px: String): String =
+    s"""${px}den AS MATERIALIZED (SELECT ${px}c1p.w1, lg.l2fp AS den_fp FROM ${px}c1p JOIN lg ON ${px}c1p.c1 + (SELECT V FROM ${px}vf) = lg.val),
+      ${px}num AS (SELECT w1, w2, l2fp AS num_fp FROM ${px}c2p JOIN lg ON ${px}c2p.c2 + 1 = lg.val),
+      ${px}pb AS MATERIALIZED (SELECT ${px}num.w1, ${px}num.w2, den_fp - num_fp AS pb FROM ${px}num JOIN ${px}den USING (w1)),
+      ${px}unk AS (SELECT l2fp AS unk_fp FROM lg WHERE val = (SELECT V FROM ${px}vf)),
+      ${px}sc AS (SELECT p.doc_id, p.lang,
+               coalesce(${px}pb.pb, ${px}den.den_fp, (SELECT unk_fp FROM ${px}unk)) AS bits
+             FROM p LEFT JOIN ${px}pb ON ${px}pb.w1 = p.w1 AND ${px}pb.w2 = p.w2
+                    LEFT JOIN ${px}den ON ${px}den.w1 = p.w1),
+      ${px}xd AS (SELECT doc_id, lang, sum(bits) // count(*) AS xent FROM ${px}sc GROUP BY 1, 2)"""
+
+  /** The 16-round log2 program's seed + output CTEs over the shared
+    * `vals` frame (see [[log2RoundsSql]] for the rounds between them).
+    */
+  private def Log2SeedCte: String =
+    """s0 AS MATERIALIZED (SELECT val, length(bin(val)) - 1 AS msb,
+             CASE WHEN length(bin(val)) - 1 >= 32
+                  THEN CAST(val AS HUGEINT) // (CAST(1 AS HUGEINT) << (length(bin(val)) - 1 - 32))
+                  ELSE CAST(val AS HUGEINT) * (CAST(1 AS HUGEINT) << (32 - (length(bin(val)) - 1))) END AS y,
+             CAST(0 AS HUGEINT) AS frac FROM vals)"""
+
+  private def Log2OutCte: String =
+    "lg AS MATERIALIZED (SELECT val, CAST(msb AS BIGINT) * 65536 + CAST(frac AS BIGINT) AS l2fp FROM s16)"
+
+  /** q159/q162/q163 shared DuckDB prelude: the single-model composition
+    * of the pieces above under the historical (empty-prefix) CTE names —
+    * train counts, the unrolled log2fp program over the distinct
+    * smoothed counts, per-bigram bits with the three-level fallback,
+    * per-doc truncating-div cross-entropy (`xd`). No WITH keyword —
+    * q159 prepends `WITH`, q162 `WITH RECURSIVE` (its dedup stage needs
+    * a recursive CTE in the same list).
     */
   private def perplexityDocCtes(minPair: Long = 1L, minCtx: Long = 1L): String =
     s"""t AS (SELECT doc_id, lang, source, string_split(lower(text), ' ') AS w FROM documents),
       p AS MATERIALIZED (SELECT doc_id, lang, w[i] AS w1, w[i+1] AS w2
            FROM t, unnest(range(1, len(w))) AS u(i)),
-      c2 AS MATERIALIZED (SELECT w1, w2, count(*) AS c2 FROM p WHERE lang = 'en' GROUP BY 1, 2),
-      c1 AS MATERIALIZED (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
-      vf AS MATERIALIZED (SELECT count(*) AS V FROM (SELECT w1 AS w FROM c2 UNION SELECT w2 FROM c2)),
-      c2p AS MATERIALIZED (SELECT * FROM c2 WHERE c2 >= $minPair),
-      c1p AS MATERIALIZED (SELECT * FROM c1 WHERE c1 >= $minCtx),
+      ${lmCountCtes("", "WHERE lang = 'en'", minPair, minCtx)},
       vals AS MATERIALIZED (SELECT DISTINCT val FROM (
-          SELECT c2 + 1 AS val FROM c2p
-          UNION ALL SELECT c1 + (SELECT V FROM vf) AS val FROM c1p
-          UNION ALL SELECT V AS val FROM vf)),
-      s0 AS MATERIALIZED (SELECT val, length(bin(val)) - 1 AS msb,
-             CASE WHEN length(bin(val)) - 1 >= 32
-                  THEN CAST(val AS HUGEINT) // (CAST(1 AS HUGEINT) << (length(bin(val)) - 1 - 32))
-                  ELSE CAST(val AS HUGEINT) * (CAST(1 AS HUGEINT) << (32 - (length(bin(val)) - 1))) END AS y,
-             CAST(0 AS HUGEINT) AS frac FROM vals),
+          ${lmValsTerms("")})),
+      $Log2SeedCte,
       ${log2RoundsSql(16)},
-      lg AS MATERIALIZED (SELECT val, CAST(msb AS BIGINT) * 65536 + CAST(frac AS BIGINT) AS l2fp FROM s16),
-      den AS MATERIALIZED (SELECT c1p.w1, lg.l2fp AS den_fp FROM c1p JOIN lg ON c1p.c1 + (SELECT V FROM vf) = lg.val),
-      num AS (SELECT w1, w2, l2fp AS num_fp FROM c2p JOIN lg ON c2p.c2 + 1 = lg.val),
-      pb AS MATERIALIZED (SELECT num.w1, num.w2, den_fp - num_fp AS pb FROM num JOIN den USING (w1)),
-      unk AS (SELECT l2fp AS unk_fp FROM lg WHERE val = (SELECT V FROM vf)),
-      sc AS (SELECT p.doc_id, p.lang,
-               coalesce(pb.pb, den.den_fp, (SELECT unk_fp FROM unk)) AS bits
-             FROM p LEFT JOIN pb ON pb.w1 = p.w1 AND pb.w2 = p.w2
-                    LEFT JOIN den ON den.w1 = p.w1),
-      xd AS (SELECT doc_id, lang, sum(bits) // count(*) AS xent FROM sc GROUP BY 1, 2)"""
+      $Log2OutCte,
+      ${lmBitsCtes("")}"""
 
   private lazy val PerplexityDocCtes: String = perplexityDocCtes()
 
@@ -4522,44 +4560,20 @@ object MiningQueries {
     * count-ratio ppm (non-negative in both engines), so truncating-vs-
     * flooring `div` semantics can never diverge on a negative sum.
     */
-  private lazy val DsirSelectionOracleSql: String = {
-    def lm(px: String, filter: String): String =
-      s"""${px}c2 AS MATERIALIZED (SELECT w1, w2, count(*) AS c2 FROM p $filter GROUP BY 1, 2),
-      ${px}c1 AS MATERIALIZED (SELECT w1, sum(c2) AS c1 FROM ${px}c2 GROUP BY 1),
-      ${px}vf AS MATERIALIZED (SELECT count(*) AS V FROM (SELECT w1 AS w FROM ${px}c2 UNION SELECT w2 FROM ${px}c2)),
-      ${px}c2p AS MATERIALIZED (SELECT * FROM ${px}c2 WHERE c2 >= 2),
-      ${px}c1p AS MATERIALIZED (SELECT * FROM ${px}c1 WHERE c1 >= 2)"""
-    def bits(px: String): String =
-      s"""${px}den AS MATERIALIZED (SELECT ${px}c1p.w1, lg.l2fp AS den_fp FROM ${px}c1p JOIN lg ON ${px}c1p.c1 + (SELECT V FROM ${px}vf) = lg.val),
-      ${px}num AS (SELECT w1, w2, l2fp AS num_fp FROM ${px}c2p JOIN lg ON ${px}c2p.c2 + 1 = lg.val),
-      ${px}pb AS MATERIALIZED (SELECT ${px}num.w1, ${px}num.w2, den_fp - num_fp AS pb FROM ${px}num JOIN ${px}den USING (w1)),
-      ${px}unk AS (SELECT l2fp AS unk_fp FROM lg WHERE val = (SELECT V FROM ${px}vf)),
-      ${px}sc AS (SELECT p.doc_id, p.lang,
-               coalesce(${px}pb.pb, ${px}den.den_fp, (SELECT unk_fp FROM ${px}unk)) AS bits
-             FROM p LEFT JOIN ${px}pb ON ${px}pb.w1 = p.w1 AND ${px}pb.w2 = p.w2
-                    LEFT JOIN ${px}den ON ${px}den.w1 = p.w1),
-      ${px}xd AS (SELECT doc_id, lang, sum(bits) // count(*) AS xent FROM ${px}sc GROUP BY 1, 2)"""
+  private lazy val DsirSelectionOracleSql: String =
     s"""WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
       p AS MATERIALIZED (SELECT doc_id, lang, w[i] AS w1, w[i+1] AS w2
            FROM t, unnest(range(1, len(w))) AS u(i)),
-      ${lm("t", "WHERE lang = 'en'")},
-      ${lm("r", "")},
+      ${lmCountCtes("t", "WHERE lang = 'en'", 2L, 2L)},
+      ${lmCountCtes("r", "", 2L, 2L)},
       vals AS MATERIALIZED (SELECT DISTINCT val FROM (
-          SELECT c2 + 1 AS val FROM tc2p
-          UNION ALL SELECT c1 + (SELECT V FROM tvf) AS val FROM tc1p
-          UNION ALL SELECT V AS val FROM tvf
-          UNION ALL SELECT c2 + 1 AS val FROM rc2p
-          UNION ALL SELECT c1 + (SELECT V FROM rvf) AS val FROM rc1p
-          UNION ALL SELECT V AS val FROM rvf)),
-      s0 AS MATERIALIZED (SELECT val, length(bin(val)) - 1 AS msb,
-             CASE WHEN length(bin(val)) - 1 >= 32
-                  THEN CAST(val AS HUGEINT) // (CAST(1 AS HUGEINT) << (length(bin(val)) - 1 - 32))
-                  ELSE CAST(val AS HUGEINT) * (CAST(1 AS HUGEINT) << (32 - (length(bin(val)) - 1))) END AS y,
-             CAST(0 AS HUGEINT) AS frac FROM vals),
+          ${lmValsTerms("t")}
+          UNION ALL ${lmValsTerms("r")})),
+      $Log2SeedCte,
       ${log2RoundsSql(16)},
-      lg AS MATERIALIZED (SELECT val, CAST(msb AS BIGINT) * 65536 + CAST(frac AS BIGINT) AS l2fp FROM s16),
-      ${bits("t")},
-      ${bits("r")},
+      $Log2OutCte,
+      ${lmBitsCtes("t")},
+      ${lmBitsCtes("r")},
       wt AS (SELECT txd.doc_id, txd.lang, rxd.xent - txd.xent AS w_fp
              FROM txd JOIN rxd ON txd.doc_id = rxd.doc_id AND txd.lang = rxd.lang),
       sel AS (SELECT * FROM wt ORDER BY w_fp DESC, doc_id ASC LIMIT 100),
@@ -4572,7 +4586,6 @@ object MiningQueries {
       FROM sel s JOIN base ON s.lang = base.lang
       GROUP BY s.lang, base.n_scored
       ORDER BY s.lang"""
-  }
 
   /** DuckDB replay of q163: the shared prelude with the (2, 2) model
     * pruning + q159's per-lang report.

@@ -1342,14 +1342,7 @@ class LlmOpsSpec extends SparkSpec {
     // must reproduce it exactly — the parallelism-independence law for
     // the top-k path, and the report can never drift from the weights.
     val d = "/root/testdata/sf0.001"
-    val pc = Tables.documents(spark, d)
-      .select(col("doc_id"), col("lang"),
-        explode(TextOps.gramCounts(split(lower(col("text")), " "), 2)).as("e"))
-      .select(col("doc_id"), col("lang"), split(col("e.g"), " ").as("__sp"),
-        col("e.c").as("c"))
-      .select(col("doc_id"), col("lang"),
-        element_at(col("__sp"), 1).as("w1"),
-        element_at(col("__sp"), 2).as("w2"), col("c"))
+    val pc = MiningQueries.docBigramCounts(spark, d)
     val tgt = BigramLm.train(pc.where(col("lang") === "en"), Some("c"),
       minPair = 2L, minCtx = 2L)
     val raw = BigramLm.train(pc, Some("c"), minPair = 2L, minCtx = 2L)
@@ -1373,6 +1366,8 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.toSet === expect)
     // and the DSIR intent, pinned as documented behavior: the target
     // slice (en) is over-represented in the selection vs its corpus share
+    assert(got.exists(_._1 == "en"),
+      s"no en row in the selection report at all — selection lost the target slice: ${got.toSeq}")
     val en = got.find(_._1 == "en").get
     assert(en._4 > 1000000L * 100 / 500,
       s"en sel_ppm ${en._4} not above the uniform-selection rate")
