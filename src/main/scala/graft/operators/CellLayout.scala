@@ -34,15 +34,36 @@ private[graft] object CellLayout {
   /** Fixed bucket count of the bucketed layout. */
   val DefaultBuckets = 64
 
+  /** `_CP=`-prefixed root entries parsed to bucket counts; unparseable
+    * marker-like junk (`_CP=`, `_CP=64.tmp` — rename artifacts, partial
+    * multipart uploads) is IGNORED rather than allowed to brick every
+    * read and write path with a NumberFormatException — the
+    * `manifestVersions` junk-tolerance discipline.
+    */
+  private def markerValues(names: Seq[String]): Seq[Int] =
+    names.filter(_.startsWith("_CP="))
+      .flatMap(n => scala.util.Try(n.stripPrefix("_CP=").toInt).toOption)
+      .distinct
+
   /** The root's bucket count, None on a legacy dir-per-list root —
-    * resolved from the `_CP=<P>` marker.
+    * resolved from the `_CP=<P>` marker. TWO distinct parseable markers
+    * mean a writer crashed mid-layout-switch without resetMarker and a
+    * retry wrote a different P: pruning `__cp` with the wrong modulus
+    * silently drops valid neighbors, so this FAILS LOUD instead of
+    * picking one by listing order.
     */
   def bucketsOf(spark: SparkSession, root: String): Option[Int] = {
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
-    else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .collectFirst { case n if n.startsWith("_CP=") => n.stripPrefix("_CP=").toInt }
+    else {
+      val vals = markerValues(fs.listStatus(p).toSeq.map(_.getPath.getName))
+      require(vals.size <= 1,
+        s"conflicting _CP layout markers ${vals.sorted.mkString(", ")} under $root — " +
+          "a layout-switching rewrite must clear stale markers (resetMarker); " +
+          "remove the marker that does not match the data before querying")
+      vals.headOption
+    }
   }
 
   /** Create the `_CP=<P>` marker under `root`. */
@@ -62,8 +83,10 @@ private[graft] object CellLayout {
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(rootPath))
       fs.listStatus(rootPath).toSeq.map(_.getPath.getName)
-        .filter(n => n.startsWith("_CP=") && !buckets.contains(
-          n.stripPrefix("_CP=").toInt))
+        .filter(n => n.startsWith("_CP=") &&
+          // delete every non-matching marker INCLUDING unparseable junk
+          // (a reset is the one safe moment to clear it)
+          !scala.util.Try(n.stripPrefix("_CP=").toInt).toOption.exists(buckets.contains))
         .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(s"$root/$n"), false))
     buckets.foreach(writeMarker(spark, root, _))
   }

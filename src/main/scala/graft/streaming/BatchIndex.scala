@@ -204,11 +204,25 @@ private[graft] object BatchIndex {
   }
 
   /** CAS mutation: re-read + apply `f` + create-exclusive the next
-    * version; retry on a lost race. Gives up after a few attempts — a
-    * missed update only costs readers fallback exists() calls.
+    * version; retry on a lost race.
+    *
+    * Exhausting the attempts is NOT symmetric across mutation kinds
+    * (review r13 pass 4): a missed ADD is benign — the name is simply
+    * absent and readers fall back to the authoritative per-dir marker
+    * (`isCommittedVia` treats a manifest MISS as "go check the
+    * marker") — so adds log and give up. A missed REMOVE is the
+    * resurrection race itself: the caller is about to overwrite the
+    * directory, and a reader hitting the stale manifest name would
+    * short-circuit the marker check and trust half-written files.
+    * Removal callers therefore pass `mustApply = true` and exhaustion
+    * THROWS — failing the mutation loudly BEFORE the destructive
+    * overwrite proceeds (for a streaming batch that means the
+    * checkpoint retries the commit; for compact/rebuild the operation
+    * aborts with the tree intact).
     */
   private def mutateManifest(
-      spark: SparkSession, indexPath: String, f: Set[String] => Set[String]): Unit = {
+      spark: SparkSession, indexPath: String, f: Set[String] => Set[String],
+      mustApply: Boolean = false): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(indexPath).getFileSystem(conf)
     if (!manifestCapable(fs, conf)) return // markers stay the only record
@@ -246,16 +260,30 @@ private[graft] object BatchIndex {
         } catch { case _: java.io.IOException => () } // lost the CAS — retry
       }
     }
+    // attempts exhausted without applying: 8 straight lost CAS races or
+    // a persistent create failure (see the contract above)
+    if (mustApply)
+      throw new java.io.IOException(
+        s"manifest removal at $indexPath could not be applied after 8 CAS " +
+          "attempts — refusing to proceed: overwriting the directory with " +
+          "its stale manifest entry live would let readers treat " +
+          "half-written files as committed")
+    else
+      System.err.println(s"[graft] manifest update at $indexPath dropped " +
+        "after 8 CAS attempts (benign for adds: readers fall back to the " +
+        "per-dir commit marker)")
   }
 
   private def lastSeg(dir: String): String =
     dir.substring(dir.lastIndexOf('/') + 1)
 
   /** Drop `names` from the manifest — call BEFORE overwriting a
-    * committed directory (see the manifest contract above).
+    * committed directory (see the manifest contract above). Throws if
+    * the removal cannot be applied (`mustApply` — a silent give-up here
+    * is the resurrection race).
     */
   def manifestRemove(spark: SparkSession, indexPath: String, names: Seq[String]): Unit =
-    if (names.nonEmpty) mutateManifest(spark, indexPath, _ -- names)
+    if (names.nonEmpty) mutateManifest(spark, indexPath, _ -- names, mustApply = true)
 
   def touchCommit(spark: SparkSession, dir: String): Unit = {
     val p = new Path(s"$dir/$CommitMarker")

@@ -476,9 +476,14 @@ object StreamingIvf {
       } else assignedAll
       // the layout marker goes in BEFORE any assign write (and before
       // the _GEN switch publishes the generation), so no reader or
-      // ingest can ever resolve the generation without it
-      buckets.foreach(p =>
-        graft.operators.CellLayout.writeMarker(spark, newRoot, p))
+      // ingest can ever resolve the generation without it. resetMarker,
+      // not writeMarker: a FAILED prior rebuild attempt may have left a
+      // conflicting _CP marker in this gen-dir husk (crash between
+      // marker write and the _GEN switch), and a retry with a different
+      // layout must clear it — two markers (or a stale one over legacy
+      // data) would point readers at the wrong pmod modulus (the
+      // Ivf.writeIndex in-place layout-switch discipline)
+      graft.operators.CellLayout.resetMarker(spark, newRoot, buckets)
       val (outL, partCols) = layoutFor(out, buckets)
       outL.write.mode("overwrite").partitionBy(partCols: _*)
         .parquet(s"$newRoot/assign/compacted=$maxBatch")
@@ -742,28 +747,70 @@ object StreamingIvf {
       // fail-loud contract (rebuild genuinely in progress, or its
       // pre-switch crash under selfHealOnFailure = false — the
       // documented operator-intervention path).
+      def fenceIsStale(content: String): Boolean =
+        content.linesIterator.toSeq
+          .collectFirst { case l if l.startsWith("publishes=") =>
+            l.stripPrefix("publishes=").toLong }
+          .exists(g => currentGen(spark, path).exists(_ >= g))
+      def inProgress(): Nothing =
+        throw new IllegalStateException(
+          s"StreamingIvf rebuild in progress at $path ($RebuildMarker present) — " +
+            s"batch $batchId refused; it will retry after the generation switch")
       val publishedStale =
         try {
           val in = fs.open(lockPath)
           val content =
             try scala.io.Source.fromInputStream(in, "UTF-8").mkString
             finally in.close()
-          content.linesIterator.toSeq
-            .collectFirst { case l if l.startsWith("publishes=") =>
-              l.stripPrefix("publishes=").toLong }
-            .exists(g => currentGen(spark, path).exists(_ >= g))
+          fenceIsStale(content)
         } catch {
           case _: java.io.FileNotFoundException => return // fence gone: no rebuild
           case scala.util.control.NonFatal(_) => false // unreadable: fail loud below
         }
       if (publishedStale) {
-        System.err.println(s"[graft] healing stale $RebuildMarker at $path — " +
-          s"its rebuild already published its generation; batch $batchId proceeds")
-        fs.delete(lockPath, false)
-      } else
-        throw new IllegalStateException(
-          s"StreamingIvf rebuild in progress at $path ($RebuildMarker present) — " +
-            s"batch $batchId refused; it will retry after the generation switch")
+        // TOCTOU-free heal (review r13 pass 4): deleting on the strength
+        // of the READ alone can race a NEW rebuild that overwrote the
+        // fence between our read and the delete — removing the new
+        // rebuild's LIVE fence would break the ingest/rebuild mutual
+        // exclusion and re-open the silent-loss window the fence exists
+        // to close. So the heal first ACQUIRES the fence by atomic
+        // rename to a batch-scoped tombstone: the rename captures
+        // exactly one incarnation of the file, the tombstone is ours
+        // alone (no other actor touches the name), and the delete
+        // decision is re-made on the TOMBSTONE's content. A live fence
+        // captured by mistake is renamed back and the batch fails loud;
+        // a failed rename means the fence changed under us — also fail
+        // loud, the retry re-evaluates.
+        val tomb = new org.apache.hadoop.fs.Path(
+          s"$path/$RebuildMarker.heal.$batchId")
+        val acquired =
+          try {
+            // a crashed prior heal of this same batch id may have left
+            // its (inert, ours-by-name) tombstone — clear it so the
+            // rename's destination is free
+            fs.delete(tomb, false)
+            fs.rename(lockPath, tomb)
+          } catch { case scala.util.control.NonFatal(_) => false }
+        if (!acquired) inProgress()
+        val tombStale =
+          try {
+            val in = fs.open(tomb)
+            val content =
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+            fenceIsStale(content)
+          } catch { case scala.util.control.NonFatal(_) => false }
+        if (tombStale) {
+          System.err.println(s"[graft] healing stale $RebuildMarker at $path — " +
+            s"its rebuild already published its generation; batch $batchId proceeds")
+          fs.delete(tomb, false)
+        } else {
+          // captured a fence we cannot confirm stale (a new rebuild's,
+          // or unreadable): put it back and refuse the batch
+          fs.rename(tomb, lockPath)
+          inProgress()
+        }
+      } else inProgress()
     }
   }
 

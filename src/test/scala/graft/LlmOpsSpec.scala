@@ -412,6 +412,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(new java.io.File(s"$dirB/_CP=4").delete())
     assert(res(dirB, None) === unfiltered)
     assert(res(dirB, Some(col("label") === 2)) === filtered)
+
+    // marker junk-tolerance + conflict defense (review r13 pass 4): a
+    // marker-LIKE junk name (partial multipart upload, rename artifact)
+    // must not brick every read/write on the tree — unparseable names
+    // are ignored; TWO parseable markers are a genuine layout ambiguity
+    // and FAIL LOUD instead of resolving by listing order (pruning __cp
+    // with the wrong modulus would silently drop valid neighbors); a
+    // layout-resetting rewrite clears junk and conflict alike.
+    new java.io.File(s"$dirB/_CP=4.tmp").createNewFile()
+    assert(res(dirB, None) === unfiltered) // junk alone: ignored (legacy-style read)
+    new java.io.File(s"$dirB/_CP=4").createNewFile()
+    assert(res(dirB, None) === unfiltered) // junk beside the real marker: still fine
+    new java.io.File(s"$dirB/_CP=8").createNewFile()
+    val eConflict = intercept[IllegalArgumentException] { res(dirB, None) }
+    assert(eConflict.getMessage.contains("conflicting _CP layout markers"))
+    Ivf.writeIndex(e, "vec_id", "v", dirB, stride = 16, refine = 0,
+      attrs = Seq("label"), cpBuckets = Some(4))
+    assert(new java.io.File(s"$dirB/_CP=4").exists()
+      && !new java.io.File(s"$dirB/_CP=8").exists()
+      && !new java.io.File(s"$dirB/_CP=4.tmp").exists(),
+      "resetMarker left junk or a conflicting marker behind")
+    assert(res(dirB, None) === unfiltered)
   }
 
   test("Ivf persisted index: partition-pruned fetch, results == in-memory topK") {

@@ -1224,6 +1224,12 @@ class StreamingSpec extends SparkSpec {
     writeFence("sometoken\npublishes=1")
     graft.streaming.StreamingIvf.preFenceCheck(spark, path, 3L)
     assert(!fence.exists(), "stale fence (publishes=1, _GEN=1 current) not healed")
+    // the heal acquires the fence via an atomic rename to a tombstone
+    // (review r13 pass 4 — the read-then-delete TOCTOU); the tombstone
+    // must not linger after a completed heal
+    assert(!new java.io.File(path).listFiles().exists(_.getName.startsWith(
+        graft.streaming.StreamingIvf.RebuildMarker + ".heal")),
+      "heal left its rename tombstone behind")
 
     // publish-gen AHEAD of the current generation -> rebuild in
     // progress, fail loudly and keep the fence
@@ -1525,8 +1531,20 @@ class StreamingSpec extends SparkSpec {
     val shareBefore = maxListShare(spark.read.parquet(s"$path/centroids"))
     assert(shareBefore > 0.25, s"fixture lost its hot population: $shareBefore")
 
+    // a FAILED prior bucketed rebuild attempt can leave a gen-dir husk
+    // carrying its _CP marker (crash between the marker write and the
+    // _GEN switch, selfHealOnFailure = false). The retry below runs
+    // LEGACY and must CLEAR that stale marker (review r13 pass 4:
+    // rebuildBody resets, not merely writes, the layout marker) — left
+    // in place it would point readers at a __cp partition column the
+    // legacy data lacks
+    assert(new java.io.File(s"$path/gen=1").mkdirs())
+    new java.io.File(s"$path/gen=1/_CP=32").createNewFile()
+
     val g = graft.streaming.StreamingIvf.rebuild(spark, path, stride = 16, refine = 1)
     assert(g === 1L)
+    assert(!new java.io.File(s"$path/gen=1/_CP=32").exists(),
+      "stale husk _CP marker survived the legacy rebuild retry")
     // superseded bootstrap state is gone; generation 1 is the tree now
     assert(!new java.io.File(s"$path/centroids").exists())
     assert(!new java.io.File(s"$path/assign").exists())
