@@ -22,10 +22,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * first write leaves the PREVIOUS artifact's files but no marker —
   * refused too (conservative: the protocol cannot distinguish it from
   * a torn overwrite).
+  *
+  * The marker check is EAGER but the returned frame is lazy, so a
+  * rebuild can begin between [[read]] and the first action. [[read]]
+  * therefore SNAPSHOTS the leaf-file listing at call time (review r13
+  * pass 5): the frame reads exactly the files that existed under the
+  * verified marker — a later rebuild's deletions fail the action LOUD
+  * (FileNotFoundException under Spark's default ignoreMissingFiles)
+  * and its new files are invisible, so the reader sees the complete
+  * old artifact or an error, never a silent mix of two builds.
   */
 object AtomicDataset {
 
-  val CommitMarker = "_GRAFT_COMMIT"
+  /** Shared with [[graft.streaming.BatchIndex.CommitMarker]] — ONE
+    * on-disk convention (q169's scaladoc calls this "the BatchIndex
+    * marker protocol on a one-shot artifact"); the marker I/O stays
+    * local because [[graft.streaming.BatchIndex.touchCommit]] also
+    * records the dir in a parent `_MANIFEST`, which a standalone
+    * dataset root must not grow.
+    */
+  val CommitMarker: String = graft.streaming.BatchIndex.CommitMarker
 
   private def markerPath(root: String) = new Path(s"$root/$CommitMarker")
 
@@ -47,12 +63,25 @@ object AtomicDataset {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).create(p, true).close()
   }
 
-  /** Read `<root>/<sub>`, refusing a torn (unmarked) artifact. */
+  /** Read `<root>/<sub>`, refusing a torn (unmarked) artifact; the
+    * file set is snapshotted under the marker check (class doc).
+    * `basePath` keeps partition-column inference intact for
+    * `partitionBy` layouts (q169's `data/out_shard=` dirs).
+    */
   def read(spark: SparkSession, root: String, sub: String): DataFrame = {
     if (!isCommitted(spark, root))
       throw new IllegalStateException(
         s"dataset at $root is not commit-marked ($CommitMarker missing) — " +
           "a build crashed mid-write or is in progress; re-run the build")
-    spark.read.parquet(s"$root/$sub")
+    val dir = new Path(s"$root/$sub")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (!f.getName.startsWith("_") && !f.getName.startsWith("."))
+        files += f.toString
+    }
+    spark.read.option("basePath", s"$root/$sub").parquet(files.toSeq: _*)
   }
 }

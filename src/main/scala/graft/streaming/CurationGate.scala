@@ -58,8 +58,18 @@ import graft.operators.{BigramLm, Components, MinHash, PairVerify, TextOps}
   * equality and the divergence case.
   *
   * 100 TB shape: stages 1–2 are map-side projections + one batch-sized
-  * gram agg per micro-batch (LM tables broadcast-joined — CCNet ships a
-  * fixed-vocab model); stage 3's per-batch work is banding the batch
+  * gram agg per micro-batch. The LM scoring joins are AQE-decided by
+  * default — [[staticLm]]'s default model is the EXACT unpruned one,
+  * whose tables grow with the trusted slice and are not legally
+  * broadcastable (see [[graft.operators.BigramLm.score]]'s contract);
+  * the production CCNet shape (fixed-vocab pruned model, scoring as two
+  * MAP-SIDE broadcast hash joins — the q163 plan) is one configuration
+  * away: `staticLm(trusted, text, minPair = 2, minCtx = 2)` +
+  * `Config(broadcastLm = true)`, with verdicts identical whenever the
+  * thresholds classify the same docs (retained bits are exactly the
+  * full model's; pruned entries fall back one smoothing level —
+  * gate-conservative, the disclosed q163 estimator). Stage 3's
+  * per-batch work is banding the batch
   * against stored signatures and exact-verifying candidates only; the
   * accepted corpus never re-scans its raw documents. The manifest
   * partials are |sources|-sized rows per batch.
@@ -79,7 +89,8 @@ object CurationGate {
       r: Int = 4,
       seed: Long = 42L,
       num: Int = 6,
-      den: Int = 10)
+      den: Int = 10,
+      broadcastLm: Boolean = false)
 
   /** Train the reference LM on a trusted static slice and MATERIALIZE
     * its frames (truncated lineage), so per-micro-batch scoring joins
@@ -87,11 +98,12 @@ object CurationGate {
     * batch — the "train once, score forever" contract that makes
     * streamed scores bit-identical to batch scores.
     */
-  def staticLm(trusted: DataFrame, textCol: String): BigramLm.Lm = {
+  def staticLm(trusted: DataFrame, textCol: String,
+      minPair: Long = 1L, minCtx: Long = 1L): BigramLm.Lm = {
     val pairs = trusted
       .select(explode(BigramLm.bigramPairs(TextOps.tokens(col(textCol)))).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val lm = BigramLm.train(pairs)
+    val lm = BigramLm.train(pairs, minPair = minPair, minCtx = minCtx)
     BigramLm.Lm(
       graft.Engine.truncate(lm.pairBits),
       graft.Engine.truncate(lm.ctxBits),
@@ -128,7 +140,8 @@ object CurationGate {
       .select(col("__gid"),
         split(col("g"), " ").getItem(0).as("w1"),
         split(col("g"), " ").getItem(1).as("w2"), col("c"))
-    val ppl = BigramLm.score(bg2, Seq("__gid"), lm, Some("c"))
+    val ppl = BigramLm.score(bg2, Seq("__gid"), lm, Some("c"),
+        broadcastLm = cfg.broadcastLm)
       .where(col("xent_fp") > cfg.xentFpMax)
       .select(col("__gid"))
     rep.unionByName(ppl).distinct()
@@ -155,10 +168,20 @@ object CurationGate {
     StructField("total_chars", LongType), StructField("fp_sum", LongType),
     StructField("fp_xor", LongType)))
 
-  /** The accepted corpus's manifest as of the last committed batch:
-    * per-source rows + a TOTAL row, merged from the per-batch partials.
-    * Both reducers are abelian, so ((a mod p) + (b mod p)) mod p and
-    * xor-of-xors reproduce the one-shot q150 manifest bit-for-bit.
+  /** The accepted corpus's manifest: per-source rows + a TOTAL row,
+    * merged from the per-batch partials. Both reducers are abelian, so
+    * ((a mod p) + (b mod p)) mod p and xor-of-xors reproduce the
+    * one-shot q150 manifest bit-for-bit.
+    *
+    * READ CONTRACT (review r13 pass 5): the manifest tree is a
+    * marker-less single-writer layout, so this out-of-band read is
+    * exact only while the stream is idle or between batches — called
+    * DURING an in-flight batch-N retry it can see a partially rewritten
+    * `batch=N` dir (an overwrite is not atomic) and return partial
+    * rows for that one batch. Monitoring callers tolerate that
+    * transiently; an exact read quiesces the stream first (every test
+    * and query here reads after processAllAvailable). Dead-incarnation
+    * dirs beyond the live batch id are purged by the next batch commit.
     */
   def currentManifest(spark: SparkSession, manifestPath: String): DataFrame = {
     val template = spark.createDataFrame(new java.util.ArrayList[Row](), ManifestSchema)
@@ -210,6 +233,19 @@ object CurationGate {
         val batchIdx = MinHash.corpusIndex(filtered, idCol, textCol, cfg.ngram, cfg.k, cfg.seed)
           .persist(StorageLevel.MEMORY_AND_DISK)
         try {
+          // purge dead-incarnation state BEFORE reading accepted state
+          // (review r13 pass 5): with a reused indexPath and a reset
+          // checkpoint, batch dirs/runs BEYOND this batch id are a dead
+          // stream's leftovers — read before purging, they would dedup
+          // this batch against phantom accepted rows and commit the
+          // wrong survivor set before the old post-write purge ever
+          // ran. (Dead runs wholly at-or-below the current batch id are
+          // indistinguishable from a legitimate restart-after-
+          // compaction and are kept: reusing a non-empty tree with a
+          // fresh checkpoint is supported only up to that ambiguity —
+          // start fresh paths for fresh corpora.)
+          BatchIndex.purgeBeyond(spark, indexPath, batchId)
+          BatchIndex.purgeBeyond(spark, DedupStage.bandsPath(indexPath), batchId)
           // the stored signature tree is read only for its (__id, __sh)
           // columns (exact verify of banded candidates); the banding
           // probe runs against the PRECOMPUTED, bucket-partitioned band
@@ -231,21 +267,13 @@ object CurationGate {
               fresh.select(col("__id"), col("__sh")), cfg.num, cfg.den)
             .select(col("id_a"), col("id_b"))
             .localCheckpoint(true)
-          val comp = Components.connectedComponents(innerPairs, "id_a", "id_b")
-          val lens = filtered.select(col(idCol).cast("long").as("id"),
-            length(col(textCol)).cast("long").as("__len"))
-          val innerDrop = comp.join(lens, Seq("id"))
-            .withColumn("__rk", row_number().over(
-              Window.partitionBy(col("comp"))
-                .orderBy(col("__len").desc, col("id").asc)))
-            .where(col("__rk") =!= 1).select(col("id").as("__id"))
+          val innerDrop = keepLongestDrops(innerPairs, filtered, idCol, textCol, "__id")
             .localCheckpoint(true)
           // ---- commit: index rows (overwrite = retry-idempotent), purge
           // dead incarnations, manifest partial, then emit survivors
           fresh.join(innerDrop, Seq("__id"), "left_anti")
             .select(col("__id"), col("__sh"), col("__sig"))
             .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
-          BatchIndex.purgeBeyond(spark, indexPath, batchId)
           // band the just-written batch into the band tree (batch-sized,
           // retry-idempotent like the signature write it mirrors)
           DedupStage.commitBands(spark, indexPath, batchId, cfg.b, cfg.r, batchIdx)
@@ -296,12 +324,35 @@ object CurationGate {
     * the class doc for the documented divergence). Returns the surviving
     * input rows.
     */
+  /** q162's within-batch survivorship policy, shared VERBATIM by
+    * [[run]] and [[batchWaterfall]] (review r13 pass 5 — the gates'
+    * pinned stream/batch equality must not be maintainable as two
+    * hand-kept copies): cluster the verified pairs, keep the longest
+    * text per cluster (ties → smallest id). Returns the DROPPED ids as
+    * a one-column frame named `outCol`.
+    */
+  private def keepLongestDrops(pairs: DataFrame, filtered: DataFrame,
+      idCol: String, textCol: String, outCol: String): DataFrame = {
+    val comp = Components.connectedComponents(pairs, "id_a", "id_b")
+    val lens = filtered.select(col(idCol).cast("long").as("id"),
+      length(col(textCol)).cast("long").as("__len"))
+    comp.join(lens, Seq("id"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("comp")).orderBy(col("__len").desc, col("id").asc)))
+      .where(col("__rk") =!= 1).select(col("id").as(outCol))
+  }
+
   def batchWaterfall(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       lm: BigramLm.Lm,
       cfg: Config = Config()): DataFrame = {
+    // the same misconfiguration guard as [[run]] (review r13 pass 5):
+    // b*r > k would slice past the signature and push every doc into
+    // one shared bucket per overrun band — toward an all-pairs join —
+    // instead of failing fast like the streaming twin
+    require(cfg.b * cfg.r <= cfg.k, s"b*r must not exceed k: ${cfg.b}*${cfg.r} > ${cfg.k}")
     val grams = gramCounts(docs, idCol, textCol)
     val qualityDrop = flaggedIds(grams, lm, cfg).select(col("__gid").as(idCol))
     val filtered = graft.Engine.truncate(docs.join(qualityDrop, Seq(idCol), "left_anti"))
@@ -313,13 +364,7 @@ object CurationGate {
       val pairs = PairVerify.exact(cands, idx.select(col("__id"), col("__sh")), cfg.num, cfg.den)
         .select(col("id_a"), col("id_b"))
         .localCheckpoint(true)
-      val comp = Components.connectedComponents(pairs, "id_a", "id_b")
-      val lens = filtered.select(col(idCol).cast("long").as("id"),
-        length(col(textCol)).cast("long").as("__len"))
-      val drops = comp.join(lens, Seq("id"))
-        .withColumn("__rk", row_number().over(
-          Window.partitionBy(col("comp")).orderBy(col("__len").desc, col("id").asc)))
-        .where(col("__rk") =!= 1).select(col("id").as(idCol))
+      val drops = keepLongestDrops(pairs, filtered, idCol, textCol, idCol)
       graft.Engine.truncate(filtered.join(drops, Seq(idCol), "left_anti"))
     } finally { idx.unpersist(); () }
   }

@@ -71,6 +71,11 @@ object StreamingDedup {
       val batchIdx = MinHash.corpusIndex(batch, idCol, textCol, ngram, k, seed)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
+        // purge dead-incarnation state BEFORE reading accepted state
+        // (review r13 pass 5 — the CurationGate ordering): leftovers
+        // beyond this batch id must not serve as phantom accepted rows
+        purgeBeyond(spark, indexPath, batchId)
+        BatchIndex.purgeBeyond(spark, DedupStage.bandsPath(indexPath), batchId)
         // signature tree read only for (__id, __sh) (exact verify); the
         // banding probe runs against the precomputed bucket-partitioned
         // band tree, pruned to the batch's touched partitions
@@ -99,7 +104,6 @@ object StreamingDedup {
         fresh.join(innerDrop, Seq("__id"), "left_anti")
           .select(col("__id"), col("__sh"), col("__sig"))
           .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
-        purgeBeyond(spark, indexPath, batchId)
         // band the just-written batch into the band tree (batch-sized,
         // retry-idempotent like the signature write it mirrors)
         DedupStage.commitBands(spark, indexPath, batchId, b, r, batchIdx)

@@ -54,6 +54,9 @@ object StreamingPhashDedup {
         .where(col("__fp") =!= 0L)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
+        // purge dead-incarnation state BEFORE reading accepted state
+        // (review r13 pass 5 — the CurationGate ordering)
+        BatchIndex.purgeBeyond(spark, indexPath, batchId)
         val accepted = BatchIndex.read(spark, indexPath, fps, beforeBatch = batchId)
         // drop set materialized once (localCheckpoint) — it feeds both
         // the index write and the survivor emit
@@ -61,7 +64,6 @@ object StreamingPhashDedup {
           .localCheckpoint(true)
         fps.join(drops, Seq("__id"), "left_anti")
           .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
-        BatchIndex.purgeBeyond(spark, indexPath, batchId)
         onSurvivors(
           batch.join(drops.select(col("__id").cast("long").as(idCol)), Seq(idCol), "left_anti"),
           batchId)

@@ -142,6 +142,10 @@ object StreamingSpanDedup {
       // __gh, and the stop-df of a gram is only ever consulted for grams
       // the batch carries — for those the df over (batch ∪ semi-joined
       // accepted) equals the df over (batch ∪ touched buckets) exactly.
+      // purge dead-incarnation state BEFORE reading accepted state
+      // (review r13 pass 5 — the CurationGate ordering): leftovers
+      // beyond this batch id must not serve as phantom accepted grams
+      BatchIndex.purgeBeyond(spark, indexPath, batchId)
       val accepted = BatchIndex.read(spark, indexPath, bg, beforeBatch = batchId)
         .where(col("__gp").isin(touched: _*))
         .join(bg.select(col("__gh")).distinct(), Seq("__gh"), "left_semi")
@@ -189,7 +193,6 @@ object StreamingSpanDedup {
         .select(col("__id"), col("pos"), col("__gh"), col("__gp"))
         .write.mode("overwrite").partitionBy("__gp")
         .parquet(s"$indexPath/batch=$batchId")
-      BatchIndex.purgeBeyond(spark, indexPath, batchId)
       compactEvery.filter(_ > 0).foreach { every =>
         if ((batchId + 1) % every == 0) { compact(spark, indexPath, tiered = true); () }
       }

@@ -736,6 +736,48 @@ class StreamingSpec extends SparkSpec {
   }
 
   // -------------------------------------- incremental corpus dedup ingest
+  test("StreamingDedup: a dead incarnation's consolidated run is purged BEFORE batch-0 dedup (reused path, reset checkpoint)") {
+    // review r13 pass 5: BatchIndex.read includes ALL active runs
+    // regardless of beforeBatch, and the dead-incarnation purge used to
+    // run only AFTER the verdicts were committed — so batch 0 of a new
+    // stream on a reused path dedup'd against the dead stream's folded
+    // survivors and dropped its own docs as phantoms' near-dups. The
+    // purge now runs before the accepted-state read.
+    implicit val sqlCtx = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("graft_sdedup_corpse").toString + "/index"
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearBase = (1 to 39).map(i => s"w$i").mkString(" ") + " w99"
+    // dead incarnation: doc 99 (base) accepted at batch 7, folded into a run
+    val dead = graft.operators.MinHash.corpusIndex(
+      Seq((99L, base)).toDF("doc_id", "text"), "doc_id", "text", 3, 128, 42L)
+    dead.write.mode("overwrite").parquet(s"$idx/batch=7")
+    graft.streaming.DedupStage.commitBands(spark, idx, 7L, 32, 4, dead)
+    graft.streaming.BatchIndex.compact(spark, idx, upTo = Some(7L))
+    graft.streaming.BatchIndex.compact(spark, graft.streaming.DedupStage.bandsPath(idx),
+      partitionCols = Seq("__bp"), upTo = Some(7L))
+    def runDirs() = new java.io.File(idx).listFiles()
+      .filter(f => f.getName.startsWith("run=") || f.getName.startsWith("compacted="))
+    assert(runDirs().nonEmpty, "fixture: dead incarnation's consolidated run missing")
+    // new stream, FRESH checkpoint: batch 0 carries a near-dup of the
+    // dead corpus's doc — it must SURVIVE (the corpse is not history)
+    val input = MemoryStream[(Long, String)]
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = graft.streaming.StreamingDedup.run(
+        input.toDS().toDF("doc_id", "text"), "doc_id", "text", idx) { (s, _) =>
+        accepted.synchronized { accepted ++= s.select("doc_id").as[Long].collect(); () }
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_corpse_ckpt").toString)
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    try {
+      input.addData((1L, nearBase))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(accepted.synchronized(accepted.toSet) === Set(1L),
+      "batch-0 doc dropped as a dead incarnation's near-dup")
+    assert(runDirs().isEmpty, "dead incarnation's run not purged")
+  }
+
   test("StreamingDedup: batches dedup against the accepted corpus; final == batch dedupCorpus") {
     implicit val sqlCtx = spark.sqlContext
     val idx = java.nio.file.Files.createTempDirectory("graft_sdedup").toString + "/index"
