@@ -45,14 +45,21 @@ object Sources {
   /** S2: bounded datagen — `n` rows, fields derived per `fields`
     * (name -> expression over the `id` column). Batch: spark.range keeps
     * everything map-side and splittable (`numPartitions` tasks).
+    * `fields` is a Seq, NOT a Map (review r13 pass 6): a Map parameter
+    * silently switched to HashMap iteration order past 4 entries, so
+    * the output COLUMN ORDER stopped matching declaration order —
+    * breaking positional consumers (tuple decoding, position-sensitive
+    * sinks). Duplicate field names are rejected.
     */
   def dataGenBounded(
       spark: SparkSession,
       n: Long,
-      fields: Map[String, Column => Column],
+      fields: Seq[(String, Column => Column)],
       numPartitions: Int = 4): DataFrame = {
+    require(fields.map(_._1).distinct.size == fields.size,
+      s"duplicate field names: ${fields.map(_._1).mkString(",")}")
     val base = spark.range(0, n, 1, numPartitions)
-    base.select(fields.toSeq.map { case (name, f) => f(col("id")).as(name) }: _*)
+    base.select(fields.map { case (name, f) => f(col("id")).as(name) }: _*)
   }
 
   /** S3: unbounded throttled datagen — `rowsPerSecond` via the rate
@@ -62,12 +69,16 @@ object Sources {
   def dataGenRate(
       spark: SparkSession,
       rowsPerSecond: Int,
-      fields: Map[String, Column => Column]): DataFrame = {
+      fields: Seq[(String, Column => Column)]): DataFrame = {
+    // Seq for declaration-order columns (see dataGenBounded); "ts" is
+    // emitted by the source itself, so a derived field may not reuse it
+    require(fields.map(_._1).distinct.size == fields.size && !fields.exists(_._1 == "ts"),
+      s"duplicate or reserved ('ts') field names: ${fields.map(_._1).mkString(",")}")
     val base = spark.readStream
       .format("rate")
       .option("rowsPerSecond", rowsPerSecond)
       .load() // schema: timestamp TIMESTAMP, value LONG
-    base.select(col("timestamp").as("ts") +: fields.toSeq.map { case (name, f) => f(col("value")).as(name) }: _*)
+    base.select(col("timestamp").as("ts") +: fields.map { case (name, f) => f(col("value")).as(name) }: _*)
   }
 
   /** S5: programmatic source descriptor — build a streaming source from

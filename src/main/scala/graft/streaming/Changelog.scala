@@ -55,8 +55,13 @@ object Changelog {
 
   /** Changelog between two keyed snapshots (one row per key each).
     * Returns `row_kind` ++ keys ++ value columns; unchanged keys emit
-    * nothing. Null-safe: value structs compare field-wise with SQL
-    * container semantics (null == null inside a struct).
+    * nothing. Null-safe in BOTH positions (review r13 pass 6): value
+    * structs compare field-wise with SQL container semantics (null ==
+    * null inside a struct), and the snapshots join on NULL-SAFE key
+    * equality (`<=>`) — a plain equi-join never matches a NULL key, so
+    * an unchanged null-keyed row (e.g. a kafka record with a null key,
+    * grouped as ONE key by the keep-latest window) would emit a
+    * spurious -D/+I pair every batch and could replay to ABSENT.
     */
   def diff(prev: DataFrame, next: DataFrame, keys: Seq[String]): DataFrame = {
     require(prev.columns.sameElements(next.columns),
@@ -65,7 +70,12 @@ object Changelog {
     val valueCols = next.columns.filterNot(keys.contains).toSeq
     def packed(df: DataFrame, as: String) =
       df.select(keys.map(col) :+ struct(valueCols.map(col): _*).as(as): _*)
-    val j = packed(prev, "__old").join(packed(next, "__new"), keys, "full_outer")
+    val l = packed(prev, "__old").as("__l")
+    val r = packed(next, "__new").as("__r")
+    val j = l.join(r, keys.map(k => col(s"__l.$k") <=> col(s"__r.$k")).reduce(_ && _),
+        "full_outer")
+      .select(keys.map(k => coalesce(col(s"__l.$k"), col(s"__r.$k")).as(k)) :+
+        col("__l.__old").as("__old") :+ col("__r.__new").as("__new"): _*)
     // every branch emits a non-empty array of one struct type ("=" rows
     // are filtered after the explode) — keeps when/otherwise type-stable
     val changes = j.select(
@@ -108,8 +118,15 @@ object Changelog {
     val b = batch.select(
       keys.map(col) :+ struct(valueCols.map(col): _*).as("__v") :+ ord.as("__o"): _*)
     // rows that ever hold the championship: newer than the prev-state
-    // champion (left join; fresh keys have no bar to clear)
-    val live = b.join(prevP, keys, "left_outer")
+    // champion (left join; fresh keys have no bar to clear). NULL-SAFE
+    // key join (review r13 pass 6): a plain equi-join never matches a
+    // null key, so a stale null-keyed batch row would bypass the prev
+    // champion's bar and assert a +I the snapshot contradicts
+    val live = b.as("__b").join(prevP.as("__p"),
+        keys.map(k => col(s"__b.$k") <=> col(s"__p.$k")).reduce(_ && _), "left_outer")
+      .select(keys.map(k => col(s"__b.$k").as(k)) :+ col("__b.__v").as("__v") :+
+        col("__b.__o").as("__o") :+ col("__p.__pv").as("__pv") :+
+        col("__p.__po").as("__po"): _*)
       .where(col("__po").isNull || col("__o") > col("__po"))
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__o").asc)
     val hops = live.select(
@@ -160,7 +177,13 @@ object Changelog {
     updates.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       val prev = resolvePrev(spark, snapshot, snapshotDir, batchId, batch.schema)
-      val merged = graft.operators.Dedup.keepLatest(prev.unionByName(batch), keys, newerBy)
+      val merged0 = graft.operators.Dedup.keepLatest(prev.unionByName(batch), keys, newerBy)
+      // per-row mode consumes `merged` TWICE (the stored snapshot and
+      // the -D side) — without a cut the second consumer re-runs the
+      // full union + window-dedup shuffle over prev ∪ batch every
+      // trigger (review r13 pass 6); compacted mode uses it once and
+      // stays lazy
+      val merged = if (compacted) merged0 else merged0.localCheckpoint(true)
       // three-valued logic: a NULL retain verdict must evict (and emit
       // -D), not fall through both the keep filter AND its negation —
       // `!NULL` is NULL, so a bare `where(!retain)` would silently drop
@@ -225,9 +248,15 @@ object Changelog {
         .groupBy(keys.map(col): _*)
         .agg(sum(col(mergeCols.head)).as(mergeCols.head),
           mergeCols.tail.map(c => sum(col(c)).as(c)): _*)
-      // column order can differ after groupBy/agg; restore the partial's
-      require(merged.columns.sorted.sameElements(p.columns.sorted),
-        s"partial must emit exactly keys ++ mergeCols: ${p.columns.mkString(",")}")
+      // column order can differ after groupBy/agg; restore the partial's.
+      // Compare TYPES too (review r13 pass 6): sum()'s widening (int ->
+      // long, decimal p -> p+10) would pass a name-only check, write the
+      // widened snapshot, and crash resolvePrev's schema-pinned read one
+      // batch later — enforce the doc's cast-in-partial contract here
+      def sig(df: DataFrame) = df.schema.fields.map(f => (f.name, f.dataType)).sortBy(_._1)
+      require(sig(merged).sameElements(sig(p)),
+        s"partial must emit exactly keys ++ mergeCols with sum-stable types " +
+          s"(cast in partial): ${p.schema.simpleString} vs merged ${merged.schema.simpleString}")
       // NULL retain verdict = evict (see stream(); diff then emits -D)
       val next = store(merged.where(coalesce(retain, lit(false))).select(p.columns.map(col): _*),
         snapshotDir, batchId, spark)

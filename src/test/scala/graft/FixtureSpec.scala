@@ -45,14 +45,14 @@ class FixtureSpec extends SparkSpec {
   // ------------------------------------------------------------- S2
   test("S2 bounded datagen: n rows, length-bounded key fields collide") {
     val df = Sources.dataGenBounded(spark, 64,
-      Map("iso" -> (id => Sources.strField(id, 1)), "n" -> (id => Sources.intField(id, 10))))
+      Seq("iso" -> (id => Sources.strField(id, 1)), "n" -> (id => Sources.intField(id, 10))))
     assert(df.count() === 64)
     // length-1 hex alphabet = at most 16 distinct keys => guaranteed collisions
     val distinct = df.select("iso").distinct().count()
     assert(distinct <= 16 && distinct > 1)
     // deterministic: same seed column -> same values
     assert(df.collect().toSeq === Sources.dataGenBounded(spark, 64,
-      Map("iso" -> (id => Sources.strField(id, 1)), "n" -> (id => Sources.intField(id, 10)))).collect().toSeq)
+      Seq("iso" -> (id => Sources.strField(id, 1)), "n" -> (id => Sources.intField(id, 10)))).collect().toSeq)
   }
 
   // ----------------------------------------------------------- §2.8

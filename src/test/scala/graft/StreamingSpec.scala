@@ -506,6 +506,39 @@ class StreamingSpec extends SparkSpec {
     assert(!out.exists(_._2 == "a"))
   }
 
+  test("Changelog: NULL keys are ONE key, not spurious churn (null-safe diff + per-row hops)") {
+    // review r13 pass 6: a plain equi-join never matches NULL keys, so
+    // an unchanged null-keyed row used to emit a -D/+I pair every batch
+    // (and could replay to ABSENT under +I-before--D application), and
+    // a STALE null-keyed batch row bypassed the prev champion's bar in
+    // per-row mode. Both joins are now null-safe (<=>).
+    val prevN = Seq((Option.empty[String], "x", 5L), (Some("a"), "ax", 1L))
+      .toDF("iso", "capital", "v")
+    val nextSame = Seq((Option.empty[String], "x", 5L), (Some("a"), "ax", 1L))
+      .toDF("iso", "capital", "v")
+    assert(graft.streaming.Changelog.diff(prevN, nextSame, Seq("iso")).isEmpty,
+      "unchanged null-keyed snapshot must emit nothing")
+    val nextChanged = Seq((Option.empty[String], "y", 6L), (Some("a"), "ax", 1L))
+      .toDF("iso", "capital", "v")
+    val ch = graft.streaming.Changelog.diff(prevN, nextChanged, Seq("iso"))
+      .select("row_kind", "capital").as[(String, String)].collect().toSet
+    assert(ch === Set(("-U", "x"), ("+U", "y")),
+      s"null-keyed change must be a -U/+U pair, got $ch")
+    // per-row hops: a STALE null-keyed batch row (v=3 < champion v=5)
+    // must emit nothing — with a non-null-safe join it asserted +I v=3
+    val hops = graft.streaming.Changelog.perRowHops(
+        prevN, Seq((Option.empty[String], "z", 3L)).toDF("iso", "capital", "v"),
+        Seq("iso"), Seq(col("v")))
+      .select("row_kind", "capital").as[(String, String)].collect()
+    assert(hops.isEmpty, s"stale null-keyed row must stay silent, got ${hops.toSeq}")
+    // ...and a genuinely newer null-keyed row is a -U/+U, not a +I
+    val hops2 = graft.streaming.Changelog.perRowHops(
+        prevN, Seq((Option.empty[String], "w", 9L)).toDF("iso", "capital", "v"),
+        Seq("iso"), Seq(col("v")))
+      .select("row_kind", "capital").as[(String, String)].collect().toSet
+    assert(hops2 === Set(("-U", "x"), ("+U", "w")))
+  }
+
   test("K3 streaming changelog replays to the batch final state (incl. -D via retention)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Upd]
@@ -2212,7 +2245,7 @@ class StreamingSpec extends SparkSpec {
   // ----------------------------------------------- S3 rate datagen smoke
   test("S3 rate datagen streams derived length-bounded fields end-to-end") {
     val stream = graft.sources.Sources.dataGenRate(spark, rowsPerSecond = 100,
-      Map("iso" -> (v => graft.sources.Sources.strField(v, 1))))
+      Seq("iso" -> (v => graft.sources.Sources.strField(v, 1))))
     assert(stream.isStreaming)
     val q = graft.sinks.Sinks.memorySink(stream, "rate_out")
     try {
