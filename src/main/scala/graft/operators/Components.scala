@@ -36,6 +36,48 @@ import org.apache.spark.storage.StorageLevel
   */
 object Components {
 
+  /** Conf key: symmetric-edge-row count at or below which the component
+    * labeling runs as a DRIVER union-find over the collected ids-only
+    * edge list instead of the distributed label-propagation loop.
+    * Default 1000000 sym rows (= 500k undirected edges, ~8 MB of long
+    * pairs) — the verified near-dup pair graph of a dedup run is orders
+    * of magnitude smaller than its corpus (ids only, verified pairs
+    * only; the sf0.1 gate corpus yields 256 pairs), and at that size the
+    * loop's fixed cost (per-round checkpoint + convergence-count jobs)
+    * dwarfs the work. The guard is SIZE-KEYED on the measured count (the
+    * loop needed `symAll.count()` anyway), so a corpus whose pair graph
+    * IS large takes the distributed loop unchanged — same device as
+    * `Pq.searchRerank`'s maxBroadcastRows. Set 0 to force the loop.
+    */
+  val LocalEdgeMaxKey = "spark.graft.components.localEdgeMax"
+
+  /** Driver union-find with min-id roots over an undirected edge array —
+    * the local fast path of [[connectedComponents]]. Union-by-min keeps
+    * every tree's root at its component's minimum id (each union makes
+    * the smaller root the parent), so after full path compression
+    * find(x) IS min-reachable(x) — exactly the loop's labeling, at any
+    * edge order. Package-visible for the equality law in PropertySpec.
+    */
+  private[graft] def unionFind(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = new scala.collection.mutable.LongMap[Long](edges.length * 2)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    // sorted for a deterministic row order (values are order-independent)
+    parent.keys.toArray.sorted.map(id => (id, find(id)))
+  }
+
   /** Components of the undirected graph given by `edges(aCol, bCol)`.
     * Output: (id BIGINT, comp BIGINT) — one row per distinct endpoint,
     * `comp` = the MINIMUM id reachable from `id` (so `comp` is a stable,
@@ -69,6 +111,34 @@ object Components {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = symAll.count()
+    // Local fast path (round-13 optimization): a graph this small pays
+    // more in per-round job overhead (checkpoint + convergence count per
+    // round, AQE re-plans) than the whole labeling costs on one core —
+    // measured 0.7-1.7 s of loop for a 256-edge pair graph at sf0.1.
+    // Collect the deduped undirected half (src < dst covers every sym
+    // pair once), label on the driver, return a LocalRelation (which
+    // downstream joins can broadcast for free). Guarded by the MEASURED
+    // sym count against LocalEdgeMaxKey — corpus-scale graphs take the
+    // distributed loop below, bit-identically (PropertySpec law).
+    val localMax = edges.sparkSession.conf
+      .get(LocalEdgeMaxKey, "1000000").toLong
+    if (nEdges <= localMax) {
+      val arr = symAll.where(col("src") < col("dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      symAll.unpersist()
+      val labeled = unionFind(arr)
+      val spark = edges.sparkSession
+      // explicit Row + schema (no implicit-encoder reflection): a plain
+      // LocalRelation that downstream joins can broadcast for free
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("comp",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      return spark.createDataFrame(
+        java.util.Arrays.asList(labeled.map(p =>
+          org.apache.spark.sql.Row(p._1, p._2)): _*), schema)
+    }
     // Size the ITERATION's parallelism to the graph, not the corpus: the
     // pair graph of a dedup run is orders of magnitude smaller than its
     // input (ids only, verified pairs only), yet inherits corpus-sized

@@ -36,6 +36,57 @@ import org.apache.spark.storage.StorageLevel
   */
 object PageRank {
 
+  /** Conf key: edge-row count at or below which the power iteration runs
+    * on the DRIVER over the collected ids-only edge list instead of the
+    * distributed per-round join+agg loop. Default 1000000 edge rows
+    * (~24 MB of (src, dst, w) longs) — the q89 transition graph at sf0.1
+    * is 309k edges, and at that size the loop's fixed cost (5 rounds of
+    * join/agg/truncate jobs, ~4.7 s measured) dwarfs the ~1.5M integer
+    * operations the recurrence actually needs. Same size-keyed guard
+    * device as [[Components.LocalEdgeMaxKey]]: the count is measured
+    * anyway (loop parallelism sizing), corpus-scale graphs take the
+    * distributed loop unchanged, and all arithmetic is the identical
+    * BIGINT recurrence — bit-identical by the LlmOpsSpec law. Set 0 to
+    * force the loop.
+    */
+  val LocalEdgeMaxKey = "spark.graft.pagerank.localEdgeMax"
+
+  /** Driver evaluation of the exact BIGINT recurrence — the local fast
+    * path of [[ranks]]. Same math, same integer-division order:
+    * pr[0](v) = scale; per round S(v) = Σ (pr(u)·w) div outw(u) over
+    * in-edges, pr[i+1](v) = teleport + (dampingPct·S(v)) div 100 for
+    * EVERY node (a source-only node receives nothing and lands exactly
+    * on `teleport`, reproducing the loop's folded constant frames).
+    * Integer sums commute, so iteration order is irrelevant.
+    * Package-visible for the equality law in LlmOpsSpec.
+    */
+  private[graft] def localRanks(
+      edges: Array[(Long, Long, Long)],
+      iterations: Int,
+      dampingPct: Int,
+      scale: Long): Array[(Long, Long)] = {
+    val teleport = scale * (100L - dampingPct) / 100L
+    val outw = new scala.collection.mutable.LongMap[Long](edges.length)
+    edges.foreach { case (s, _, w) => outw(s) = outw.getOrElse(s, 0L) + w }
+    val nodes = {
+      val set = new java.util.TreeSet[java.lang.Long]()
+      edges.foreach { case (s, d, _) => set.add(s); set.add(d) }
+      set.toArray(new Array[java.lang.Long](0)).map(_.longValue)
+    }
+    var pr = new scala.collection.mutable.LongMap[Long](nodes.length)
+    nodes.foreach(v => pr(v) = scale)
+    for (_ <- 1 to iterations) {
+      val s = new scala.collection.mutable.LongMap[Long](nodes.length)
+      edges.foreach { case (u, v, w) =>
+        s(v) = s.getOrElse(v, 0L) + (pr(u) * w) / outw(u)
+      }
+      val next = new scala.collection.mutable.LongMap[Long](nodes.length)
+      nodes.foreach(v => next(v) = teleport + (dampingPct * s.getOrElse(v, 0L)) / 100L)
+      pr = next
+    }
+    nodes.map(v => (v, pr(v)))
+  }
+
   /** Rank every node of the directed weighted graph `edges`.
     *
     * @param edges      (srcCol, dstCol, wCol) rows; parallel edges should
@@ -79,9 +130,37 @@ object PageRank {
     // per-round join/agg even when cores are idle (measured ~1s over 5
     // rounds at sf0.1) — small-but-multi beats single. e is persisted
     // above, so this count doubles as the eager cache fill.
+    val nE = e.count()
+    // Local fast path (round-13 optimization; see LocalEdgeMaxKey): the
+    // recurrence over a driver-sized edge list is pure integer
+    // arithmetic — collect the ids-only projection, evaluate, return a
+    // LocalRelation. Guarded by the MEASURED edge count (computed anyway
+    // for loop sizing); larger graphs run the distributed loop below.
+    val localMax = spark.conf.get(LocalEdgeMaxKey, "1000000").toLong
+    if (nE <= localMax) {
+      val rows = e.collect()
+      // a null endpoint/weight has engine-specific join/agg semantics in
+      // the loop — leave that (never-seen) shape to the loop unchanged
+      val clean = !rows.exists(r => r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2))
+      if (clean) {
+        val arr = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        e.unpersist()
+        val ranked = localRanks(arr, iterations, dampingPct, scale)
+        // explicit Row + schema (no implicit-encoder reflection): a
+        // plain LocalRelation, broadcastable by downstream joins
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("pr",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        return spark.createDataFrame(
+          java.util.Arrays.asList(ranked.map(p =>
+            org.apache.spark.sql.Row(p._1, p._2)): _*), schema)
+      }
+    }
     val dp = spark.sparkContext.defaultParallelism.toLong
     val parallelism = math.max(math.min(8L, dp),
-      math.min(dp, e.count() / 2000000L)).toInt
+      math.min(dp, nE / 2000000L)).toInt
 
     // Out-weight attaches to the edge list ONCE; the per-iteration join
     // then needs only (rank ⋈ edges).

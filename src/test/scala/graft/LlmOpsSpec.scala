@@ -805,6 +805,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(w1 === Map(1L -> 150000L, 2L -> 787500L, 3L -> 362500L))
   }
 
+  test("law: PageRank driver fast path == distributed loop (round-13 guard)") {
+    // same BIGINT recurrence either side of the localEdgeMax guard; a
+    // randomized multigraph (parallel edges, dangling nodes, weights)
+    // must rank bit-identically on both paths
+    val rnd = new scala.util.Random(23) // pinned seed
+    val edges = (1 to 200).map(_ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong, 1L + rnd.nextInt(7)))
+      .filter { case (a, b, _) => a != b }
+    def run(): Set[(Long, Long)] =
+      PageRank.ranks(edges.toDF("src", "dst", "w"), "src", "dst", "w", iterations = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val local = run()
+    val loop = graft.Engine.withConfs(spark, PageRank.LocalEdgeMaxKey -> "0") { run() }
+    assert(local === loop)
+    assert(local.nonEmpty)
+  }
+
   test("CorpusGrams: the written-parquet index path is hash-identical to the in-memory path") {
     // the q162/CurationGate gram frame's storage switch (the
     // MinHash.writeCorpusIndex trade): countsStored writes the counted
@@ -844,10 +861,19 @@ class LlmOpsSpec extends SparkSpec {
     val edges = (1 to 120).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
       .filter { case (a, b) => a != b }
     val wedges = edges.map { case (a, b) => (a, b, 1L + rnd.nextInt(5)) }
-    def ccRun() = Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    def prRun() = PageRank.ranks(wedges.toDF("src", "dst", "w"), "src", "dst", "w", iterations = 5)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // loops FORCED via localEdgeMax=0: this test pins the lineage-cut
+    // switch inside the distributed loops, which the round-13 driver
+    // fast paths would otherwise short-circuit at fixture size
+    def ccRun() = graft.Engine.withConfs(spark,
+        Components.LocalEdgeMaxKey -> "0") {
+      Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    def prRun() = graft.Engine.withConfs(spark,
+        PageRank.LocalEdgeMaxKey -> "0") {
+      PageRank.ranks(wedges.toDF("src", "dst", "w"), "src", "dst", "w", iterations = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
     val (ccLocal, prLocal) = (ccRun(), prRun())
     val ckptDir = java.nio.file.Files.createTempDirectory("graft_reliable_ckpt").toString
     val prevDir = spark.sparkContext.getCheckpointDir

@@ -150,21 +150,40 @@ class PropertySpec extends SparkSpec {
         val want = parent.keys.map(v => v -> find(v)).toMap
         // min-reachable canonicalization: union-find roots are already
         // the min because we always parent max under min
+        // BOTH paths must agree with the reference: the default (these
+        // graphs are under the local-edge guard, so the driver fast
+        // path) and the distributed loop forced via localEdgeMax=0
+        // (round-13 optimization: the loop must stay covered now that
+        // small graphs short-circuit it)
         val got = Components.connectedComponents(real.toDF("a", "b"), "a", "b")
           .as[(Long, Long)].collect().toMap
-        assert(got === want, s"edges=$real")
+        assert(got === want, s"local path: edges=$real")
+        val gotLoop = graft.Engine.withConfs(spark,
+            Components.LocalEdgeMaxKey -> "0") {
+          Components.connectedComponents(real.toDF("a", "b"), "a", "b")
+            .as[(Long, Long)].collect().toMap
+        }
+        assert(gotLoop === want, s"distributed loop: edges=$real")
       }
     }
   }
 
   test("connectedComponents labels a long path to its min (pointer jumping)") {
     // a 200-node path: plain 1-hop min propagation needs ~200 rounds;
-    // pointer jumping must finish within the default maxIter=30
+    // pointer jumping must finish within the default maxIter=30.
+    // Loop FORCED via localEdgeMax=0 — this test exists to pin pointer
+    // jumping, which the driver fast path would otherwise short-circuit.
     val path = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
-    val got = Components.connectedComponents(path, "a", "b")
-      .as[(Long, Long)].collect().toMap
+    val got = graft.Engine.withConfs(spark, Components.LocalEdgeMaxKey -> "0") {
+      Components.connectedComponents(path, "a", "b")
+        .as[(Long, Long)].collect().toMap
+    }
     assert(got.size === 200)
     assert(got.values.toSet === Set(0L))
+    // and the default (local) path labels it identically
+    val gotLocal = Components.connectedComponents(path, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(gotLocal === got)
   }
 
   test("connectedComponents tolerates an empty edge frame (AQE 0-partition repro)") {
