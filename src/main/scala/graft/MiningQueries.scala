@@ -1445,10 +1445,21 @@ object MiningQueries {
         val e = T.embeddings(s, d)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         val probes = e.where(col("vec_id") < 10)
-        val cents = Ivf.centroids(e, "vec_id", "v", stride = 16)
-        val asg = Ivf.assign(e, "vec_id", "v", cents, id = "rid")
-        val res = Pq.residualFrame(e, "vec_id", "v", asg, cents, "rid")
+        // round-13: the quantizer chain fans out (cents -> asg/res/table
+        // build, asg -> res/enc, res -> books/enc) and NOTHING was
+        // materialized, so the single returned plan re-derived the whole
+        // centroid/assignment pipeline once per consumer (128 Exchanges
+        // in the before-plan, plans/r13/q138_*_before.txt). Same persist
+        // discipline as q164: corpus-sized frames persist, model-sized
+        // books checkpoint; one res.count() fills the chain, the
+        // returned plan reads warm caches.
+        val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val cents = Ivf.centroids(e, "vec_id", "v", stride = 16).persist(mem)
+        val asg = Ivf.assign(e, "vec_id", "v", cents, id = "rid").persist(mem)
+        val res = Pq.residualFrame(e, "vec_id", "v", asg, cents, "rid").persist(mem)
+        res.count()
         val books = Pq.codebooks(res, "rid", "__res", m = 8, dims = 64, stride = 32)
+          .localCheckpoint(true)
         val enc = Pq.encode(res, "rid", "__res", books, m = 8, dims = 64)
           .select(col("id"), col("subspace"), col("code"))
           .join(asg.withColumnRenamed("rid", "id"), Seq("id"))
@@ -3044,40 +3055,82 @@ object MiningQueries {
           sqrt(Similarity.dot(col("v"), col("v"))).as("__pn")).where(col("__pn") > 0)
         val wl = Window.partitionBy(col("probe_id"))
           .orderBy(col("__c").desc, col("centroid_id").asc)
-        def listsFor(np: Int) = pn.join(broadcast(cents))
+        // ONE ranked list frame at the LARGEST nprobe serves both cells
+        // (q166's device, back-ported in round 13): a probe's top-2
+        // lists are a PREFIX of its top-4, so each nprobe cell below is
+        // a filter on the candidate's list rank — never a re-probe, and
+        // one localCheckpoint job instead of two.
+        val listsRanked = pn.join(broadcast(cents))
           .select(col("probe_id"),
             (Similarity.dot(col("__pv"), col("__kv")) / (col("__pn") * col("__kn"))).as("__c"),
             col("centroid_id"))
-          .withColumn("__r", row_number().over(wl)).where(col("__r") <= np)
-          .select(col("probe_id"), col("centroid_id"))
+          .withColumn("__lrank", row_number().over(wl)).where(col("__lrank") <= 4)
+          .select(col("probe_id"), col("centroid_id"), col("__lrank"))
           .localCheckpoint(true)
-        val lists = Map(2 -> listsFor(2), 4 -> listsFor(4))
-        // train + encode ONCE per (m, k) — the nprobe axis only changes
-        // list pruning, never codes, so the two nprobe cells of each
-        // codebook share ONE materialized code table (books are m·k
-        // rows, codes n·m rows; lineage otherwise re-runs the training
-        // fold per cell — measured ~2x of the sweep's cost)
-        val rows = for { m <- Seq(4, 8, 16); kc <- Seq(8, 16) } yield {
-          val books = Pq.codebooks(res, "rid", "__res",
-              m = m, dims = 64, stride = 32, maxCodes = kc)
-            .localCheckpoint(true)
-          val enc = Pq.encode(res, "rid", "__res", books, m, 64)
-            .select(col("id"), col("subspace"), col("code"))
-            .join(asg.withColumnRenamed("rid", "id"), Seq("id"))
-            .localCheckpoint(true)
-          Seq(2, 4).map { np =>
-            Pq.searchTopKResidual(enc, probes, "vec_id", "v", cents, books,
-                m = m, dims = 64, k = 5, probeLists = Some(lists(np)))
+        val lists4 = listsRanked.select(col("probe_id"), col("centroid_id"))
+        // fill the shared persisted frames ONCE before the cell threads
+        // fork: a racing first-use would compute the residual pipeline
+        // once per thread (cache fill is thread-safe but not deduped
+        // mid-flight)
+        res.count()
+        // train + encode ONCE per (m, k); the nprobe axis is a FILTER on
+        // the candidate's list rank over ONE ADC scoring per (m, k) —
+        // a candidate's ADC distance depends only on its OWN list's
+        // table, never on nprobe, so 12 per-cell ranked searches become
+        // 6 un-ranked scorings (round-13: Pq.adcScoresResidual) with the
+        // per-cell rank applied in one windowed pass each. The 6 (m, k)
+        // cells are INDEPENDENT index-build candidates: their eager
+        // stages (codebook train, encode) overlap on a small thread pool
+        // (guide §2.6 back-fill, 3 in flight — enough to fill each
+        // build's scheduling gaps without starving the stages) — results
+        // are unchanged, each cell reads only the shared materialized
+        // frames.
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+        val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val cells = for { m <- Seq(4, 8, 16); kc <- Seq(8, 16) } yield
+          scala.concurrent.Future {
+            val books = Pq.codebooks(res, "rid", "__res",
+                m = m, dims = 64, stride = 32, maxCodes = kc)
+              .localCheckpoint(true)
+            // enc now has ONE consumer (the single ADC scoring below) —
+            // it fuses into that job instead of materializing separately
+            // (its old checkpoint served the two per-nprobe searches)
+            val enc = Pq.encode(res, "rid", "__res", books, m, 64)
+              .select(col("id"), col("subspace"), col("code"))
+              .join(asg.withColumnRenamed("rid", "id"), Seq("id"))
+            val scored = Pq.adcScoresResidual(enc, probes, "vec_id", "v",
+                cents, books, m = m, dims = 64, probeLists = Some(lists4))
+              .join(asg.withColumnRenamed("rid", "neighbor_id"), Seq("neighbor_id"))
+              .join(broadcast(listsRanked), Seq("probe_id", "centroid_id"))
+              .select(col("probe_id"), col("neighbor_id"), col("adist_fp"),
+                col("__lrank"))
+            val wnp = Window.partitionBy(col("probe_id"), col("__np"))
+              .orderBy(col("adist_fp").asc, col("neighbor_id").asc)
+            scored
+              .withColumn("__np", explode(typedLit(Seq(2, 4))))
+              .where(col("__lrank") <= col("__np"))
+              .withColumn("__rk", row_number().over(wnp))
+              .where(col("__rk") <= 5)
               .join(exact, Seq("probe_id", "neighbor_id"), "left")
+              .groupBy(col("__np"))
               .agg(count(lit(1)).as("n_ranked"),
                 sum(when(col("__hit"), 1L).otherwise(0L)).as("n_hits"))
-              .select(lit(m).as("m"), lit(kc).as("k_codes"), lit(np).as("nprobe"),
+              .select(lit(m).as("m"), lit(kc).as("k_codes"), col("__np").as("nprobe"),
                 lit(m).as("bytes_per_vec"), lit(512L / m).as("compression_x"),
                 col("n_ranked"), col("n_hits"),
                 (col("n_hits") * 1000000L / lit(nExact)).cast("long").as("recall_ppm"))
-          }
-        }
-        rows.flatten.reduce(_ unionByName _)
+              // materialize the 2-row cell result INSIDE the thread: the
+              // cell's whole encode+score+rank pipeline runs in the
+              // overlapped region, and the returned union is 6 tiny
+              // checkpointed leaves instead of a 6-subtree mega-plan
+              // whose planning + sequential stage waves dominated
+              .localCheckpoint(true)
+          }(ec)
+        val rows =
+          try cells.map(f => scala.concurrent.Await.result(
+            f, scala.concurrent.duration.Duration.Inf))
+          finally pool.shutdown()
+        rows.reduce(_ unionByName _)
           .orderBy(col("m"), col("k_codes"), col("nprobe"))
       },
       // Deterministic (fixed-point quantizer/codebooks/tables, integer
@@ -3231,15 +3284,22 @@ object MiningQueries {
           np -> (if (ceilRow.isNullAt(i)) 0L
                  else ceilRow.getLong(i)) * 1000000L / nExact
         }.toMap
-        val rows = for { m <- Seq(8, 16) } yield {
+        // fill the shared persisted frames ONCE before the branch
+        // threads fork (round-13: the two independent (m) index builds
+        // overlap on a 2-thread pool, guide §2.6 — results unchanged)
+        res.count()
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val futures = for { m <- Seq(8, 16) } yield scala.concurrent.Future {
           val kc = 16
           val books = Pq.codebooks(res, "rid", "__res",
               m = m, dims = 64, stride = 32, maxCodes = kc)
             .localCheckpoint(true)
+          // enc has ONE consumer (the single ADC scoring below) — it
+          // fuses into the scored-frame job instead of materializing
           val enc = Pq.encode(res, "rid", "__res", books, m, 64)
             .select(col("id"), col("subspace"), col("code"))
             .join(asg.withColumnRenamed("rid", "id"), Seq("id"))
-            .localCheckpoint(true)
           // ONE full ADC scoring (all candidates of the top-32 lists —
           // a candidate's ADC distance depends only on its OWN list's
           // table, never on nprobe) and ONE exact-distance fetch per m;
@@ -3250,10 +3310,11 @@ object MiningQueries {
           // (Production semantics unchanged: deployed queries touch
           // only R raw vectors; the audit scores all candidates once
           // because it prices 15 cells in one pass.)
-          val adcAll = Pq.searchTopKResidual(enc, probes, "vec_id", "v",
-              cents, books, m = m, dims = 64, k = Int.MaxValue,
-              probeLists = Some(lists32))
-            .select(col("probe_id"), col("neighbor_id"), col("adist_fp"))
+          // Un-ranked scores (round-13: Pq.adcScoresResidual): the old
+          // k = Int.MaxValue call paid a full per-probe row_number
+          // window whose ranks were discarded here.
+          val adcAll = Pq.adcScoresResidual(enc, probes, "vec_id", "v",
+              cents, books, m = m, dims = 64, probeLists = Some(lists32))
           val scored = rerankScoredFrame(adcAll,
               asg.withColumnRenamed("rid", "neighbor_id"), listsRanked, cc, pp)
             .localCheckpoint(true)
@@ -3272,7 +3333,7 @@ object MiningQueries {
             .orderBy(col("__d2").asc, col("neighbor_id").asc)
           val ceilMap = map(nprobes.flatMap(np =>
             Seq(lit(np), lit(ceiling(np)))): _*)
-          Seq(scored
+          scored
             .withColumn("__cell", explode(cellGrid))
             .select(col("probe_id"), col("neighbor_id"), col("adist_fp"),
               col("__lrank"), col("__d2"),
@@ -3289,9 +3350,17 @@ object MiningQueries {
             .select(lit(m).as("m"), lit(kc).as("k_codes"), col("__np").as("nprobe"),
               col("__r").as("r_shortlist"), col("n_ranked"), col("n_hits"),
               (col("n_hits") * 1000000L / lit(nExact)).cast("long").as("recall_ppm"),
-              element_at(ceilMap, col("__np")).as("ivf_ceiling_ppm")))
-        }
-        rows.flatten.reduce(_ unionByName _)
+              element_at(ceilMap, col("__np")).as("ivf_ceiling_ppm"))
+            // 15-row cell block materialized INSIDE the thread (the two
+            // m-branches' window passes overlap; the returned union is
+            // two tiny checkpointed leaves)
+            .localCheckpoint(true)
+        }(ec)
+        val rows =
+          try futures.map(f => scala.concurrent.Await.result(
+            f, scala.concurrent.duration.Duration.Inf))
+          finally pool.shutdown()
+        rows.reduce(_ unionByName _)
           .orderBy(col("m"), col("k_codes"), col("nprobe"), col("r_shortlist"))
       },
       // Deterministic (integer ADC shortlist, per-row in-order IEEE L2

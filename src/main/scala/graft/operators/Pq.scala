@@ -221,13 +221,15 @@ object Pq {
       .select(col(idOut), col("centroid_id"),
         zip_with(col("__xraw"), col("__kv"), (a, b) => a - b).as("__res"))
 
-  /** Asymmetric-distance top-k over RESIDUAL-encoded codes: each probe
-    * precomputes one m×k fixed-point table PER PROBED LIST on its own
-    * residual q − c_list (tables are |probes|·|lists|·m·k rows —
+  /** UN-RANKED asymmetric-distance scores over RESIDUAL-encoded codes:
+    * each probe precomputes one m×k fixed-point table PER PROBED LIST on
+    * its own residual q − c_list (tables are |probes|·|lists|·m·k rows —
     * broadcast; at production nprobe ≪ |lists| only the probed lists'
-    * tables are built), and a candidate in list L is ranked by m
+    * tables are built), and a candidate in list L is scored by m
     * integer lookups in the (probe, L) table: ADC on
     * ‖(q − c_L) − code_vec‖², exactly Jégou's IVFADC distance.
+    * Output: (probe_id, neighbor_id, adist_fp), one row per
+    * (probe, candidate-in-probed-list).
     * `enc` must carry (id, centroid_id, subspace, code) — [[encode]]'s
     * output joined back to the assignment.
     *
@@ -237,12 +239,18 @@ object Pq {
     * restricts candidates to those lists for free (a candidate in an
     * unprobed list finds no table row). None searches every list
     * (nprobe = |lists|) — the exhaustive-ADC audit shape.
+    *
+    * Audit queries that re-rank the full candidate frame themselves
+    * (q164/q166's one-pass cell grids) previously called
+    * [[searchTopKResidual]] with k = Int.MaxValue, paying a
+    * corpus-candidate-wide row_number window (one exchange + sort per
+    * call) whose ranks were immediately discarded — call this directly
+    * instead (round-13 optimization).
     */
-  def searchTopKResidual(enc: DataFrame, probes: DataFrame, idCol: String,
+  def adcScoresResidual(enc: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, cents: DataFrame, books: DataFrame,
-      m: Int, dims: Int, k: Int,
+      m: Int, dims: Int,
       probeLists: Option[DataFrame] = None): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
     val qresAll = probes.select(col(idCol).as("__pid"), col(vecCol).as("__pv"))
       .join(broadcast(cents.select(col("centroid_id"), col("__kv"))))
       .select(col("__pid"), col("centroid_id"),
@@ -259,13 +267,26 @@ object Pq {
         round((VecExprs.dot(col("__xv"), col("__xv"))
           - lit(2.0) * VecExprs.dot(col("__xv"), col("__cv"))
           + col("__cc")) * lit(1048576.0)).cast("long").as("__dfp"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("probe_id")).orderBy(col("adist_fp").asc, col("neighbor_id").asc)
     enc
       .join(broadcast(table), Seq("centroid_id", "subspace", "code"))
       .where(col("__pid") =!= col("id"))
       .groupBy(col("__pid").as("probe_id"), col("id").as("neighbor_id"))
       .agg(sum(col("__dfp")).as("adist_fp"))
+  }
+
+  /** Asymmetric-distance TOP-K over residual codes — [[adcScoresResidual]]
+    * plus the per-probe top-k window. Returns (probe_id, rank,
+    * neighbor_id, adist_fp), ranks 1..k, deterministic tiebreak on
+    * neighbor id.
+    */
+  def searchTopKResidual(enc: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, cents: DataFrame, books: DataFrame,
+      m: Int, dims: Int, k: Int,
+      probeLists: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("adist_fp").asc, col("neighbor_id").asc)
+    adcScoresResidual(enc, probes, idCol, vecCol, cents, books, m, dims, probeLists)
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("neighbor_id"), col("adist_fp"))
@@ -358,8 +379,13 @@ object Pq {
     // and a corpus-scale probe frame with full vectors could slip under
     // the guard and broadcast — the OOM the guard exists to prevent
     // (ADVICE r12).
-    val shortlistRows = shortlist.count()
-    val probeRows = probeLists.select(col("probe_id")).distinct().count()
+    // maxBroadcastRows <= 0 pins the mining configuration (both hints
+    // off unconditionally) — the two guard counts would be pure wasted
+    // jobs there, so they only run when a broadcast is actually possible
+    val shortlistRows = if (maxBroadcastRows > 0) shortlist.count() else Long.MaxValue
+    val probeRows =
+      if (maxBroadcastRows > 0) probeLists.select(col("probe_id")).distinct().count()
+      else Long.MaxValue
     def gated(df: DataFrame, rows: Long): DataFrame =
       if (rows <= maxBroadcastRows) broadcast(df) else df
     val fetched = rawIndex.select(col("neighbor_id"), col("__cv"))
