@@ -4110,14 +4110,30 @@ object MiningQueries {
         // unscoreable under both models and excluded from n_scored and
         // selection alike (the q159/q163 xd coverage).
         val pc = docBigramCounts(s, d)
-        val tgt = BigramLm.train(pc.where(col("lang") === "en"), Some("c"),
-          minPair = 2L, minCtx = 2L)
-        val raw = BigramLm.train(pc, Some("c"), minPair = 2L, minCtx = 2L)
-        val tx = BigramLm.score(pc, Seq("doc_id", "lang"), tgt, Some("c"),
-          broadcastLm = true).withColumnRenamed("xent_fp", "t_fp")
-        val rx = BigramLm.score(pc, Seq("doc_id", "lang"), raw, Some("c"),
-          broadcastLm = true).withColumnRenamed("xent_fp", "r_fp")
-        val w = tx.join(rx, Seq("doc_id", "lang"))
+        // round-13: the un-persisted pc frame (recompute-over-cache, see
+        // helper doc) was re-derived FOUR times — two train aggregations
+        // + two scoring passes. ONE corpus aggregation now yields BOTH
+        // training count sets (raw = all langs, target = the en slice;
+        // per-(w1,w2) lang-sliced sums are exactly what the two separate
+        // train() aggregations computed, and train()'s own re-agg over
+        // the vocab²-bounded frame is a no-op numerically), and ONE
+        // scoring pass evaluates both models side by side
+        // (BigramLm.scoreMany — bit-identical per model by construction,
+        // and the old tx⋈rx re-join disappears with it). pc passes:
+        // 4 -> 2; the recompute-over-cache trade itself is unchanged.
+        val combined = pc.groupBy(col("w1"), col("w2"))
+          .agg(sum(col("c")).as("c_raw"),
+            sum(when(col("lang") === "en", col("c")).otherwise(lit(0L))).as("c_tgt"))
+          .localCheckpoint(true)
+        val tgt = BigramLm.train(
+          combined.where(col("c_tgt") > 0)
+            .select(col("w1"), col("w2"), col("c_tgt").as("c")),
+          Some("c"), minPair = 2L, minCtx = 2L)
+        val raw = BigramLm.train(
+          combined.select(col("w1"), col("w2"), col("c_raw").as("c")),
+          Some("c"), minPair = 2L, minCtx = 2L)
+        val w = BigramLm.scoreMany(pc, Seq("doc_id", "lang"),
+            Seq("t_fp" -> tgt, "r_fp" -> raw), "c", broadcastLm = true)
           .select(col("doc_id"), col("lang"),
             (col("r_fp") - col("t_fp")).as("w_fp"))
           .localCheckpoint(true)

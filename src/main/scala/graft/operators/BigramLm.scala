@@ -149,6 +149,42 @@ object BigramLm {
     * shuffle. Only safe when the model is vocab-capped; the full exact
     * model's tables grow with the trusted slice and stay AQE-decided.
     */
+  /** Per-key cross-entropy under SEVERAL trained LMs in ONE pass over
+    * the pairs frame — the DSIR shape (q180: target vs raw importance
+    * ratio), where calling [[score]] once per model re-derives and
+    * re-aggregates the corpus-sized pairs frame per model. Each model
+    * contributes its own left joins (same keys as [[score]]); the
+    * single groupBy then evaluates every model's
+    * `sum(bits·c) div sum(c)` side by side — each output column is
+    * bit-identical to the corresponding [[score]] call by construction
+    * (same joins, same coalesce, same integer arithmetic, integer sums
+    * commute). Output: keyCols ++ one `<name>` Q16 column per model.
+    * Only offered for the weighted (pre-counted) form — that is the
+    * only caller shape that needs it.
+    */
+  def scoreMany(pairs: DataFrame, keyCols: Seq[String], lms: Seq[(String, Lm)],
+      weightCol: String, broadcastLm: Boolean = false): DataFrame = {
+    require(lms.nonEmpty, "scoreMany needs at least one model")
+    def bc(df: DataFrame): DataFrame = if (broadcastLm) broadcast(df) else df
+    val joined = lms.foldLeft(pairs.withColumn("__k", lit(1))) {
+      case (df, (name, lm)) =>
+        df.join(bc(lm.pairBits.select(col("w1"), col("w2"),
+            col("pb").as(s"__pb_$name"))), Seq("w1", "w2"), "left")
+          .join(bc(lm.ctxBits.select(col("w1"),
+            col("den_fp").as(s"__den_$name"))), Seq("w1"), "left")
+          .join(broadcast(lm.unk.select(col("__k"),
+            col("unk_fp").as(s"__unk_$name"))), Seq("__k"))
+    }
+    val aggs = lms.map { case (name, _) =>
+      expr(s"sum((coalesce(__pb_$name, __den_$name, __unk_$name)) * __c) div sum(__c)")
+        .as(name)
+    }
+    joined
+      .withColumn("__c", col(weightCol))
+      .groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   def score(pairs: DataFrame, keyCols: Seq[String], lm: Lm,
       weightCol: Option[String] = None, broadcastLm: Boolean = false): DataFrame = {
     val pbT = if (broadcastLm) broadcast(lm.pairBits) else lm.pairBits

@@ -30,6 +30,110 @@ object Bpe {
 
   final case class MergeRule(step: Int, lhs: String, rhs: String, cnt: Long)
 
+  /** Conf key: distinct-word count at or below which the merge loop
+    * runs on the DRIVER over the collected (word, freq) table instead
+    * of one Spark job per round. Default 1000000 types (tens of MB of
+    * strings) — reference BPE trainers are single-machine programs over
+    * exactly this table; the distributed loop exists for web-scale
+    * vocabularies (hundreds of millions of types) and still runs above
+    * the guard. Same measured-size device as
+    * [[Components.LocalEdgeMaxKey]]; the count is one vocab-sized job
+    * where the loop previously paid one pair-count job PER ROUND.
+    * Set 0 to force the loop.
+    */
+  val LocalVocabMaxKey = "spark.graft.bpe.localVocabMax"
+
+  /** UTF-8 binary string order — Spark's `orderBy` on a STRING column
+    * compares UTF8String bytes, and the driver argmax tiebreak must
+    * match it exactly (Java's String.compareTo orders UTF-16 units,
+    * which diverges above the BMP).
+    */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val ai = a(i) & 0xff; val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** Driver replica of [[charSymbols]]: code-point characters (matching
+    * Spark's substr semantics), end-of-word marker on the last.
+    */
+  private[graft] def charSymbolsLocal(w: String): Array[String] = {
+    val cps = w.codePoints.toArray
+    cps.zipWithIndex.map { case (cp, i) =>
+      val s = new String(Character.toChars(cp))
+      if (i == cps.length - 1) s + "</w>" else s
+    }
+  }
+
+  /** Driver replica of [[mergePair]]'s left fold — same non-overlapping
+    * greedy semantics (an applied merge consumes both symbols).
+    */
+  private[graft] def mergePairLocal(
+      toks: Array[String], a: String, b: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      if (out.nonEmpty && out.last == a && toks(i) == b)
+        out(out.length - 1) = a + b
+      else out += toks(i)
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** The whole merge loop on the driver — the local fast path of
+    * [[learnMergesWithVocab]]. Same recurrence: overlapping adjacent-
+    * pair counts weighted by word frequency, argmax with
+    * (cnt DESC, lhs ASC, rhs ASC) in UTF-8 binary order, greedy
+    * non-overlapping merge. Integer sums commute, so iteration order is
+    * irrelevant; equality with the distributed loop is a PropertySpec
+    * law. Returns (rules, final (w, freq, toks) vocabulary).
+    */
+  private[graft] def learnLocal(
+      vocab: Array[(String, Long)],
+      nMerges: Int): (Seq[MergeRule], Array[(String, Long, Array[String])]) = {
+    var words = vocab.map { case (w, f) => (w, f, charSymbolsLocal(w)) }
+    val rules = scala.collection.mutable.ArrayBuffer.empty[MergeRule]
+    var step = 1
+    var done = false
+    while (step <= nMerges && !done) {
+      val cnt = new scala.collection.mutable.HashMap[(String, String), Long]()
+      words.foreach { case (_, f, toks) =>
+        var j = 0
+        while (j < toks.length - 1) {
+          val k = (toks(j), toks(j + 1))
+          cnt(k) = cnt.getOrElse(k, 0L) + f
+          j += 1
+        }
+      }
+      if (cnt.isEmpty) done = true
+      else {
+        val ((a, b), c) = cnt.foldLeft(Option.empty[((String, String), Long)]) {
+          case (best, cand @ ((ca, cb), cc)) => best match {
+            case None => Some(cand)
+            case Some(((ba, bb), bc)) =>
+              val better = cc > bc ||
+                (cc == bc && (utf8Lt(ca, ba) ||
+                  (ca == ba && utf8Lt(cb, bb))))
+              if (better) Some(cand) else best
+          }
+        }.get
+        rules += MergeRule(step, a, b, c)
+        words = words.map { case (w, f, toks) =>
+          (w, f, mergePairLocal(toks, a, b))
+        }
+        step += 1
+      }
+    }
+    (rules.toSeq, words)
+  }
+
   /** Initial symbol sequence of a word: its characters, with the
     * end-of-word marker appended to the last one (Sennrich's `</w>` —
     * merges never cross word boundaries, and word-final units stay
@@ -75,12 +179,26 @@ object Bpe {
       spark: SparkSession, docs: DataFrame, textCol: String, nMerges: Int): (DataFrame, DataFrame) = {
     import spark.implicits._
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
-    var words = docs
+    val wf = graft.Engine.truncate(docs
       .select(explode(split(lower(col(textCol)), " ")).as("w"))
       .where(col("w") =!= "")
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq")))
+    // Local fast path (round-13 optimization; see LocalVocabMaxKey):
+    // the loop is vocab-sized by design — when the measured type count
+    // fits the driver, the whole 20-round recurrence is a few million
+    // string operations, where the distributed loop pays one pair-count
+    // job + 1-row collect PER ROUND.
+    val localMax = spark.conf.get(LocalVocabMaxKey, "1000000").toLong
+    if (wf.count() <= localMax) {
+      val vocabArr = wf.collect().map(r => (r.getString(0), r.getLong(1)))
+      val (rs, wordsArr) = learnLocal(vocabArr, nMerges)
+      val vocabDf = wordsArr.toSeq.map { case (w, f, t) => (w, f, t.toSeq) }
+        .toDF("w", "freq", "toks")
+      return (rs.toDF(), vocabDf)
+    }
+    // wf is already truncated; the symbol projection needs no second cut
+    var words = wf
       .select(col("w"), col("freq"), charSymbols(col("w")).as("toks"))
-    words = graft.Engine.truncate(words)
     val rules = scala.collection.mutable.ArrayBuffer.empty[MergeRule]
     var step = 1
     var done = false

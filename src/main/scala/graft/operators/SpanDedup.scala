@@ -104,11 +104,15 @@ object SpanDedup {
       s"cross-doc gram), got $dfCap")
     val g0 = grams(docs, idCol, textCol, l)
     // the hash replaces the string IN PLACE as the join/df key — every
-    // operation below is key-agnostic, so the two paths share all code
+    // operation below is key-agnostic, so the two paths share all code.
+    // localCheckpoint (round 13): the gram frame feeds BOTH the df agg
+    // and the seed join below — un-materialized, the lead-window gram
+    // build ran once per branch (measured 1.0 s per re-run at sf0.1,
+    // the single largest stage of the span pipeline).
     val g =
-      if (hashedAnchors)
+      (if (hashedAnchors)
         g0.select(col("id"), col("pos"), xxhash64(col("gram")).as("gram"))
-      else g0
+      else g0).localCheckpoint(true)
     // localCheckpoint, not persist (the q108 lesson one step further):
     // the capped seed frame is read twice by the pair self-join (and
     // its lineage holds the gram build + df agg — two corpus passes);

@@ -604,9 +604,23 @@ class PropertySpec extends SparkSpec {
         }
       }
       val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      // default path (these vocabularies sit under the round-13 driver
+      // fast-path guard) AND the distributed loop forced via the conf —
+      // both must replay the reference recurrence exactly
       val (gotRules, vocabDf) = Bpe.learnMergesWithVocab(spark, df, "text", 8)
       val got = gotRules.orderBy(col("step")).as[(Int, String, String, Long)].collect().toSeq
       assert(got === ref.toSeq)
+      val (loopRules, loopVocab) = graft.Engine.withConfs(spark,
+          Bpe.LocalVocabMaxKey -> "0") {
+        val (r, v) = Bpe.learnMergesWithVocab(spark, df, "text", 8)
+        (r.orderBy(col("step")).as[(Int, String, String, Long)].collect().toSeq,
+          v.select(col("w"), col("freq"), col("toks"))
+            .as[(String, Long, Seq[String])].collect().toSet)
+      }
+      assert(loopRules === ref.toSeq, "distributed loop diverged from reference")
+      assert(loopVocab === vocabDf.select(col("w"), col("freq"), col("toks"))
+        .as[(String, Long, Seq[String])].collect().toSet,
+        "loop vocabulary diverged from fast-path vocabulary")
       // encode side: per-doc subword counts match the merged reference vocab
       val refCounts: Map[Long, Long] = docs.zipWithIndex.map { case (t, i) =>
         i.toLong -> t.toLowerCase.split(" ", -1).filter(_.nonEmpty)
