@@ -2662,17 +2662,18 @@ object MiningQueries {
         // vocab model) and broadcast; here exact-complete for the
         // oracle. V and unk-bits ride 1-row broadcasts (the q126
         // device).
-        val docs = T.documents(s, d)
-          .select(col("doc_id"), col("lang"),
-            split(lower(col("text")), " ").as("__w"))
-        val pairs = docs
-          .select(col("doc_id"), col("lang"),
-            explode(BigramLm.bigramPairs(col("__w"))).as("bg"))
-          .select(col("doc_id"), col("lang"),
-            col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val lm = BigramLm.train(pairs.where(col("lang") === "en"))
-        BigramLm.score(pairs, Seq("doc_id", "lang"), lm)
+        // round-13: scoring now runs over per-doc DISTINCT bigram counts
+        // (q163's weighted device — documented bit-identical to
+        // positional scoring: sum(bits·c) div sum(c) IS the positional
+        // sum) instead of persisting every bigram POSITION; the LM joins
+        // and the doc agg touch each (doc, bigram) once (~4x fewer rows
+        // at the gate corpus), and the q163 recompute-over-cache trade
+        // replaces the positional cache fill. The model itself stays the
+        // EXACT-COMPLETE unpruned one (no broadcast hint — this query is
+        // the audit sibling; q163 remains the pruned production shape).
+        val pc = docBigramCounts(s, d)
+        val lm = BigramLm.train(pc.where(col("lang") === "en"), Some("c"))
+        BigramLm.score(pc, Seq("doc_id", "lang"), lm, Some("c"))
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"),
             expr("sum(xent_fp) div count(1)").as("mean_xent_fp"),

@@ -250,7 +250,8 @@ object Pq {
   def adcScoresResidual(enc: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, cents: DataFrame, books: DataFrame,
       m: Int, dims: Int,
-      probeLists: Option[DataFrame] = None): DataFrame = {
+      probeLists: Option[DataFrame] = None,
+      broadcastTables: Boolean = true): DataFrame = {
     val qresAll = probes.select(col(idCol).as("__pid"), col(vecCol).as("__pv"))
       .join(broadcast(cents.select(col("centroid_id"), col("__kv"))))
       .select(col("__pid"), col("centroid_id"),
@@ -267,8 +268,17 @@ object Pq {
         round((VecExprs.dot(col("__xv"), col("__xv"))
           - lit(2.0) * VecExprs.dot(col("__xv"), col("__cv"))
           + col("__cc")) * lit(1048576.0)).cast("long").as("__dfp"))
+    // The distance table is |probes|·nprobe·m·k rows — model-sized for a
+    // bounded probe batch (the serving shape: broadcast, map-side
+    // lookups), but CORPUS-sized when the probes ARE the corpus (the
+    // q176 mining shape: ~1M rows at the toy gate already, an OOM at
+    // 100×). broadcastTables = false drops the hint and lets the
+    // equi-join shuffle — measured faster locally at mining probe counts
+    // (2.9 s vs 3.8-4.4 s warm) AND the only shape that survives scale;
+    // searchRerank wires it to its own maxBroadcastRows guard.
+    val tableSide = if (broadcastTables) broadcast(table) else table
     enc
-      .join(broadcast(table), Seq("centroid_id", "subspace", "code"))
+      .join(tableSide, Seq("centroid_id", "subspace", "code"))
       .where(col("__pid") =!= col("id"))
       .groupBy(col("__pid").as("probe_id"), col("id").as("neighbor_id"))
       .agg(sum(col("__dfp")).as("adist_fp"))
@@ -282,11 +292,13 @@ object Pq {
   def searchTopKResidual(enc: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, cents: DataFrame, books: DataFrame,
       m: Int, dims: Int, k: Int,
-      probeLists: Option[DataFrame] = None): DataFrame = {
+      probeLists: Option[DataFrame] = None,
+      broadcastTables: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("adist_fp").asc, col("neighbor_id").asc)
-    adcScoresResidual(enc, probes, idCol, vecCol, cents, books, m, dims, probeLists)
+    adcScoresResidual(enc, probes, idCol, vecCol, cents, books, m, dims, probeLists,
+        broadcastTables)
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("neighbor_id"), col("adist_fp"))
@@ -364,7 +376,10 @@ object Pq {
     // raw fetch AND appears in the output), lineage cut so it joins the
     // corpus as a broadcastable LEAF, not a re-executed ADC plan
     val shortlist = searchTopKResidual(enc, probes, idCol, vecCol,
-        cents, books, m, dims, k = r, probeLists = Some(probeLists))
+        cents, books, m, dims, k = r, probeLists = Some(probeLists),
+        // mining configuration (guard pinned off): the distance table is
+        // probe-count-sized, i.e. corpus-sized here — shuffle it too
+        broadcastTables = maxBroadcastRows > 0)
       .select(col("probe_id"), col("neighbor_id"), col("adist_fp"))
       .localCheckpoint(true)
     // ids-only fetch: below the guard the shortlist broadcasts and the
