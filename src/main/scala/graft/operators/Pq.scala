@@ -223,10 +223,11 @@ object Pq {
 
   /** UN-RANKED asymmetric-distance scores over RESIDUAL-encoded codes:
     * each probe precomputes one m×k fixed-point table PER PROBED LIST on
-    * its own residual q − c_list (tables are |probes|·|lists|·m·k rows —
-    * broadcast; at production nprobe ≪ |lists| only the probed lists'
-    * tables are built), and a candidate in list L is scored by m
-    * integer lookups in the (probe, L) table: ADC on
+    * its own residual q − c_list (PACKED: one row per (probe, list)
+    * carrying m per-subspace lookup maps, computed map-side against the
+    * broadcast codebook grid; at production nprobe ≪ |lists| only the
+    * probed lists' tables are built), and a candidate in list L is
+    * scored by m integer lookups in the (probe, L) table: ADC on
     * ‖(q − c_L) − code_vec‖², exactly Jégou's IVFADC distance.
     * Output: (probe_id, neighbor_id, adist_fp), one row per
     * (probe, candidate-in-probed-list).
@@ -260,28 +261,100 @@ object Pq {
       qresAll.join(
         pl.select(col("probe_id").as("__pid"), col("centroid_id")),
         Seq("__pid", "centroid_id")))
-    val table = qres
-      .select(col("__pid"), col("centroid_id"),
-        posexplode(subvectors(col("__qr"), m, dims)).as(Seq("subspace", "__xv")))
-      .join(broadcast(books), Seq("subspace"))
-      .select(col("__pid"), col("centroid_id"), col("subspace"), col("code"),
-        round((VecExprs.dot(col("__xv"), col("__xv"))
-          - lit(2.0) * VecExprs.dot(col("__xv"), col("__cv"))
-          + col("__cc")) * lit(1048576.0)).cast("long").as("__dfp"))
-    // The distance table is |probes|·nprobe·m·k rows — model-sized for a
-    // bounded probe batch (the serving shape: broadcast, map-side
-    // lookups), but CORPUS-sized when the probes ARE the corpus (the
-    // q176 mining shape: ~1M rows at the toy gate already, an OOM at
-    // 100×). broadcastTables = false drops the hint and lets the
-    // equi-join shuffle — measured faster locally at mining probe counts
-    // (2.9 s vs 3.8-4.4 s warm) AND the only shape that survives scale;
-    // searchRerank wires it to its own maxBroadcastRows guard.
-    val tableSide = if (broadcastTables) broadcast(table) else table
-    enc
-      .join(tableSide, Seq("centroid_id", "subspace", "code"))
-      .where(col("__pid") =!= col("id"))
-      .groupBy(col("__pid").as("probe_id"), col("id").as("neighbor_id"))
-      .agg(sum(col("__dfp")).as("adist_fp"))
+    // The whole codebook as a LITERAL grid — position s+1 holds subspace
+    // s's (code, __cv, __cc) entries, code-sorted. Codebooks are model
+    // metadata BOUNDED by construction (the maxCodes cap is the scale
+    // contract: m·k ≤ a few thousand rows at ANY corpus size), so the
+    // bounded collect is the eigen-family device, not a driver loop —
+    // it costs one tiny job where a grouped/broadcast grid frame cost
+    // two exchanges + a broadcast build per call (measured +0.3-1.2 s
+    // across the audit family at bench scale).
+    val bk = books.select(col("subspace"), col("code"), col("__cv"), col("__cc"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val grid: Seq[Seq[(Int, Seq[Double], Double)]] =
+      (0 until m).map(s => bk.filter(_._1 == s).map(t => (t._2, t._3, t._4)).toSeq)
+    val gridLit = typedLit(grid)
+    // The dataflow is picked by the probe REGIME the broadcastTables
+    // flag already encodes (guide §3.1 — choose the strategy by what
+    // actually fits):
+    //
+    //  - SERVING shape (broadcastTables = true, bounded probe batch):
+    //    the exploded |probes|·nprobe·m·k table is model-sized, so the
+    //    optimal plan is the classic one — broadcast the table, one
+    //    map-side equi-join over the corpus codes, a tiny pairs
+    //    aggregation. The table is now built map-side from the literal
+    //    grid (the books broadcast join is gone); nothing else changed.
+    //
+    //  - MINING shape (broadcastTables = false, probes ≈ the corpus,
+    //    the q176 knn-graph regime): the exploded table is
+    //    corpus·nprobe·m·k rows and the old equi-join shuffled every one
+    //    of them, fanned each (probe, candidate) pair out to m rows and
+    //    paid a pairs-sized aggregation exchange to sum them back. The
+    //    PACKED form (round-14) shuffles ONE row per (probe, probed
+    //    list) — m per-subspace lookup maps, m·k× fewer rows — packs
+    //    each candidate's m codes once, and scores every pair with one
+    //    aggregate() over the code array: the m-way fan-out and the
+    //    aggregation exchange disappear (guide §1.2-2, §2.3, §2.4).
+    //
+    // Fixed-point entries are the identical expression in both branches
+    // (round(d2·2^20) as long), so scores are bit-identical across the
+    // regimes — PlanSpec pins the equality.
+    if (broadcastTables) {
+      val table = qres
+        .select(col("__pid"), col("centroid_id"),
+          posexplode(subvectors(col("__qr"), m, dims)).as(Seq("subspace", "__xv")))
+        .select(col("__pid"), col("centroid_id"), col("subspace"),
+          explode(transform(element_at(gridLit, col("subspace") + lit(1)), b =>
+            struct(b.getField("_1").as("code"),
+              round((VecExprs.dot(col("__xv"), col("__xv"))
+                - lit(2.0) * VecExprs.dot(col("__xv"), b.getField("_2"))
+                + b.getField("_3")) * lit(1048576.0)).cast("long").as("__dfp")))).as("__e"))
+        .select(col("__pid"), col("centroid_id"), col("subspace"),
+          col("__e.code").as("code"), col("__e.__dfp").as("__dfp"))
+      enc
+        .join(broadcast(table), Seq("centroid_id", "subspace", "code"))
+        .where(col("__pid") =!= col("id"))
+        .groupBy(col("__pid").as("probe_id"), col("id").as("neighbor_id"))
+        .agg(sum(col("__dfp")).as("adist_fp"))
+    } else {
+      val lut = qres
+        .select(col("__pid"), col("centroid_id"),
+          transform(subvectors(col("__qr"), m, dims), (sv, s) =>
+            map_from_entries(transform(element_at(gridLit, s + lit(1)), b =>
+              struct(b.getField("_1"),
+                round((VecExprs.dot(sv, sv)
+                  - lit(2.0) * VecExprs.dot(sv, b.getField("_2"))
+                  + b.getField("_3")) * lit(1048576.0)).cast("long"))))).as("__lut"))
+      // Candidates outside every probed list can never match a lut row —
+      // drop them (map-side semi-join on the model-sized distinct list
+      // set) BEFORE the code-packing shuffle, so the pack moves only the
+      // probed lists' codes, never unprobed ones.
+      val encIn = probeLists.fold(enc)(pl =>
+        enc.join(broadcast(pl.select(col("centroid_id")).distinct()),
+          Seq("centroid_id"), "left_semi"))
+      // One row per candidate with its code vector. enc assigns each id
+      // to exactly ONE list ([[encode]] ⋈ the assignment — the documented
+      // enc contract), so the join below emits exactly one row per
+      // (probe, candidate-in-probed-list) pair, already the output grain:
+      // no aggregation exchange follows.
+      val encP = encIn
+        .groupBy(col("id"), col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("subspace"), col("code")))).as("__sc"))
+      encP
+        .join(lut, Seq("centroid_id"))
+        .where(col("__pid") =!= col("id"))
+        .select(col("__pid").as("probe_id"), col("id").as("neighbor_id"),
+          // m integer lookups per candidate — a code missing from a
+          // (refined) book contributes 0, exactly the inner join's
+          // dropped-term semantics
+          aggregate(col("__sc"), lit(0L), (acc, e) =>
+            acc + coalesce(
+              element_at(element_at(col("__lut"), e.getField("subspace") + lit(1)),
+                e.getField("code")),
+              lit(0L))).as("adist_fp"))
+    }
   }
 
   /** Asymmetric-distance TOP-K over residual codes — [[adcScoresResidual]]
