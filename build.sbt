@@ -28,3 +28,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// local-iteration hook: extra JVM flags (e.g. -Dspark.sql.* conf probes
+// for config A/B runs) without editing the build. The driver never sets
+// it, so official artifacts always run the committed configuration.
+javaOptions ++= sys.env.get("SPARK_GRAFT_JAVA_OPTS")
+  .map(_.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)

@@ -47,6 +47,22 @@ object Engine {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // guide §3.1/§9 (round-14 A/B): let the planner pick shuffled-hash
+      // over sort-merge when its size conditions hold, and let AQE
+      // rewrite a planned sort-merge to shuffled-hash when every
+      // post-shuffle partition is under the threshold — skips both sort
+      // passes on the mid-size equi-joins AQE does not broadcast.
+      // Measured TWICE because full-run comparisons are ambient-noisy:
+      // the naive full-registry diff read +6 s, but an interleaved ABBA
+      // min-of-3 over the 15 apparently-regressed queries (drift
+      // cancelled) read the flip 0.9 s FASTER on exactly those queries,
+      // and the vector family gained ~1-2 s within-run — accepted.
+      // Strategy-only switch: join OUTPUT contents are unchanged (the
+      // full oracle gate re-ran green under it); at cluster scale the
+      // same flip is the guide's §9 baseline, with SMJ still chosen
+      // whenever a build side cannot fit.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
     if (rocksDbState)

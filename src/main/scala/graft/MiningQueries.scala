@@ -3088,11 +3088,25 @@ object MiningQueries {
         // frames.
         val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
         val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        // ONE codebook build per m (round-14, VERDICT item 5): the kc=8
+        // book is by construction the kc=16 book's `code < 8` slice
+        // (code = rid div stride, seeded at rid < stride·kc — same
+        // stride, same subspace split), so the smaller cell FILTERS the
+        // checkpointed kc=16 book instead of re-running the seed scan:
+        // 6 codebook jobs become 3, retained rows bit-identical.
+        // Scheduling note: the books futures are enqueued on the SAME
+        // FIFO pool BEFORE any cell future, so every cell's Await finds
+        // its books task already completed or running — no deadlock.
+        val booksByM = Seq(4, 8, 16).map(m => m -> scala.concurrent.Future {
+          Pq.codebooks(res, "rid", "__res",
+              m = m, dims = 64, stride = 32, maxCodes = 16)
+            .localCheckpoint(true)
+        }(ec)).toMap
         val cells = for { m <- Seq(4, 8, 16); kc <- Seq(8, 16) } yield
           scala.concurrent.Future {
-            val books = Pq.codebooks(res, "rid", "__res",
-                m = m, dims = 64, stride = 32, maxCodes = kc)
-              .localCheckpoint(true)
+            val books16 = scala.concurrent.Await.result(
+              booksByM(m), scala.concurrent.duration.Duration.Inf)
+            val books = if (kc == 16) books16 else books16.where(col("code") < kc)
             // enc now has ONE consumer (the single ADC scoring below) —
             // it fuses into that job instead of materializing separately
             // (its old checkpoint served the two per-nprobe searches)
@@ -3107,7 +3121,7 @@ object MiningQueries {
                 col("__lrank"))
             val wnp = Window.partitionBy(col("probe_id"), col("__np"))
               .orderBy(col("adist_fp").asc, col("neighbor_id").asc)
-            scored
+            val cellAgg = scored
               .withColumn("__np", explode(typedLit(Seq(2, 4))))
               .where(col("__lrank") <= col("__np"))
               .withColumn("__rk", row_number().over(wnp))
@@ -3116,10 +3130,18 @@ object MiningQueries {
               .groupBy(col("__np"))
               .agg(count(lit(1)).as("n_ranked"),
                 sum(when(col("__hit"), 1L).otherwise(0L)).as("n_hits"))
+            // ADVICE r13: a cell with ZERO surviving candidates must
+            // still emit its row (the pre-r13 per-cell global aggregate
+            // emitted n_ranked = 0 on a degenerate corpus; the groupBy
+            // would drop it) — left-join the static np grid, zero-fill
+            s.range(1).select(explode(typedLit(Seq(2, 4))).as("__np"))
+              .join(cellAgg, Seq("__np"), "left")
               .select(lit(m).as("m"), lit(kc).as("k_codes"), col("__np").as("nprobe"),
                 lit(m).as("bytes_per_vec"), lit(512L / m).as("compression_x"),
-                col("n_ranked"), col("n_hits"),
-                (col("n_hits") * 1000000L / lit(nExact)).cast("long").as("recall_ppm"))
+                coalesce(col("n_ranked"), lit(0L)).as("n_ranked"),
+                coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+                (coalesce(col("n_hits"), lit(0L)) * 1000000L / lit(nExact))
+                  .cast("long").as("recall_ppm"))
               // materialize the 2-row cell result INSIDE the thread: the
               // cell's whole encode+score+rank pipeline runs in the
               // overlapped region, and the returned union is 6 tiny

@@ -279,6 +279,29 @@ object ScaleBench {
       p -> (t, t / base)
     }
 
+    // FORCED-LOOP cells (round-14, VERDICT item 2): since round 13 every
+    // bench-registry call of Components/PageRank/BPE takes the driver
+    // fast path at these corpus sizes, so the DISTRIBUTED loops are no
+    // longer wall-clock-measured anywhere — a loop regression would be
+    // invisible to the bench and caught only by the conf-forced unit
+    // tests. These cells pin each guard to 0 (force the loop) on the
+    // same replicated corpora: the loops stay measured at r1/r10, and
+    // their ratio10 stays in the flat-to-linear band the scale story
+    // rests on.
+    val forcedLoopProbes = Seq(
+      ("q89_pagerank", operators.PageRank.LocalEdgeMaxKey),
+      ("q51_cluster_dedup", operators.Components.LocalEdgeMaxKey),
+      ("q109_bpe_merges", operators.Bpe.LocalVocabMaxKey))
+    val forcedRows = forcedLoopProbes.map { case (p, key) =>
+      Engine.withConfs(spark, key -> "0") {
+        timeOnce(p, dirs(1)) // warm-up: loop codegen differs from the fast path
+        val cells = Seq(1, 10).map { r =>
+          r -> math.min(timeOnce(p, dirs(r)), timeOnce(p, dirs(r)))
+        }.toMap
+        p -> cells
+      }
+    }
+
     // ------------------------------------------------------ skew probes
     // registry families on the skewed corpus, AQE at production defaults
     val skewRows = SkewProbes.map { p =>
@@ -798,8 +821,12 @@ object ScaleBench {
     val skewJson = (skewRows.map { case (p, cells) => s""""$p":{${cellJson(cells)}}""" } ++ Seq(
       s""""w_hot_window":{${cellJson(windowCells)}}""",
       s""""j_hub_join":{${cellJson(joinCells)}}""")).mkString(",")
+    val forcedJson = forcedRows.map { case (p, cells) =>
+      s""""$p":{${cellJson(cells)}}"""
+    }.mkString(",")
     val json = "{\"metric\":\"scale_probe\",\"src\":\"" + srcDir + "\",\"probes\":{" + uniformJson +
-      "},\"probes_r30\":{" + r30Json + "},\"skew\":{" + skewJson +
+      "},\"probes_r30\":{" + r30Json + "},\"forced_loop\":{" + forcedJson +
+      "},\"skew\":{" + skewJson +
       "},\"streaming\":{" + streamingJson +
       "},\"skew_split_marked\":" + skewSplitMarked + "}"
     println(json)

@@ -165,6 +165,13 @@ object BigramLm {
   def scoreMany(pairs: DataFrame, keyCols: Seq[String], lms: Seq[(String, Lm)],
       weightCol: String, broadcastLm: Boolean = false): DataFrame = {
     require(lms.nonEmpty, "scoreMany needs at least one model")
+    // the model names are interpolated into the aggregate's expr() SQL
+    // below — a name that is not a plain identifier would break parsing
+    // (or worse); refuse it loudly (ADVICE r13)
+    lms.foreach { case (name, _) =>
+      require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"scoreMany model name must be a plain SQL identifier, got '$name'")
+    }
     def bc(df: DataFrame): DataFrame = if (broadcastLm) broadcast(df) else df
     val joined = lms.foldLeft(pairs.withColumn("__k", lit(1))) {
       case (df, (name, lm)) =>

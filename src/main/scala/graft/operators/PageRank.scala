@@ -144,18 +144,26 @@ object PageRank {
       val clean = !rows.exists(r => r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2))
       if (clean) {
         val arr = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-        e.unpersist()
-        val ranked = localRanks(arr, iterations, dampingPct, scale)
-        // explicit Row + schema (no implicit-encoder reflection): a
-        // plain LocalRelation, broadcastable by downstream joins
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("node",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("pr",
-            org.apache.spark.sql.types.LongType, nullable = false)))
-        return spark.createDataFrame(
-          java.util.Arrays.asList(ranked.map(p =>
-            org.apache.spark.sql.Row(p._1, p._2)): _*), schema)
+        // a source whose TOTAL out-weight is 0 (all-zero or cancelling
+        // weights) would divide by zero in localRanks, where the loop's
+        // `div` yields null and silently drops the contribution — leave
+        // that pathological shape to the loop unchanged (ADVICE r13)
+        val outw = new scala.collection.mutable.LongMap[Long](arr.length)
+        arr.foreach { case (s, _, w) => outw(s) = outw.getOrElse(s, 0L) + w }
+        if (!outw.values.exists(_ == 0L)) {
+          e.unpersist()
+          val ranked = localRanks(arr, iterations, dampingPct, scale)
+          // explicit Row + schema (no implicit-encoder reflection): a
+          // plain LocalRelation, broadcastable by downstream joins
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("node",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("pr",
+              org.apache.spark.sql.types.LongType, nullable = false)))
+          return spark.createDataFrame(
+            java.util.Arrays.asList(ranked.map(p =>
+              org.apache.spark.sql.Row(p._1, p._2)): _*), schema)
+        }
       }
     }
     val dp = spark.sparkContext.defaultParallelism.toLong

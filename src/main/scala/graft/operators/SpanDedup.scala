@@ -55,24 +55,30 @@ object SpanDedup {
 
   /** Positional word L-grams: (id, pos, gram), pos 1-based, one row per
     * window position (docs shorter than `l` words contribute none).
+    *
+    * MAP-SIDE (round 14): grams come straight off each doc's token array
+    * — per position an `array_join(slice(tokens, pos, l))` inside one
+    * `transform`, posexploded. The previous lead-window form paid an
+    * exchange by id plus a per-token sort for what is a per-row
+    * computation (measured 0.7-0.9 s → 0.45 s for the corpus gram build
+    * at sf0.1, rows bit-identical). The token array is projected FIRST
+    * and referenced twice (length bound + slice), so CollapseProject
+    * cannot inline the split into the lambda — the O(n²)-per-doc
+    * re-evaluation the old scaladoc warned about does not occur (the
+    * plan carries one split per row; checked).
     */
   def grams(docs: DataFrame, idCol: String, textCol: String, l: Int): DataFrame = {
     require(l >= 2, s"span gram width must be >= 2, got $l")
-    val wOrd = Window.partitionBy(col("id")).orderBy(col("pos"))
     docs
-      .select(col(idCol).as("id"),
-        posexplode(split(lower(col(textCol)), " ")).as(Seq("__p0", "__t")))
-      .select(col("id"), (col("__p0") + 1).as("pos"), col("__t"))
-      // window validity via the LAST lead being in-partition (null only
-      // past the doc end — a legitimate "" token is not null), so the
-      // one ordered window evaluates all l-1 leads AND the filter;
-      // deriving doc length via a second max(pos) window doubled the
-      // window passes over the corpus's token rows (review r12)
-      .withColumn("__last", lead(col("__t"), l - 1).over(wOrd))
-      .withColumn("gram", concat_ws(" ", (0 until l).map(i =>
-        if (i == 0) col("__t") else lead(col("__t"), i).over(wOrd)): _*))
-      .where(col("__last").isNotNull)
-      .select(col("id"), col("pos"), col("gram"))
+      .select(col(idCol).as("id"), split(lower(col(textCol)), " ").as("__w"))
+      // the when-guard, not greatest(…, 0): sequence(1, 0) is a
+      // DESCENDING sequence in Spark (slice start 0 throws); a doc
+      // shorter than l words yields null, which posexplode skips —
+      // exactly the old window form's "contributes none"
+      .select(col("id"), posexplode(when(size(col("__w")) >= lit(l), transform(
+        sequence(lit(1), size(col("__w")) - lit(l - 1)),
+        i => array_join(slice(col("__w"), i, lit(l)), " ")))).as(Seq("__p0", "gram")))
+      .select(col("id"), (col("__p0") + 1).as("pos"), col("gram"))
   }
 
   /** All maximal cross-document shared spans of ≥ `l` exactly-matching
@@ -108,11 +114,22 @@ object SpanDedup {
     // localCheckpoint (round 13): the gram frame feeds BOTH the df agg
     // and the seed join below — un-materialized, the lead-window gram
     // build ran once per branch (measured 1.0 s per re-run at sf0.1,
-    // the single largest stage of the span pipeline).
-    val g =
-      (if (hashedAnchors)
+    // the single largest stage of the span pipeline). On the HASHED path
+    // the materialized frame is 8-byte keys; on the STRING path it holds
+    // one l-word string per token position — corpus-token-sized executor
+    // storage at scale (ADVICE r13). The string path is the oracle-replay
+    // form (its corpus-scale form IS hashedAnchors); a deployment that
+    // insists on string anchors at scale sets
+    // spark.graft.spandedup.gramStringCheckpoint=false to trade a second
+    // gram build for not storing the strings. Local default (true) keeps
+    // the bench's measured shape.
+    val keyed =
+      if (hashedAnchors)
         g0.select(col("id"), col("pos"), xxhash64(col("gram")).as("gram"))
-      else g0).localCheckpoint(true)
+      else g0
+    val matGrams = hashedAnchors || docs.sparkSession.conf
+      .get("spark.graft.spandedup.gramStringCheckpoint", "true").toBoolean
+    val g = if (matGrams) keyed.localCheckpoint(true) else keyed
     // localCheckpoint, not persist (the q108 lesson one step further):
     // the capped seed frame is read twice by the pair self-join (and
     // its lineage holds the gram build + df agg — two corpus passes);
