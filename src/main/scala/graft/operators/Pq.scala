@@ -275,7 +275,21 @@ object Pq {
       .sortBy(t => (t._1, t._2))
     val grid: Seq[Seq[(Int, Seq[Double], Double)]] =
       (0 until m).map(s => bk.filter(_._1 == s).map(t => (t._2, t._3, t._4)).toSeq)
-    val gridLit = typedLit(grid)
+    // explicit-schema literal, NOT typedLit: typedLit resolves the type
+    // via runtime reflection and SILENTLY falls back to an untyped
+    // Literal (UNSUPPORTED_FEATURE.LITERAL_TYPE at run time) when the
+    // context classloader can't re-instantiate the TypeTag (sbt console)
+    val gridType = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_1",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("_2",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false),
+          nullable = false),
+        org.apache.spark.sql.types.StructField("_3",
+          org.apache.spark.sql.types.DoubleType, nullable = false)))))
+    val gridLit = org.apache.spark.sql.GraftColumnBridge.literal(grid, gridType)
     // The dataflow is picked by the probe REGIME the broadcastTables
     // flag already encodes (guide §3.1 — choose the strategy by what
     // actually fits):
